@@ -1,0 +1,122 @@
+"""Local DuckDB-oracle harness — mirrors the driver's t2 correctness gate.
+
+Runs a registered query's Spark plan and its DuckDB oracle SQL on the same
+parquet tables, canonicalizes both results (columns sorted by name, rows
+sorted by all columns, tz-aware timestamps normalized to naive UTC) and
+compares values with a tight float tolerance. The driver does the same with
+an order-insensitive value hash, so anything that passes here only with
+tolerance (not exactly) is flagged by `assert_matches(strict=...)`.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .catalog import TABLES
+
+
+def duckdb_conn(sf_dir: str):
+    import duckdb
+
+    conn = duckdb.connect()
+    for name in TABLES:
+        conn.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return conn
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    conn = duckdb_conn(sf_dir)
+    try:
+        return conn.execute(sql).df()
+    finally:
+        conn.close()
+
+
+def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Column order by name; rows sorted by every column; naive-UTC times."""
+    out = pdf.copy()
+    for c in out.columns:
+        if isinstance(out[c].dtype, pd.DatetimeTZDtype):
+            out[c] = out[c].dt.tz_convert("UTC").dt.tz_localize(None)
+    out = out[sorted(out.columns)]
+    if len(out):
+        # Sort on a stringified view so floats/None/lists sort stably.
+        key = out.apply(lambda row: tuple(repr(v) for v in row), axis=1)
+        out = out.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
+    return out
+
+
+@dataclass
+class MatchReport:
+    name: str
+    row_match: bool
+    col_match: bool
+    exact: bool  # values identical (what the driver's hash needs)
+    close: bool  # values within tolerance (semantics right, repr drifts)
+    detail: str = ""
+
+    @property
+    def ok(self) -> bool:
+        return self.row_match and self.col_match and self.close
+
+
+def _values_equal(a, b, rtol: float, atol: float) -> tuple[bool, bool, str]:
+    """Returns (exact, close, detail) for two canonicalized frames."""
+    exact = True
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            af = a[c].astype(float).to_numpy()
+            bf = b[c].astype(float).to_numpy()
+            both_nan = np.isnan(af) & np.isnan(bf)
+            same = (af == bf) | both_nan
+            if not same.all():
+                exact = False
+                if not np.allclose(af, bf, rtol=rtol, atol=atol, equal_nan=True):
+                    i = int(np.argmin(np.isclose(af, bf, rtol=rtol, atol=atol, equal_nan=True)))
+                    return False, False, f"col {c} row {i}: {af[i]!r} != {bf[i]!r}"
+        else:
+            sa = a[c].astype(object).where(pd.notna(a[c]), None)
+            sb = b[c].astype(object).where(pd.notna(b[c]), None)
+            neq = [
+                i
+                for i, (x, y) in enumerate(zip(sa, sb))
+                if not _scalar_eq(x, y)
+            ]
+            if neq:
+                i = neq[0]
+                return False, False, f"col {c} row {i}: {sa.iloc[i]!r} != {sb.iloc[i]!r}"
+    return exact, True, ""
+
+
+def _scalar_eq(x, y) -> bool:
+    if x is None and y is None:
+        return True
+    if isinstance(x, (list, tuple, np.ndarray)) and isinstance(y, (list, tuple, np.ndarray)):
+        return len(x) == len(y) and all(_scalar_eq(a, b) for a, b in zip(x, y))
+    if isinstance(x, float) and isinstance(y, float):
+        return x == y or (math.isnan(x) and math.isnan(y))
+    try:
+        return bool(x == y)
+    except Exception:
+        return repr(x) == repr(y)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
+            rtol: float = 1e-9, atol: float = 1e-9) -> MatchReport:
+    a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    col_match = list(a.columns) == list(b.columns)
+    row_match = len(a) == len(b)
+    if not col_match or not row_match:
+        return MatchReport(
+            name, row_match, col_match, False, False,
+            f"cols {list(a.columns)} vs {list(b.columns)}; rows {len(a)} vs {len(b)}",
+        )
+    exact, close, detail = _values_equal(a, b, rtol, atol)
+    return MatchReport(name, True, True, exact, close, detail)

@@ -1,0 +1,125 @@
+"""Core star-schema batch queries (scan + filter + join + agg + sort + limit).
+
+These exercise the v0 end-to-end slice from SURVEY.md §7: parquet scan with
+pushdown, broadcast/shuffle joins, hash aggregation with exact-decimal money
+sums, ordering with deterministic tie-breaks, and limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.exact import FRAC_DEC, dec, exact_sum, round4
+from ..session import prep
+from . import register
+
+# (1 - l_discount) / (1 + l_tax) as exact decimals; inputs have <=2 decimal
+# digits (verified against the sf0.01 data) so scale-4/6 casts are lossless.
+
+
+def _disc_price() -> F.Column:
+    return dec("l_extendedprice") * (F.lit(1).cast(FRAC_DEC) - dec("l_discount", FRAC_DEC))
+
+
+def _charge() -> F.Column:
+    return _disc_price() * (F.lit(1).cast(FRAC_DEC) + dec("l_tax", FRAC_DEC))
+
+
+# DECIMAL(28,4) (not 18) so DuckDB multiplies in int128 instead of
+# overflowing its int64 fast path; the rational value is identical.
+_O_DISC = "CAST(l_extendedprice AS DECIMAL(28,4)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"
+_O_CHARGE = f"({_O_DISC}) * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))"
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE)      AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM({_O_DISC}), 4) AS DOUBLE)                              AS sum_disc_price,
+       CAST(ROUND(SUM({_O_CHARGE}), 4) AS DOUBLE)                            AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("scan", "filter", "agg", "sort"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: grouped 8-way aggregate over lineitem.
+
+    Scale: single shuffle on a 6-value grouping key; partial aggregation
+    (map-side combine) reduces each partition to <=6 rows before exchange,
+    so this stays network-cheap at any SF. Filter + 7-column projection are
+    pushed into the parquet scan.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            round4(F.sum(_disc_price())).alias("sum_disc_price"),
+            round4(F.sum(_charge())).alias("sum_charge"),
+            (exact_sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (exact_sum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            (F.sum(dec("l_discount", FRAC_DEC)).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "top_segment_revenue",
+    oracle=f"""
+SELECT c_mktsegment,
+       CAST(ROUND(SUM({_O_DISC}), 4) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_orderkey)     AS n_orders
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c_mktsegment
+ORDER BY revenue DESC, c_mktsegment
+LIMIT 5
+""",
+    tags=("scan", "filter", "join", "agg", "sort", "limit"),
+    bench=True,
+)
+def top_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: top-5 market segments by gross revenue in 1995.
+
+    customer ⋈ orders ⋈ lineitem with the year filter pushed below the
+    joins. Scale: the orders filter lands in the parquet scan (partition
+    pruning when orders is date-partitioned); customer⋈orders shuffles on
+    custkey, orders⋈lineitem on orderkey — with AQE the filtered orders
+    side is small enough at low SF to flip to broadcast at runtime.
+    """
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            round4(F.sum(_disc_price())).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "c_mktsegment")
+        .limit(5)
+    )
