@@ -34,9 +34,18 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .session import prep
+
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    prep(spark)  # idempotent; needed before schema resolution (nanos conf)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as raw int64 nanos (see session.prep); truncate to
+        # micros exactly like DuckDB reads the same file, so both engines
+        # see identical timestamps.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

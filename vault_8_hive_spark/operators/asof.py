@@ -1,0 +1,82 @@
+"""As-of join — nearest-prior-event join, Spark-first.
+
+Spark SQL has no native ASOF JOIN (DuckDB does — it is the oracle). The
+engine implements it as a *union-merge*: tag both sides, union on
+(key, time), then a single window pass takes the running `last` of the
+right side's payload. One shuffle on the key, no per-row Python, scales to
+arbitrary group sizes (contrast `pd.merge_asof` per group, which needs the
+whole group in one pandas frame).
+
+Semantics (pinned per SURVEY.md §7 risk register): BACKWARD — for each
+left row, the right row with the greatest right_time <= left_time
+(strict=True: < left_time). Equal right_time ties must be pre-aggregated
+away by the caller for a deterministic result.
+
+Reference parity: the reference's only join-like logic is the
+gateway<->interface longest-prefix match (honeycomb/processRSI.py:287-320);
+as-of is part of the declared engine surface (SURVEY.md §2B "Join/as-of").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join; returns all left columns + value_cols from right.
+
+    Union-merge plan:
+      1. project both sides to (key..., __t, __tag, payloads) with the
+         other side's payload columns nulled at matching types;
+      2. union; window partitionBy(key) orderBy(__t, __tag) carries
+         last(right payload, ignorenulls) over preceding..current;
+      3. keep left rows; the carried payload is the as-of match.
+
+    Tag ordering encodes strictness at equal timestamps: right rows get
+    tag 0 (sort before left, inclusive <=) or tag 2 (sort after left,
+    strict <) around the left rows' tag 1, so the running `last` either
+    sees or skips same-time right rows.
+    """
+    l_types = {f.name: f.dataType for f in left.schema.fields}
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    l_payload = [c for c in left.columns if c not in on]
+    right_tag = 2 if strict else 0
+
+    l_proj = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__tag"),
+        *l_payload,
+        *[F.lit(None).cast(r_types[c]).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_proj = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(right_tag).alias("__tag"),
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in l_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_proj.unionByName(r_proj).select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols],
+    )
+    return carried.where(F.col("__tag") == 1).select(
+        *on,
+        *l_payload,
+        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+    )

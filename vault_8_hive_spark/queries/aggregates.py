@@ -1,1 +1,361 @@
-"""Placeholder — queries added incrementally (SURVEY.md §2B)."""
+"""Aggregation family (SURVEY.md §2B): hash aggregates, distinct aggs,
+rollup/cube/grouping sets + grouping_id, sorted collect_list/set,
+exact & approx percentiles, moment statistics (stddev/var/corr/covar),
+filtered/conditional aggregation.
+
+Scale notes: every aggregate here is a partial (map-side) + final hash
+aggregate — one shuffle on the grouping key. Moment statistics that must
+hash-match the oracle are computed from order-independent decimal power
+sums (see functions/exact.py rationale); the built-in single-pass variants
+are exposed too (rows-only check) since they're the right call when a
+tolerance is acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import dim, table
+from ..functions.exact import dec, exact_sum, round4
+from ..session import prep
+from . import register
+
+
+@register(
+    "agg_basic",
+    oracle="""
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_mktsegment) AS n_segments,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,4))), 4) AS DOUBLE) AS sum_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("agg", "join"),
+    bench=True,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / count-distinct / min / max / exact sum / exact avg per nation."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "customer")
+        .join(dim(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            exact_sum("c_acctbal", "decimal(28,4)").alias("sum_bal"),
+            (F.sum(dec("c_acctbal", "decimal(28,4)")).cast("double") / F.count("c_acctbal")).alias(
+                "avg_bal"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT r_name, n_name,
+       GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
+       COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,4))), 4) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) with grouping_id — subtotals + grand total."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "customer")
+        .join(dim(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(dim(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_cust"),
+            exact_sum("c_acctbal", "decimal(28,4)").alias("sum_bal"),
+        )
+        .select("r_name", "n_name", "gid", "n_cust", "sum_bal")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims — all 4 grouping combinations."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n_orders"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-flag, per-status, and grand total."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count(F.lit(1)).alias("n"), exact_sum("l_quantity", "decimal(18,4)").alias("sum_qty"))
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+SELECT n_name,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+       COUNT(*) AS n_supp
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list made deterministic: array_sort then join to a string
+    (string form also sidesteps array-vs-ndarray hashing differences)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(dim(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count(F.lit(1)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("agg", "collect"),
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return (
+        table(spark, sf_dir, "customer")
+        .join(table(spark, sf_dir, "orders"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"))
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 6) AS median_bal,
+       ROUND(CAST(quantile_cont(c_acctbal, 0.9) AS DOUBLE), 6) AS p90_bal,
+       CAST(quantile_disc(c_acctbal, 0.5) AS DOUBLE) AS median_disc
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("agg", "percentile"),
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous + discrete). Continuous interpolation
+    is one IEEE op on identical inputs — rounded to 6 to absorb formula
+    variants across engines; discrete picks an actual value (exact)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_bal"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90_bal"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)")
+            .cast("double")
+            .alias("median_disc"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_ops",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       CAST(ROUND(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_dist_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "distinct"),
+)
+def agg_distinct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates in one grouping (Catalyst expand)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            round4(F.sum_distinct(dec("l_quantity", "decimal(18,4)"))).alias("sum_dist_qty"),
+        )
+    )
+
+
+# Moment statistics, bit-exact: computed from order-independent decimal
+# power sums, identical formula in both engines. sum(x^2) at scale 8 with
+# x < 1e5 keeps the decimal inside precision 38 for sf<=1 row counts.
+_O_SX = "SUM(CAST(l_quantity AS DECIMAL(28,4)))"
+_O_SXX = "SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)))"
+_O_SY = "SUM(CAST(l_extendedprice AS DECIMAL(28,4)))"
+_O_SYY = "SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)))"
+_O_SXY = "SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)))"
+
+
+@register(
+    "agg_moments_exact",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(SQRT((CAST({_O_SXX} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SX} AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1)), 6) AS stddev_qty,
+       ROUND((CAST({_O_SXX} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SX} AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1), 6) AS var_qty,
+       ROUND((CAST({_O_SXY} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SY} AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1), 6) AS covar_qty_price,
+       ROUND((COUNT(*) * CAST({_O_SXY} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SY} AS DOUBLE))
+             / SQRT((COUNT(*) * CAST({_O_SXX} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SX} AS DOUBLE))
+                    * (COUNT(*) * CAST({_O_SYY} AS DOUBLE) - CAST({_O_SY} AS DOUBLE) * CAST({_O_SY} AS DOUBLE))), 6) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/covariance/correlation from exact decimal power sums
+    (order-independent -> hash-exact), the engine's deterministic variant of
+    the built-in single-pass moment aggregates."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    x = dec("l_quantity", "decimal(28,4)")
+    y = dec("l_extendedprice", "decimal(28,4)")
+    sx = F.sum(x).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    sy = F.sum(y).cast("double")
+    syy = F.sum(y * y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 6).alias("stddev_qty"),
+            F.round((sxx - sx * sx / n) / (n - F.lit(1)), 6).alias("var_qty"),
+            F.round((sxy - sx * sy / n) / (n - F.lit(1)), 6).alias("covar_qty_price"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("corr_qty_price"),
+        )
+    )
+
+
+@register(
+    "agg_moments_builtin",
+    oracle=None,  # single-pass float moments are order-dependent; rows-only
+    tags=("agg", "stats"),
+)
+def agg_moments_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in one-pass stddev_samp/var_samp/corr/covar_samp (the fast
+    path when last-ulp reproducibility isn't required)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_quantity").alias("stddev_qty"),
+            F.var_samp("l_quantity").alias("var_qty"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
+            F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        )
+    )
+
+
+@register(
+    "agg_approx",
+    oracle=None,  # HLL++/KLL sketches are implementation-specific; rows-only
+    tags=("agg", "approx"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + approx_percentile — the 100 TB path
+    where exact distinct/percentile shuffles would be prohibitive.
+    Accuracy vs exact is asserted in tests/test_aggregates.py."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        )
+    )
+
+
+@register(
+    "agg_filtered_conditional",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+       CAST(ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN CAST(o_totalprice AS DECIMAL(28,4))
+                           ELSE CAST(0 AS DECIMAL(28,4)) END), 4) AS DOUBLE) AS urgent_total
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "conditional"),
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered / conditional aggregation (CASE-gated sums and counts)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(urgent, 1)).alias("n_urgent"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        round4(
+            F.sum(
+                F.when(urgent, dec("o_totalprice", "decimal(28,4)")).otherwise(
+                    F.lit(0).cast("decimal(28,4)")
+                )
+            )
+        ).alias("urgent_total"),
+    )

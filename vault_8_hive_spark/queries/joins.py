@@ -1,1 +1,255 @@
-"""Placeholder — queries added incrementally (SURVEY.md §2B)."""
+"""Join family (SURVEY.md §2B): inner/left/right/full equi-joins,
+left-semi/left-anti (IN / EXISTS), cross, non-equi (theta/band), as-of.
+
+Scale notes: equi-joins shuffle on their key and AQE picks broadcast vs
+sort-merge at runtime; the band join broadcasts its 5-row dim (nested-loop
+on a broadcast side — never a cartesian shuffle); the as-of join is one
+shuffle + one window pass (operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import dim, table
+from ..operators.asof import asof_join
+from ..session import prep
+from . import register
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment, n_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND o_totalprice > 300000
+""",
+    tags=("join",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner equi-join; nation is an explicit broadcast dim."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000))
+        .join(table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "n_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o ON c_custkey = o_custkey
+WHERE c_custkey <= 500
+""",
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with an unmatched majority (null right side)."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    big = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return cust.join(big, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT s_suppkey, s_name, n_nationkey, n_name
+FROM (SELECT * FROM supplier WHERE s_acctbal > 5000) s
+RIGHT JOIN nation ON s_nationkey = n_nationkey
+""",
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    sup = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 5000)
+    return sup.join(
+        table(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"), "right"
+    ).select("s_suppkey", "s_name", "n_nationkey", "n_name")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0) c
+FULL JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
+  ON c.c_custkey = o.o_custkey
+""",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer with unmatched rows on BOTH sides."""
+    prep(spark)
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+                AND o_totalprice > 350000)
+""",
+    tags=("join", "subquery"),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi join (Catalyst's decorrelation target shape)."""
+    prep(spark)
+    urgent = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    tags=("join", "subquery"),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no urgent orders (NOT EXISTS -> anti join)."""
+    prep(spark)
+    urgent = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        table(spark, sf_dir, "customer")
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r1.r_name AS region_a, r2.r_name AS region_b
+FROM region r1 CROSS JOIN region r2
+WHERE r1.r_regionkey <> r2.r_regionkey
+""",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of the 5-row region dim with itself (20 ordered pairs)."""
+    prep(spark)
+    r1 = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k1"), F.col("r_name").alias("region_a")
+    )
+    r2 = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k2"), F.col("r_name").alias("region_b")
+    )
+    return r1.crossJoin(r2).where(F.col("k1") != F.col("k2")).select("region_a", "region_b")
+
+
+@register(
+    "join_band_nonequi",
+    oracle="""
+WITH tiers(tier_name, lo, hi) AS (
+  VALUES ('small', 0, 100000), ('mid', 100000, 250000),
+         ('large', 250000, 400000), ('jumbo', 400000, 1000000)
+)
+SELECT tier_name, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS tier_total
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier_name
+""",
+    tags=("join", "nonequi", "agg"),
+)
+def join_band_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (band) join: orders against a tiny tier dim on a range
+    predicate — physically a broadcast nested-loop join, never a shuffle."""
+    prep(spark)
+    tiers = F.broadcast(
+        spark.createDataFrame(
+            [("small", 0, 100000), ("mid", 100000, 250000),
+             ("large", 250000, 400000), ("jumbo", 400000, 1000000)],
+            "tier_name string, lo int, hi int",
+        )
+    )
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(tiers, (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi))
+        .groupBy("tier_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4)
+            .cast("double")
+            .alias("tier_total"),
+        )
+    )
+
+
+@register(
+    "join_asof_prior_spend",
+    oracle="""
+WITH daily AS (
+  SELECT o_custkey AS custkey, o_orderdate AS d,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS day_spend
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.day_spend AS prior_day_spend
+FROM orders o
+ASOF LEFT JOIN daily d ON o.o_custkey = d.custkey AND o.o_orderdate > d.d
+""",
+    tags=("join", "asof", "window"),
+)
+def join_asof_prior_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order matched to the customer's most recent
+    STRICTLY-PRIOR order day's spend (union-merge operator; ties on the
+    right are pre-aggregated to one row per (custkey, day))."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderdate").alias("d")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4)
+        .cast("double")
+        .alias("day_spend")
+    )
+    left = o.select(F.col("o_orderkey"), F.col("o_custkey").alias("custkey"), F.col("o_orderdate"))
+    joined = asof_join(
+        left,
+        daily,
+        on=["custkey"],
+        left_time="o_orderdate",
+        right_time="d",
+        value_cols=["day_spend"],
+        strict=True,
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("custkey").alias("o_custkey"),
+        "o_orderdate",
+        F.col("day_spend").alias("prior_day_spend"),
+    )

@@ -1,1 +1,309 @@
-"""Placeholder — queries added incrementally (SURVEY.md §2B)."""
+"""Scalar function families (SURVEY.md §2B): string, date/time, math,
+conditional, array (+ higher-order functions), map, JSON.
+
+Everything here is a narrow projection — no shuffle at all; the point is
+expression-level parity with the oracle, staying inside whole-stage
+codegen (zero Python in any of these plans).
+
+Dialect notes encoded in the oracles: DuckDB dayofweek is 0=Sunday vs
+Spark 1=Sunday (+1 in SQL); DuckDB list slicing is 1-based end-inclusive
+like Spark's `slice`; date outputs are formatted to strings because the
+two engines' pandas date representations differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..session import prep
+from . import register
+
+
+@register(
+    "scalar_string",
+    oracle="""
+SELECT p_partkey,
+       p_brand || '/' || p_type                          AS brand_type,
+       substr(p_name, 1, 6)                              AS name6,
+       upper(p_name)                                     AS name_upper,
+       lower(p_brand)                                    AS brand_lower,
+       trim('  ' || p_name || ' ')                       AS name_trim,
+       lpad(CAST(p_size AS VARCHAR), 4, '0')             AS size_pad,
+       split_part(p_name, ' ', 1)                        AS first_word,
+       regexp_extract(p_brand, '#([0-9]+)', 1)           AS brand_num,
+       regexp_replace(c_like.p_name_num, '[0-9]+', '#')  AS masked,
+       p_type LIKE 'PRO%'                                AS is_promo,
+       regexp_matches(p_name, '^[a-z]+ (widget|bolt)$')  AS is_known_shape,
+       length(p_name)                                    AS name_len,
+       levenshtein(p_brand, 'Brand#13')                  AS brand_dist
+FROM (SELECT *, p_name || CAST(p_partkey AS VARCHAR) AS p_name_num FROM part) c_like
+WHERE p_partkey <= 2000
+""",
+    tags=("scalar", "string"),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") <= 2000)
+    return p.select(
+        "p_partkey",
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 6).alias("name6"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace(
+            F.concat(F.col("p_name"), F.col("p_partkey").cast("string")), "[0-9]+", "#"
+        ).alias("masked"),
+        F.col("p_type").like("PRO%").alias("is_promo"),
+        F.col("p_name").rlike("^[a-z]+ (widget|bolt)$").alias("is_known_shape"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).alias("brand_dist"),
+    )
+
+
+@register(
+    "scalar_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)                                   AS y,
+       month(o_orderdate)                                  AS m,
+       day(o_orderdate)                                    AS d,
+       quarter(o_orderdate)                                AS q,
+       dayofweek(o_orderdate) + 1                          AS dow,
+       weekofyear(o_orderdate)                             AS woy,
+       date_trunc('month', o_orderdate)                    AS month_start,
+       datediff('day', o_orderdate, TIMESTAMP '1998-12-31') AS days_to_eoy,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+       o_orderdate + INTERVAL 3 DAY                        AS ts_plus3,
+       CAST(epoch(o_orderdate) AS BIGINT)                  AS epoch_s,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')          AS formatted
+FROM orders
+WHERE o_orderkey <= 3000
+""",
+    tags=("scalar", "date"),
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. dow normalized to Spark's 1=Sunday; date-typed
+    results rendered as strings (engines' pandas date reprs differ)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 3000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_eoy"
+        ),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("plus30"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("ts_plus3"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1)                   AS price_r1,
+       CAST(floor(l_extendedprice) AS BIGINT)      AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT)       AS price_ceil,
+       abs(l_extendedprice - 50000)                AS dist_50k,
+       l_quantity * l_quantity                     AS qty_sq,
+       round(sqrt(l_extendedprice), 6)             AS price_sqrt,
+       round(ln(l_extendedprice), 6)               AS price_ln,
+       round(log10(l_extendedprice), 6)            AS price_log10,
+       round(exp(l_discount), 6)                   AS disc_exp,
+       l_orderkey % 7                              AS key_mod7,
+       CAST(floor(l_orderkey / 3) AS BIGINT)       AS key_div3,
+       power(l_quantity, 2)                        AS qty_pow2
+FROM lineitem
+WHERE l_orderkey <= 1000
+""",
+    tags=("scalar", "math"),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family; transcendentals rounded to 6 (libm last-ulp variance)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_extendedprice") - 50000).alias("dist_50k"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.floor(F.col("l_orderkey") / 3).alias("key_div3"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_pow2"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END                                  AS tier,
+       coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'OTHER')    AS seg_or_other,
+       least(c_acctbal, 1000.0)                                 AS capped_low,
+       greatest(c_acctbal, 0.0)                                 AS floored,
+       CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_custkey END AS odd_only
+FROM customer
+WHERE c_custkey <= 2000
+""",
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 2000)
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("capped_low"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("floored"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(None)).otherwise(F.col("c_custkey")).alias(
+            "odd_only"
+        ),
+    )
+
+
+@register(
+    "scalar_array_hof",
+    oracle="""
+SELECT doc_id,
+       len(words)                                                AS n_words,
+       array_to_string(words[1:5], ' ')                          AS first5,
+       list_contains(words, 'spark')                             AS has_spark,
+       array_to_string(list_sort(words)[1:3], ' ')               AS sorted3,
+       upper(words[1])                                           AS first_upper,
+       len(list_filter(words, w -> length(w) > 4))               AS n_long,
+       CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_chars
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id <= 300) t
+""",
+    tags=("scalar", "array", "hof"),
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops + higher-order functions (transform/filter/aggregate) —
+    all JVM-side lambda expressions, no UDFs."""
+    prep(spark)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 300)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.array_join(F.slice("words", 1, 5), " ").alias("first5"),
+        F.array_contains("words", "spark").alias("has_spark"),
+        F.array_join(F.slice(F.array_sort("words"), 1, 3), " ").alias("sorted3"),
+        F.upper(F.element_at("words", 1)).alias("first_upper"),
+        F.size(F.filter("words", lambda w: F.length(w) > 4)).alias("n_long"),
+        F.aggregate(
+            "words", F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).alias("total_chars"),
+    )
+
+
+@register(
+    "scalar_explode",
+    oracle="""
+SELECT d.doc_id, i.pos - 1 AS pos, d.words[i.pos] AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id <= 20) d,
+     LATERAL (SELECT unnest(generate_series(1, len(d.words))) AS pos) i
+""",
+    tags=("scalar", "array", "explode"),
+)
+def scalar_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per (doc, position, token)."""
+    prep(spark)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 20)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    return docs.select("doc_id", F.posexplode("words").alias("pos", "word"))
+
+
+@register(
+    "scalar_map",
+    oracle="""
+SELECT event_id,
+       array_to_string(list_sort(map_keys(m)), ',')   AS keys_sorted,
+       CAST(map_extract(m, 'type')[1] AS VARCHAR)     AS type_val,
+       CAST(cardinality(m) AS INT)                    AS map_size
+FROM (SELECT event_id,
+             MAP {'type': event_type, 'k': json_extract_string(props, '$.k')} AS m
+      FROM events WHERE event_id <= 500) t
+""",
+    tags=("scalar", "map"),
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + map_keys/element_at/size (values out as strings)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT)  AS k_val,
+       to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT),
+                           t := event_type))           AS reencoded
+FROM events
+WHERE event_id <= 1000
+""",
+    tags=("scalar", "json"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object / from_json -> struct -> to_json round-trip on the
+    events.props JSON column."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") <= 1000)
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_val"),
+        F.to_json(F.struct(F.col("p.k").alias("k"), F.col("event_type").alias("t"))).alias(
+            "reencoded"
+        ),
+    )

@@ -1,1 +1,209 @@
-"""Placeholder — queries added incrementally (SURVEY.md §2B)."""
+"""Window-function family (SURVEY.md §2B): ranking (row_number, rank,
+dense_rank, ntile, percent_rank), analytic (lag, lead, first, last,
+nth_value), frames (rows / range between), and top-k per group.
+
+Determinism: row_number/ntile order by includes a unique tie-break key;
+rank/dense_rank/percent_rank may order by the value alone (ties share a
+rank — deterministic output). Range frames order by an epoch-seconds cast
+so Spark's numeric rangeBetween matches DuckDB's INTERVAL frame.
+
+Scale: a window over partitionBy(k) is one shuffle on k (same exchange
+reused by multiple window specs with the same partitioning — keep specs
+aligned so Catalyst collapses them into one Window node per ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import dim, table
+from ..functions.exact import dec, round4
+from ..session import prep
+from . import register
+
+
+@register(
+    "win_ranking",
+    oracle="""
+SELECT n_name, s_suppkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+       ROW_NUMBER()  OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rn,
+       RANK()        OVER (PARTITION BY n_name ORDER BY s_acctbal DESC) AS rnk,
+       DENSE_RANK()  OVER (PARTITION BY n_name ORDER BY s_acctbal DESC) AS drnk,
+       NTILE(4)      OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS quartile,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC), 9) AS prank
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+""",
+    tags=("window", "ranking"),
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    tie = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    val = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"))
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(dim(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "s_suppkey",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.row_number().over(tie).alias("rn"),
+            F.rank().over(val).alias("rnk"),
+            F.dense_rank().over(val).alias("drnk"),
+            F.ntile(4).over(tie).alias("quartile"),
+            F.round(F.percent_rank().over(val), 9).alias("prank"),
+        )
+    )
+
+
+@register(
+    "win_analytic",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(LAG(o_totalprice)  OVER w AS DOUBLE) AS prev_price,
+       CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
+       CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+       CAST(LAST_VALUE(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS final_price,
+       CAST(NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS second_price
+FROM orders
+WHERE o_custkey <= 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window", "analytic"),
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last/nth_value over a per-customer order timeline."""
+    prep(spark)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+            F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
+            F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+            F.last("o_totalprice").over(wfull).cast("double").alias("final_price"),
+            F.nth_value("o_totalprice", 2).over(wfull).cast("double").alias("second_price"),
+        )
+    )
+
+
+@register(
+    "win_frames",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_total,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS moving3_total,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                  OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                        RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS trailing_90d_total
+FROM orders
+WHERE o_custkey <= 300
+""",
+    tags=("window", "frames"),
+)
+def win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum, 3-row moving sum, and a 90-day RANGE frame (epoch-
+    seconds ordering so both engines see the identical numeric frame)."""
+    prep(spark)
+    row_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    range_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, 0)
+    )
+    price = dec("o_totalprice", "decimal(28,4)")
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            round4(
+                F.sum(price).over(row_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            ).alias("running_total"),
+            round4(F.sum(price).over(row_w.rowsBetween(-2, Window.currentRow))).alias(
+                "moving3_total"
+            ),
+            round4(F.sum(price).over(range_w)).alias("trailing_90d_total"),
+        )
+    )
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rn <= 3
+""",
+    tags=("window", "topk", "limit"),
+    bench=True,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment — the scalable per-group top-k
+    (rank-filter prunes inside each partition before any global action)."""
+    prep(spark)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .join(table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "sort_multikey_nulls",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o ON o_custkey = c_custkey
+WHERE c_custkey <= 200
+ORDER BY o_totalprice DESC NULLS LAST, c_custkey ASC, o_orderkey ASC NULLS FIRST
+LIMIT 50
+""",
+    tags=("sort", "limit"),
+)
+def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY with explicit NULLS FIRST/LAST + LIMIT (Spark and
+    DuckDB default null ordering differs — always say it explicitly)."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    big = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("c_custkey").asc(),
+            F.col("o_orderkey").asc_nulls_first(),
+        )
+        .limit(50)
+    )

@@ -54,4 +54,8 @@ def prep(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
+    # read the raw int64 and let the catalog convert to micros (matching
+    # DuckDB, which truncates parquet nanos to its micro timestamps).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
