@@ -1,0 +1,52 @@
+"""Unit tests for custom operators (as-of join edge semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from vault_8_hive_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "L1"),
+            (1, _ts("2024-01-01T12:00:00"), "L2"),
+            (2, _ts("2024-01-01T09:00:00"), "L3"),
+        ],
+        "k int, t timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 10.0),
+            (1, _ts("2024-01-01T12:00:00"), 20.0),  # exactly at L2's time
+            (2, _ts("2024-01-01T09:30:00"), 30.0),  # after L3 — never matches
+        ],
+        "k int, rt timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_inclusive_takes_equal_time(spark):
+    left, right = _frames(spark)
+    out = {
+        (r["k"], r["lbl"]): r["v"]
+        for r in asof_join(left, right, ["k"], "t", "rt", ["v"], strict=False).collect()
+    }
+    assert out[(1, "L1")] == 10.0
+    assert out[(1, "L2")] == 20.0  # inclusive: equal timestamp matches
+    assert out[(2, "L3")] is None  # nothing at or before
+
+
+def test_asof_strict_skips_equal_time(spark):
+    left, right = _frames(spark)
+    out = {
+        (r["k"], r["lbl"]): r["v"]
+        for r in asof_join(left, right, ["k"], "t", "rt", ["v"], strict=True).collect()
+    }
+    assert out[(1, "L2")] == 10.0  # strict: equal timestamp is NOT prior
+    assert out[(2, "L3")] is None

@@ -1,0 +1,26 @@
+"""Vector-operator tests beyond the oracle harness: ANN quality."""
+
+from __future__ import annotations
+
+from vault_8_hive_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    """LSH-bucketed ANN top-5 should overlap the brute-force top-20 for
+    the same query vector (recall of the scale path vs the baseline)."""
+    brute = QUERIES["vec_cosine_topk"].fn(spark, sf_dir).toPandas()
+    ann = QUERIES["vec_lsh_ann"].fn(spark, sf_dir).toPandas()
+    assert len(ann) > 0, "query vector's bucket contains no other vectors"
+    brute_ids = set(brute["vec_id"])
+    hit = sum(1 for v in ann["vec_id"] if v in brute_ids)
+    assert hit / len(ann) >= 0.6, f"ANN recall too low: {hit}/{len(ann)}"
+
+
+def test_lsh_buckets_partition_corpus(spark, sf_dir):
+    """Bucket sizes must sum to the corpus size (it's a partition)."""
+    pdf = QUERIES["vec_lsh_buckets"].fn(spark, sf_dir).toPandas()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert pdf["n_vecs"].sum() == n
+    assert len(pdf) > 1, "all vectors hashed to one bucket — planes broken"

@@ -1,1 +1,168 @@
-"""Placeholder — queries added incrementally (SURVEY.md §2B)."""
+"""Event-stream analytics, batch side (SURVEY.md §2B): tumbling and
+sliding time windows, gap-based sessionization, daily-active rollups with
+pivot. The streaming duals live in queries/streaming_batch.py; these batch
+forms are their replay-equivalence oracles.
+
+Scale: time-window aggs group on (bucket, type) — bounded cardinality, so
+partial aggregation collapses each partition before the shuffle. The
+sessionization is one shuffle on user_id + two window passes (lag, cumsum)
+— the standard island-detection plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.exact import dec, round4
+from ..session import prep
+from . import register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "window-time"),
+    bench=True,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window (the streaming-compatible
+    grouping); window.start equals date_trunc('hour') for aligned windows."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.sum(dec("value", "decimal(18,4)"))).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+SELECT time_bucket(INTERVAL 15 minutes, ts) - k.k * INTERVAL 15 minutes AS window_start,
+       COUNT(*) AS n_events
+FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+GROUP BY 1
+""",
+    tags=("events", "window-time"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 15-minute slide — each event lands
+    in 4 overlapping windows (oracle replays the window arithmetic with a
+    generate_series cross join)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 minutes OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    tags=("events", "sessionize", "window"),
+    bench=True,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gap > 30 min starts a new session):
+    lag -> new-session flag -> running sum -> per-session aggregate. The
+    batch dual of streaming session_window (stream_session_window)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        # unix_micros (not a seconds cast): the gap comparison must see the
+        # same microsecond precision the oracle's INTERVAL comparison does.
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_daily_pivot",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS active_users,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+""",
+    tags=("events", "pivot", "agg"),
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives + per-type counts pivoted to columns (explicit value
+    list keeps the schema deterministic — never let pivot discover values
+    at 100 TB)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    counts = (
+        ev.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    actives = ev.groupBy("day").agg(F.countDistinct("user_id").alias("active_users"))
+    return actives.join(counts, "day").select(
+        "day", "active_users", *[F.col(t).cast("bigint").alias(t) for t in EVENT_TYPES]
+    )

@@ -1,1 +1,368 @@
-"""Placeholder — queries added incrementally (SURVEY.md §2B)."""
+"""Text / LLM-data-pipeline operators over `documents` (SURVEY.md §2B
+north-star): exact dedup, MinHash+LSH near-dup detection, n-gram Jaccard,
+token statistics, quality scoring, language-ID heuristic, character-level
+fingerprinting, SimHash.
+
+Design for 100 TB:
+- shingling/minhashing are pure JVM higher-order expressions (no Python);
+- LSH turns the O(n^2) all-pairs problem into an equi-join on band keys —
+  a plain shuffle join Spark does at any scale; only candidate pairs pay
+  the exact-jaccard verification;
+- the MinHash permutations are lexicographic mins over md5(seed||shingle),
+  which is engine-portable (string min) — no platform hash dependence.
+
+SimHash is the one Pandas-UDF member (64-bit ops on md5 digests), batch-
+vectorized via Arrow.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..session import prep
+from . import register
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band = 2
+
+
+def _words(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", "lang", "source", F.split("text", " ").alias("words"))
+
+
+def _shingled(df: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc (JVM lambda expressions only)."""
+    return (
+        _words(df)
+        .where(F.size("words") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("words", i),
+                        F.element_at("words", i + 1),
+                        F.element_at("words", i + 2),
+                    ),
+                )
+            ).alias("shingles"),
+        )
+    )
+
+
+_O_SHINGLES = """
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(generate_series(1, len(words)-2),
+                            i -> words[i]||' '||words[i+1]||' '||words[i+2])) AS shingles
+       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+       WHERE len(words) >= 3)
+"""
+
+
+@register(
+    "text_exact_dedup",
+    oracle="""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM all_docs
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+""",
+    tags=("text", "dedup"),
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup by md5 hash-groupBy (the corpus is unioned with
+    a shifted copy of every 5th doc so the query demonstrably finds dups).
+    At 100 TB this is one shuffle on a 128-bit key — the cheapest dedup."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionByName(dups)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "text_minhash_lsh",
+    oracle=f"""
+WITH {_O_SHINGLES},
+sigs AS (SELECT doc_id, shingles,
+                [list_min(list_transform(shingles, s -> md5(CAST(b AS VARCHAR)||'|'||s)))
+                 FOR b IN [0,1,2,3,4,5,6,7]] AS sig
+         FROM sh),
+bands AS (SELECT doc_id,
+                 unnest([md5(sig[1]||sig[2]), md5(sig[3]||sig[4]),
+                         md5(sig[5]||sig[6]), md5(sig[7]||sig[8])]) AS band_key
+          FROM sigs),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+             len(list_distinct(list_concat(sa.shingles, sb.shingles))), 9) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.2
+""",
+    tags=("text", "dedup", "minhash", "lsh"),
+    bench=True,
+)
+def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms) + LSH (4 bands x 2 rows) near-duplicate pairs,
+    verified by exact shingle-set Jaccard >= 0.2.
+
+    Permutation h_b(s) = md5(b || '|' || s), signature = lexicographic min
+    — portable across engines and cluster-deterministic. The band-key
+    equi-join replaces the O(n^2) pair scan; only LSH candidates are
+    verified. Scale: bands explode 4 rows/doc; the band join shuffles on
+    a uniform 128-bit key (no skew); verification joins rehydrate the two
+    shingle sets per candidate pair only.
+    """
+    prep(spark)
+    sh = _shingled(table(spark, sf_dir, "documents")).cache()
+    sigs = sh.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("shingles", lambda s, b=b: F.md5(F.concat(F.lit(f"{b}|"), s).cast("binary")))
+            ).alias(f"sig{b}")
+            for b in range(N_HASHES)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"sig{2 * j}"), F.col(f"sig{2 * j + 1}")).cast("binary"))
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk"))
+    cand = (
+        bands.join(b2, (bands.band_key == b2.bk) & (bands.doc_id < b2.doc_b))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS words FROM documents)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(words)) AS BIGINT) AS total_tokens,
+       CAST(MIN(len(words)) AS BIGINT) AS min_tokens,
+       CAST(MAX(len(words)) AS BIGINT) AS max_tokens,
+       ROUND(CAST(SUM(CAST(list_sum(list_transform(words, t -> length(t))) AS BIGINT)) AS DOUBLE)
+             / SUM(len(words)), 9) AS avg_token_len
+FROM w
+GROUP BY lang, source
+""",
+    tags=("text", "stats"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats per (lang, source) — whitespace
+    tokenizer entirely in JVM expressions (sum/min/max of array sizes)."""
+    prep(spark)
+    w = _words(table(spark, sf_dir, "documents"))
+    tok_chars = F.aggregate("words", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+    return w.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("words")).cast("bigint").alias("total_tokens"),
+        F.min(F.size("words")).cast("bigint").alias("min_tokens"),
+        F.max(F.size("words")).cast("bigint").alias("max_tokens"),
+        F.round(
+            F.sum(tok_chars).cast("double") / F.sum(F.size("words")), 9
+        ).alias("avg_token_len"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       len(words) AS n_tokens,
+       ROUND(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 9) AS uniq_ratio,
+       ROUND(CAST(len(list_filter(words, t -> list_contains({list(_STOPWORDS)!r}, t))) AS DOUBLE)
+             / len(words), 9) AS stopword_ratio,
+       ROUND(CAST(n_chars AS DOUBLE) / len(words), 9) AS chars_per_token,
+       ROUND(0.4 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+           + 0.3 * LEAST(CAST(len(words) AS DOUBLE) / 100, 1.0)
+           + 0.3 * LEAST(CAST(len(list_filter(words, t -> list_contains({list(_STOPWORDS)!r}, t))) AS DOUBLE)
+                         / len(words) * 10, 1.0), 9) AS quality
+FROM w
+WHERE len(words) > 0
+""",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: unique-token ratio, stopword ratio, length
+    saturation — the standard cheap pre-filter before expensive dedup."""
+    prep(spark)
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("words")
+    ).where(F.size("words") > 0)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    uniq_ratio = F.size(F.array_distinct("words")).cast("double") / F.size("words")
+    stop_ratio = F.size(
+        F.filter("words", lambda t: F.array_contains(stop_arr, t))
+    ).cast("double") / F.size("words")
+    return w.select(
+        "doc_id",
+        F.size("words").alias("n_tokens"),
+        F.round(uniq_ratio, 9).alias("uniq_ratio"),
+        F.round(stop_ratio, 9).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / F.size("words"), 9).alias("chars_per_token"),
+        F.round(
+            0.4 * uniq_ratio
+            + 0.3 * F.least(F.size("words").cast("double") / 100, F.lit(1.0))
+            + 0.3 * F.least(stop_ratio * 10, F.lit(1.0)),
+            9,
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id, lang AS labeled_lang,
+       ROUND(CAST(len(list_filter(words, t -> list_contains({list(_STOPWORDS)!r}, t))) AS DOUBLE)
+             / len(words), 9) AS en_score,
+       CASE WHEN CAST(len(list_filter(words, t -> list_contains({list(_STOPWORDS)!r}, t))) AS DOUBLE)
+                 / len(words) >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+FROM w
+WHERE len(words) > 0
+""",
+    tags=("text", "langid"),
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram-heuristic family): score = density
+    of English function words; >= 5% => 'en'. (The synthetic corpus is
+    English word-soup under every label, so the labeled lang is carried
+    through for accuracy analysis rather than asserted.)"""
+    prep(spark)
+    w = _words(table(spark, sf_dir, "documents")).where(F.size("words") > 0)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    en_score = F.size(
+        F.filter("words", lambda t: F.array_contains(stop_arr, t))
+    ).cast("double") / F.size("words")
+    return w.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.round(en_score, 9).alias("en_score"),
+        F.when(en_score >= 0.05, "en").otherwise("und").alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint_5gram",
+    oracle="""
+SELECT doc_id,
+       length(text) - 4 AS n_grams,
+       list_min(list_transform(generate_series(1, length(text)-4),
+                               i -> md5(text[i:i+4]))) AS fp_min,
+       list_max(list_transform(generate_series(1, length(text)-4),
+                               i -> md5(text[i:i+4]))) AS fp_max
+FROM documents
+WHERE length(text) >= 5
+""",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram document fingerprint (winnowing family): min/max
+    md5 over all overlapping 5-grams — rolling-hash sketch, JVM-only."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= 5)
+    # SQL lambda (not the python DSL): substring's start must be a Column.
+    grams = F.expr(
+        "transform(sequence(1, length(text)-4), i -> md5(cast(substr(text, i, 5) as binary)))"
+    )
+    return d.select(
+        "doc_id",
+        (F.length("text") - 4).alias("n_grams"),
+        F.array_min(grams).alias("fp_min"),
+        F.array_max(grams).alias("fp_max"),
+    )
+
+
+_SIMHASH_SCHEMA = "doc_id bigint, simhash_hex string, n_tokens int"
+
+
+def _simhash_batch(pdf_iter):
+    """64-bit SimHash over whitespace tokens, vectorized per Arrow batch.
+
+    Token hash = first 8 bytes of md5 (portable, seedless); fingerprint
+    bit i = sign of the sum of (+1/-1) votes from each token's bit i.
+    """
+    import hashlib
+
+    import numpy as np
+
+    for pdf in pdf_iter:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            tokens = text.split(" ") if text else []
+            if not tokens:
+                out.append((doc_id, "0" * 16, 0))
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for t in tokens:
+                h = np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big"))
+                bits = (np.right_shift(h, shifts) & np.uint64(1)).astype(np.int64)
+                votes += 2 * bits - 1
+            fp = sum(1 << i for i in range(64) if votes[i] > 0)
+            out.append((doc_id, f"{fp:016x}", len(tokens)))
+        yield pd.DataFrame(out, columns=["doc_id", "simhash_hex", "n_tokens"])
+
+
+@register(
+    "text_simhash",
+    oracle=None,  # 64-bit bit-twiddling is not ANSI-SQL-expressible; see
+    # tests/test_text.py for the pure-python reference cross-check
+    tags=("text", "simhash", "udf"),
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints via mapInPandas (Arrow-batched; the one text
+    operator where 64-bit integer bit ops beat SQL expressions)."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_simhash_batch, schema=_SIMHASH_SCHEMA)

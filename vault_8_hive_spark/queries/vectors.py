@@ -1,1 +1,221 @@
-"""Placeholder — queries added incrementally (SURVEY.md §2B)."""
+"""Embedding similarity search (SURVEY.md §2B north-star): brute-force
+cosine top-k (the correctness baseline), k-NN per query batch, per-label
+centroids, and random-hyperplane LSH bucketing + bucketed ANN (the scale
+path: at 100 TB the corpus is bucketed once, and a query scans only its
+bucket — a broadcast-filtered partition instead of the full corpus).
+
+Numeric discipline: element-wise double casts + explicit-index dot
+products on both engines; similarities rounded to 6 before any ordering
+or sign test so last-ulp float drift can't flip a rank or an LSH bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.similarity import cosine, hyperplanes, lsh_signature, to_double
+from ..session import prep
+from . import register
+
+DIM = 64
+N_PLANES = 8
+PLANES = hyperplanes(N_PLANES, DIM)
+
+# --- shared oracle fragments (DuckDB dialect) ------------------------------
+
+_O_DOT_Q = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+_O_NORM_E = (
+    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+)
+_O_NORM_Q = (
+    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+)
+_O_COS = f"ROUND(({_O_DOT_Q}) / (({_O_NORM_E}) * ({_O_NORM_Q})), 6)"
+
+
+def _plane_sql(p: int) -> str:
+    vals = ", ".join(str(v) for v in PLANES[p])
+    return f"[{vals}]"
+
+
+_O_SIG = " || ".join(
+    f"(CASE WHEN ROUND(list_sum(list_transform(generate_series(1, 64), "
+    f"i -> CAST(embedding[i] AS DOUBLE) * ({_plane_sql(p)})[i])), 6) > 0 "
+    f"THEN '1' ELSE '0' END)"
+    for p in range(N_PLANES)
+)
+
+
+@register(
+    "vec_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, cos_sim, rn FROM (
+  SELECT e.vec_id, e.label, {_O_COS} AS cos_sim,
+         ROW_NUMBER() OVER (ORDER BY {_O_COS} DESC, e.vec_id) AS rn
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+) t WHERE rn <= 20
+""",
+    tags=("vectors", "similarity", "topk"),
+    bench=True,
+)
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 against the vec_id=0 query vector — one
+    corpus scan, no shuffle until the final top-k."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(to_double("embedding"), to_double("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.select("vec_id", "label", "cos_sim", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+    )
+
+
+@register(
+    "vec_knn_batch",
+    oracle=f"""
+WITH queries AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 30)
+SELECT qid, nn_id, nn_sim FROM (
+  SELECT q.qid, e.vec_id AS nn_id, {_O_COS} AS nn_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {_O_COS} DESC, e.vec_id) AS rn
+  FROM embeddings e, queries q
+  WHERE e.vec_id <> q.qid
+) t WHERE rn = 1
+""",
+    tags=("vectors", "similarity", "knn"),
+)
+def vec_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN for a batch of 30 query vectors: broadcast the query batch
+    against the corpus (queries x corpus stays linear in corpus size)."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.where(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        )
+    )
+    scored = (
+        emb.crossJoin(queries)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nn_id"),
+            F.round(cosine(to_double("embedding"), to_double("q_emb")), 6).alias("nn_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("nn_sim"), "nn_id")
+    return scored.select("qid", "nn_id", "nn_sim", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") == 1
+    ).drop("rn")
+
+
+@register(
+    "vec_label_centroids",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(SUM(CAST(embedding[1] AS DOUBLE)) / COUNT(*), 6) AS c1,
+       ROUND(SUM(CAST(embedding[2] AS DOUBLE)) / COUNT(*), 6) AS c2,
+       ROUND(SUM(CAST(embedding[3] AS DOUBLE)) / COUNT(*), 6) AS c3,
+       ROUND(SUM(CAST(embedding[4] AS DOUBLE)) / COUNT(*), 6) AS c4
+FROM embeddings
+GROUP BY label
+""",
+    tags=("vectors", "agg"),
+)
+def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (first 4 components shown): grouped mean over
+    array elements — the reduce side of k-means-style iteration."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.round(
+                F.sum(F.element_at("embedding", i).cast("double")) / F.count(F.lit(1)), 6
+            ).alias(f"c{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+
+
+@register(
+    "vec_lsh_buckets",
+    oracle=f"""
+SELECT ({_O_SIG}) AS bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+""",
+    tags=("vectors", "lsh"),
+)
+def vec_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (8 deterministic md5-derived ±1
+    planes -> 8-bit signature). At scale this is the partition key that
+    turns ANN into a bucket-local scan."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    sig = lsh_signature(to_double("embedding"), PLANES)
+    return emb.groupBy(sig.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@register(
+    "vec_lsh_ann",
+    oracle=f"""
+WITH sigs AS (SELECT vec_id, label, embedding, ({_O_SIG}) AS bucket FROM embeddings),
+q AS (SELECT vec_id, embedding, bucket FROM sigs WHERE vec_id = 0)
+SELECT vec_id, label, cos_sim, rn FROM (
+  SELECT e.vec_id, e.label, {_O_COS} AS cos_sim,
+         ROW_NUMBER() OVER (ORDER BY {_O_COS} DESC, e.vec_id) AS rn
+  FROM sigs e, q
+  WHERE e.bucket = q.bucket AND e.vec_id <> q.vec_id
+) t WHERE rn <= 5
+""",
+    tags=("vectors", "lsh", "similarity", "topk"),
+)
+def vec_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: exact cosine top-5 restricted to the query's LSH
+    bucket — the scale path (bucket scan, not corpus scan). Recall vs the
+    brute-force baseline is asserted in tests/test_vectors.py."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id", "label", "embedding", lsh_signature(to_double("embedding"), PLANES).alias("bucket")
+    )
+    q = F.broadcast(
+        sigs.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+        )
+    )
+    scored = (
+        sigs.crossJoin(q)
+        .where((F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(to_double("embedding"), to_double("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    return scored.select("vec_id", "label", "cos_sim", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= 5
+    )
