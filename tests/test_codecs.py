@@ -1,0 +1,101 @@
+"""Codec round-trip + property tests (SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vault_8_hive_spark.functions.codecs import (
+    crc16,
+    decode_beacon,
+    embed_size,
+    encode_beacon,
+    extract_size,
+    session_key_from_reply,
+    xtea_decrypt,
+    xtea_encrypt,
+)
+
+KEY = hashlib.md5(b"test-key").digest()
+
+
+@given(st.binary(min_size=0, max_size=256))
+@settings(max_examples=200)
+def test_xtea_roundtrip(data):
+    ct = xtea_encrypt(data, KEY)
+    assert len(ct) % 8 == 0
+    pt = xtea_decrypt(ct, KEY)
+    assert pt[: len(data)] == data  # zero padding beyond
+
+
+@given(st.integers(min_value=0, max_value=10**12), st.binary(min_size=64, max_size=64))
+def test_size_embed_roundtrip(size, preamble):
+    assert extract_size(embed_size(size, preamble)) == size
+
+
+@given(st.binary(min_size=37, max_size=37))
+def test_session_key_extract(reply):
+    k = session_key_from_reply(reply)
+    assert len(k) == 16
+    off = (reply[0] ^ 5) % 15
+    assert k == reply[off + 1 : off + 17]
+
+
+def test_crc16_known_vector():
+    # CRC-16/CCITT-FALSE of "123456789" is the published check value 0x29B1
+    assert crc16(b"123456789") == 0x29B1
+
+
+@given(st.binary(min_size=1, max_size=64))
+def test_crc16_detects_single_bit_flip(data):
+    orig = crc16(data)
+    flipped = bytes([data[0] ^ 0x01]) + data[1:]
+    assert crc16(flipped) != orig
+
+
+mac_st = st.from_regex(r"[0-9a-f]{2}(-[0-9a-f]{2}){5}", fullmatch=True)
+text_st = st.none() | st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200
+)
+
+
+@given(
+    version=st.integers(min_value=1, max_value=29),
+    os=st.sampled_from([0, 20, 21, 31, 40, 41, 42, 43, 50, 60, 61]),
+    mac=mac_st,
+    uptime=st.integers(min_value=0, max_value=2**40),
+    nxt=st.integers(min_value=1, max_value=86400),
+    proc=text_st,
+    ipc=text_st,
+    rn=text_st,
+    an=text_st,
+)
+@settings(max_examples=100, deadline=None)
+def test_beacon_roundtrip_property(version, os, mac, uptime, nxt, proc, ipc, rn, an):
+    """encode -> decode is the identity on every field, across the
+    compressed (>=23) and uncompressed (<23) version branches and with
+    any subset of absent TLV sections."""
+    rec = {
+        "beacon_id": 0,
+        "version": version,
+        "os": os,
+        "mac": mac,
+        "uptime_s": uptime,
+        "next_beacon_s": nxt,
+        "proc_list": proc,
+        "ipconfig": ipc,
+        "netstat_rn": rn,
+        "netstat_an": an,
+    }
+    out = decode_beacon(encode_beacon(rec, KEY), KEY)
+    assert out["version"] == version
+    assert out["os"] == os
+    assert out["mac"] == mac
+    assert out["uptime_s"] == uptime
+    assert out["next_beacon_s"] == nxt
+    assert out["proc_list"] == proc
+    assert out["ipconfig"] == ipc
+    assert out["netstat_rn"] == rn
+    assert out["netstat_an"] == an

@@ -1,1 +1,250 @@
-"""Placeholder — queries added incrementally (SURVEY.md §2B)."""
+"""Domain-layer queries over the reference's record formats (SURVEY.md §1):
+beacon codec round-trip through the engine, OS rollups, telemetry text
+parsing to silver tables, and the gateway<->interface longest-prefix-match
+join — the one real join in the reference (honeycomb/processRSI.py:287-320),
+re-expressed as broadcast-joinable prefix keys.
+
+Oracle strategy: the fixture corpus is deterministic (sources/beacons.py),
+so each oracle embeds the *encoder inputs* as a VALUES relation. The Spark
+side must reproduce them through the full encode -> XTEA/bz2/TLV -> decode
+-> parse pipeline: a true independent round-trip check the driver can hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codecs import OS_NAMES
+from ..session import prep
+from ..sources.beacons import bronze_beacons, make_fixture_records
+from . import register
+
+_RECORDS = make_fixture_records()
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''").replace("\n", "\\n") + "'"
+    return str(v)
+
+
+def _values(rows: list[tuple], cols: list[str]) -> str:
+    body = ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES\n{body}\n) AS t({', '.join(cols)})"
+
+
+# --- 1. codec round-trip ----------------------------------------------------
+
+_PARSE_COLS = ["beacon_id", "version", "os_name", "mac", "uptime_s", "next_beacon_s", "has_procs"]
+_PARSE_ROWS = [
+    (
+        r["beacon_id"],
+        r["version"],
+        OS_NAMES[r["os"]],
+        r["mac"],
+        r["uptime_s"],
+        r["next_beacon_s"],
+        r["proc_list"] is not None,
+    )
+    for r in _RECORDS
+]
+
+
+@register(
+    "domain_beacon_parse",
+    oracle=f"SELECT * FROM {_values(_PARSE_ROWS, _PARSE_COLS)}",
+    tags=("domain", "codec", "udf"),
+)
+def domain_beacon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full wire round-trip: fixture dicts -> TLV -> bz2 -> XTEA -> binary
+    column -> from_hive_beacon (mapInPandas) -> typed rows. The oracle is
+    the encoder's input — any codec/parse defect breaks the hash."""
+    prep(spark)
+    return bronze_beacons(spark).select(
+        "beacon_id",
+        "version",
+        "os_name",
+        "mac",
+        "uptime_s",
+        "next_beacon_s",
+        F.col("proc_list").isNotNull().alias("has_procs"),
+    )
+
+
+# --- 2. OS rollup -----------------------------------------------------------
+
+_OS_ROWS = [(r["beacon_id"], OS_NAMES[r["os"]], r["uptime_s"]) for r in _RECORDS]
+
+
+@register(
+    "domain_os_rollup",
+    oracle=f"""
+SELECT os_name, COUNT(*) AS n_beacons,
+       CAST(SUM(uptime_s) AS BIGINT) AS total_uptime,
+       CAST(SUM(uptime_s) AS DOUBLE) / COUNT(*) AS avg_uptime
+FROM {_values(_OS_ROWS, ["beacon_id", "os_name", "uptime_s"])}
+GROUP BY os_name
+""",
+    tags=("domain", "agg"),
+)
+def domain_os_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet rollup per OS over the decoded bronze table."""
+    prep(spark)
+    return (
+        bronze_beacons(spark)
+        .groupBy("os_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_beacons"),
+            F.sum("uptime_s").alias("total_uptime"),
+            (F.sum("uptime_s").cast("double") / F.count(F.lit(1))).alias("avg_uptime"),
+        )
+    )
+
+
+# --- 3. processes silver table (text-blob parse) ---------------------------
+
+
+def _parse_procs_py(rec: dict) -> list[tuple]:
+    rows = []
+    if rec["proc_list"]:
+        for line in rec["proc_list"].split("\n"):
+            parts = line.split()
+            rows.append(
+                (rec["beacon_id"], int(parts[0]), parts[1], int(parts[2]), parts[5])
+            )
+    return rows
+
+
+_PROC_ROWS = [row for r in _RECORDS for row in _parse_procs_py(r)]
+
+
+@register(
+    "domain_processes_explode",
+    oracle=f"""
+SELECT command, COUNT(*) AS n_procs, COUNT(DISTINCT beacon_id) AS n_beacons,
+       CAST(MIN(pid) AS INT) AS min_pid, CAST(MAX(pid) AS INT) AS max_pid
+FROM {_values(_PROC_ROWS, ["beacon_id", "pid", "state", "ppid", "command"])}
+GROUP BY command
+""",
+    tags=("domain", "text-parse"),
+)
+def domain_processes_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """proc_list text blob -> processes silver table: split lines, split
+    whitespace fields (all JVM expressions), then a fleet rollup per
+    command. Parse shape per server/process_list.c:182-227 field order
+    (pid state ppid pgrp session command)."""
+    prep(spark)
+    b = bronze_beacons(spark).where(F.col("proc_list").isNotNull())
+    lines = b.select(
+        "beacon_id", F.explode(F.split("proc_list", "\n")).alias("line")
+    )
+    fields = F.split(F.trim(F.regexp_replace("line", " +", " ")), " ")
+    procs = lines.select(
+        "beacon_id",
+        F.element_at(fields, 1).cast("int").alias("pid"),
+        F.element_at(fields, 2).alias("state"),
+        F.element_at(fields, 3).cast("int").alias("ppid"),
+        F.element_at(fields, 6).alias("command"),
+    )
+    return procs.groupBy("command").agg(
+        F.count(F.lit(1)).alias("n_procs"),
+        F.countDistinct("beacon_id").alias("n_beacons"),
+        F.min("pid").alias("min_pid"),
+        F.max("pid").alias("max_pid"),
+    )
+
+
+# --- 4. gateway <-> interface longest-prefix match -------------------------
+
+
+def _py_prefix_match() -> list[tuple]:
+    """Python reference for the /24 -> /16 -> /8 longest-prefix match."""
+    out = []
+    for r in _RECORDS:
+        gw = None
+        for line in (r["netstat_rn"] or "").split("\n"):
+            parts = line.split()
+            if len(parts) >= 4 and parts[0] == "0.0.0.0" and "UG" in parts[2]:
+                gw = parts[1]
+        if gw is None:
+            continue
+        ifaces = []
+        for line in (r["ipconfig"] or "").split("\n"):
+            parts = line.split()
+            if len(parts) >= 4 and parts[1] == "ip":
+                ifaces.append((parts[0], parts[2]))
+        match_name, match_ip, match_depth = None, None, 0
+        for name, ip in ifaces:
+            g, p = gw.split("."), ip.split(".")
+            depth = 24 if g[:3] == p[:3] else 16 if g[:2] == p[:2] else 8 if g[:1] == p[:1] else 0
+            if depth > match_depth:
+                match_name, match_ip, match_depth = name, ip, depth
+        if match_depth:
+            out.append((r["beacon_id"], gw, match_name, match_ip, match_depth))
+    return out
+
+
+@register(
+    "domain_gateway_prefix_match",
+    oracle=f"""
+SELECT * FROM {_values(_py_prefix_match(), ["beacon_id", "gateway", "iface", "iface_ip", "prefix_len"])}
+""",
+    tags=("domain", "join", "text-parse"),
+)
+def domain_gateway_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's gateway<->interface longest-prefix-match join
+    (processRSI.py:287-320) as a scalable Spark plan: parse routes and
+    interfaces from text blobs, derive /24,/16,/8 prefix keys, join per
+    depth (equi-join on computed keys — broadcast/shuffle-joinable at any
+    scale, no cross product), take the deepest match per beacon."""
+    prep(spark)
+    b = bronze_beacons(spark)
+
+    routes = (
+        b.select("beacon_id", F.explode(F.split("netstat_rn", "\n")).alias("line"))
+        .select("beacon_id", F.split(F.col("line"), " ").alias("f"))
+        .where(
+            (F.element_at("f", 1) == "0.0.0.0") & F.element_at("f", 3).contains("UG")
+        )
+        .select("beacon_id", F.element_at("f", 2).alias("gateway"))
+    )
+    ifaces = (
+        b.select("beacon_id", F.explode(F.split("ipconfig", "\n")).alias("line"))
+        .select("beacon_id", F.split(F.col("line"), " ").alias("f"))
+        .where(F.element_at("f", 2) == "ip")
+        .select(
+            "beacon_id",
+            F.element_at("f", 1).alias("iface"),
+            F.element_at("f", 3).alias("iface_ip"),
+        )
+    )
+
+    def prefix(col: str, n: int):
+        return F.concat_ws(".", *[F.split(F.col(col), "\\.").getItem(i) for i in range(n)])
+
+    joined = routes.join(ifaces, "beacon_id").select(
+        "beacon_id",
+        "gateway",
+        "iface",
+        "iface_ip",
+        F.when(prefix("gateway", 3) == prefix("iface_ip", 3), 24)
+        .when(prefix("gateway", 2) == prefix("iface_ip", 2), 16)
+        .when(prefix("gateway", 1) == prefix("iface_ip", 1), 8)
+        .otherwise(0)
+        .alias("prefix_len"),
+    )
+    best = joined.where(F.col("prefix_len") > 0).groupBy("beacon_id").agg(
+        F.max_by(
+            F.struct("gateway", "iface", "iface_ip", "prefix_len"), F.col("prefix_len")
+        ).alias("m")
+    )
+    return best.select(
+        "beacon_id",
+        F.col("m.gateway").alias("gateway"),
+        F.col("m.iface").alias("iface"),
+        F.col("m.iface_ip").alias("iface_ip"),
+        F.col("m.prefix_len").alias("prefix_len"),
+    )

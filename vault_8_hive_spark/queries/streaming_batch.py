@@ -1,1 +1,127 @@
-"""Placeholder — queries added incrementally (SURVEY.md §2B)."""
+"""Streaming operators exposed as driver-checkable entries: each runs a
+real Structured Streaming query (file source, availableNow trigger, memory
+sink) and returns the final sink — batch-replay equivalence makes the
+DuckDB oracle applicable (SURVEY.md §5.2 item 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec, round4
+from ..session import prep
+from ..streaming.ops import run_to_memory, stateful_user_stats, stream_events
+from . import register
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window-time"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation as a real streaming query;
+    complete output mode emits every window, so an in-order replay equals
+    the batch aggregate (events_tumbling_hourly) exactly."""
+    prep(spark)
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round4(F.sum(dec("value", "decimal(18,4)"))).alias("total_value"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 minutes
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 minutes AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, seq
+""",
+    tags=("streaming", "session-window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (session_window, 30-min gap).
+    Oracle replays the merge semantics in batch SQL: a session extends
+    while successive events arrive strictly within the gap; window end =
+    last event + gap."""
+    prep(spark)
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the stream is unioned with a full copy of
+    itself (every event duplicated), then dropDuplicatesWithinWatermark on
+    event_id reduces it back — counts must equal the clean batch counts."""
+    prep(spark)
+    ev = stream_events(spark, sf_dir)
+    doubled = ev.unionByName(stream_events(spark, sf_dir))
+    deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "udf"),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): running
+    per-user count/max. With the whole file in one availableNow batch the
+    final update per user equals the batch aggregate (max over doubles is
+    exact — no float-order concern)."""
+    prep(spark)
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(stateful_user_stats(ev), "update")

@@ -1,0 +1,85 @@
+"""Structured Streaming building blocks (SURVEY.md §2B streaming rows).
+
+Each operator reads the `events` table as a file stream (the replay of the
+reference's unbounded beacon stream, SURVEY.md §1.3), applies a streaming
+transformation — windowed agg, session windows, watermarked dedup,
+arbitrary state — and is driven to completion with an availableNow trigger
+into a memory sink, so batch-replay equivalence against the DuckDB oracle
+is checkable by the driver.
+
+Production shape (100 TB): the same plans run against a socket/kafka
+source with processing-time triggers; watermarks bound state; the memory
+sink becomes a partitioned parquet/Delta append. Nothing in the plan
+changes — only source/sink/trigger.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+
+from ..session import prep
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (ts normalized to micros
+    exactly like the batch catalog)."""
+    prep(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The sf dir holds every table; pathGlobFilter restricts the stream to
+    # the events file.
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink; returns the sink contents as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+# --- stateful operator: per-user running stats via applyInPandasWithState --
+
+STATE_SCHEMA = "n bigint, vmax double"
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, max_value double"
+
+
+def _user_stats(key, pdf_iter, state: GroupState):
+    """Arbitrary stateful aggregation: running event count + max value per
+    user (the engine's flatMapGroupsWithState analog; the fleet-liveness
+    detector uses the same shape over beacon streams)."""
+    n, vmax = state.get if state.exists else (0, float("-inf"))
+    for pdf in pdf_iter:
+        n += len(pdf)
+        if len(pdf):
+            vmax = max(vmax, float(pdf["value"].max()))
+    state.update((n, vmax))
+    yield pd.DataFrame([(key[0], n, vmax)], columns=["user_id", "n_events", "max_value"])
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_stats,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
