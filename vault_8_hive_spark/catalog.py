@@ -33,11 +33,21 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+# Memo of lazy DataFrame handles: spark.read.parquet does an eager file
+# listing + footer schema read per call, which dominates latency for
+# repeated small queries. DataFrames are immutable, so reusing the handle
+# per (session, path) is safe.
+_HANDLES: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .session import prep
 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (id(spark), sf_dir, name)
+    if key in _HANDLES:
+        return _HANDLES[key]
     prep(spark)  # idempotent; needed before schema resolution (nanos conf)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -45,6 +55,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # micros exactly like DuckDB reads the same file, so both engines
         # see identical timestamps.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _HANDLES[key] = df
     return df
 
 

@@ -103,10 +103,11 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_minhash_lsh",
     oracle=f"""
 WITH {_O_SHINGLES},
-sigs AS (SELECT doc_id, shingles,
-                [list_min(list_transform(shingles, s -> md5(CAST(b AS VARCHAR)||'|'||s)))
-                 FOR b IN [0,1,2,3,4,5,6,7]] AS sig
-         FROM sh),
+hh AS (SELECT doc_id, list_transform(shingles, s -> md5(s)||md5('x'||s)) AS hv FROM sh),
+sigs AS (SELECT doc_id,
+                [list_min(list_transform(hv, h -> h[o:o+7]))
+                 FOR o IN [1,9,17,25,33,41,49,57]] AS sig
+         FROM hh),
 bands AS (SELECT doc_id,
                  unnest([md5(sig[1]||sig[2]), md5(sig[3]||sig[4]),
                          md5(sig[5]||sig[6]), md5(sig[7]||sig[8])]) AS band_key
@@ -129,34 +130,70 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 perms) + LSH (4 bands x 2 rows) near-duplicate pairs,
     verified by exact shingle-set Jaccard >= 0.2.
 
-    Permutation h_b(s) = md5(b || '|' || s), signature = lexicographic min
-    — portable across engines and cluster-deterministic. The band-key
-    equi-join replaces the O(n^2) pair scan; only LSH candidates are
-    verified. Scale: bands explode 4 rows/doc; the band join shuffles on
-    a uniform 128-bit key (no skew); verification joins rehydrate the two
-    shingle sets per candidate pair only.
+    The 8 permutations are lexicographic mins over 8 disjoint 32-bit hex
+    slices of a 256-bit per-shingle digest (md5(s) || md5('x'||s)) — two
+    md5 evaluations per shingle instead of eight, engine-portable, and
+    cluster-deterministic. The band-key equi-join replaces the O(n^2)
+    pair scan; only LSH candidates are verified. Scale: bands explode
+    4 rows/doc; the band join shuffles on a uniform 128-bit key (no
+    skew); verification joins rehydrate the two shingle sets per
+    candidate pair only.
     """
     prep(spark)
-    sh = _shingled(table(spark, sf_dir, "documents")).cache()
-    sigs = sh.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform("shingles", lambda s, b=b: F.md5(F.concat(F.lit(f"{b}|"), s).cast("binary")))
-            ).alias(f"sig{b}")
-            for b in range(N_HASHES)
-        ],
+    # Repartition before the CPU-heavy hashing: a single parquet file is
+    # one input split, which would serialize all md5 work into one task.
+    par = spark.sparkContext.defaultParallelism
+    # localCheckpoint (not cache): materialized once per invocation and
+    # shared by BOTH sides of the band self-join and the verification
+    # joins, without polluting the session-wide cache registry.
+    sh = (
+        _shingled(table(spark, sf_dir, "documents"))
+        .repartition(par, "doc_id")
+        .localCheckpoint(eager=False)
     )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
+
+    def digest(s):  # 256-bit per-shingle digest
+        return F.concat(F.md5(s.cast("binary")), F.md5(F.concat(F.lit("x"), s).cast("binary")))
+
+    def slices_bound(s):
+        # transform over a 1-element array BINDS the digest to a lambda
+        # variable, so the two md5 calls are evaluated once per shingle —
+        # not once per slice (projection collapse would otherwise inline
+        # the digest into all 8 slice expressions).
+        return F.element_at(
+            F.transform(
+                F.array(digest(s)),
+                lambda h: F.array(*[F.substring(h, 8 * b + 1, 8) for b in range(N_HASHES)]),
+            ),
+            1,
+        )
+
+    # All 8 signature minima in ONE fold over the shingle list.
+    sig_arr = F.aggregate(
+        "shingles",
+        F.array_repeat(F.lit("\x7f"), N_HASHES),  # > any hex char
+        lambda acc, s: F.zip_with(acc, slices_bound(s), lambda a, b: F.least(a, b)),
+    )
+    # Band keys from the signature array, binding sig_arr once (same
+    # re-evaluation concern as above: 4 band expressions, one fold).
+    band_arr = F.element_at(
+        F.transform(
+            F.array(sig_arr),
+            lambda sa: F.array(
                 *[
-                    F.md5(F.concat(F.col(f"sig{2 * j}"), F.col(f"sig{2 * j + 1}")).cast("binary"))
+                    F.md5(
+                        F.concat(
+                            F.element_at(sa, 2 * j + 1), F.element_at(sa, 2 * j + 2)
+                        ).cast("binary")
+                    )
                     for j in range(N_BANDS)
                 ]
-            )
-        ).alias("band_key"),
+            ),
+        ),
+        1,
+    )
+    bands = sh.select("doc_id", F.explode(band_arr).alias("band_key")).localCheckpoint(
+        eager=False
     )
     b2 = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk"))
     cand = (

@@ -50,12 +50,19 @@ def prep(spark: SparkSession) -> SparkSession:
 
     Called at the top of every registered query so results are correct even
     when the caller (e.g. the verify driver) built its own SparkSession.
-    Only runtime-mutable keys belong here.
+    Only CORRECTNESS-critical runtime keys belong here — performance knobs
+    stay in get_spark()/bench so callers can tune without prep undoing it.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Read-before-write: an unconditional conf.set invalidates the
+    # session's plan/codegen caches and costs ~0.5s of recompilation on
+    # the next query — a no-op set must stay a true no-op.
+    # (no default arg: conf.get validates defaults for this key and throws
+    # on an empty string when the key is unset)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
     # read the raw int64 and let the catalog convert to micros (matching
     # DuckDB, which truncates parquet nanos to its micro timestamps).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
