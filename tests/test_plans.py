@@ -53,11 +53,9 @@ def test_whole_stage_codegen_everywhere(spark, sf_dir):
 
 def test_no_python_in_relational_plans(spark, sf_dir):
     """Every non-UDF query must stay fully JVM-side."""
-    udf_queries = {"text_simhash", "domain_beacon_parse", "domain_os_rollup",
-                   "domain_processes_explode", "domain_gateway_prefix_match",
-                   "stream_stateful_user_stats"}
+    py_tags = {"udf", "domain", "streaming", "multimodal"}
     for name, q in QUERIES.items():
-        if name in udf_queries or "streaming" in q.tags:
+        if py_tags & set(q.tags) or name == "text_simhash":
             continue
         plan = formatted_plan(q.fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (

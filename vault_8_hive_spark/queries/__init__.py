@@ -50,6 +50,9 @@ _MODULES = (
     "vectors",
     "domain",
     "streaming_batch",
+    "formats",
+    "udfs",
+    "multimodal",
 )
 
 

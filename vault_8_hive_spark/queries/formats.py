@@ -1,0 +1,139 @@
+"""Source/sink formats (SURVEY.md §2B scan/sink rows): schema'd CSV and
+JSON scans, partitioned parquet write + read-back.
+
+The CSV/JSON fixtures are derived deterministically from the parquet
+tables themselves (written once per (sf, table) under .work/), so the
+oracle can check the full write -> scan round trip against the original
+table. The partitioned-write query proves partition pruning survives the
+engine's own sink layout.
+
+Scale: CSV/JSON scans parallelize per file split like parquet (minus
+pushdown — only parquet gets predicate/projection pushdown, which is why
+the bronze/silver layers always land as parquet); partitioned writes are
+the mechanism behind SCALE.md's partition-pruning story.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..catalog import table
+from ..session import prep
+from . import register
+
+WORK_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".work")
+
+
+def _work(sf_dir: str, name: str) -> str:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(WORK_DIR, sf_tag, name)
+
+
+def _ensure_csv(spark: SparkSession, sf_dir: str) -> str:
+    """nation as a headered CSV (written once, deterministic content)."""
+    path = _work(sf_dir, "nation_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "nation")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(path)
+        )
+    return path
+
+
+def _ensure_json(spark: SparkSession, sf_dir: str) -> str:
+    """supplier as JSON-lines."""
+    path = _work(sf_dir, "supplier_json")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "supplier").coalesce(1).write.mode("overwrite").json(path)
+    return path
+
+
+NATION_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
+SUPPLIER_SCHEMA = "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+
+
+@register(
+    "scan_csv_schema",
+    oracle="""
+SELECT n_regionkey, COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+""",
+    tags=("scan", "csv"),
+)
+def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema CSV scan (no inferSchema — a full extra pass at
+    scale): engine-written CSV read back and aggregated; must equal the
+    parquet original."""
+    prep(spark)
+    path = _ensure_csv(spark, sf_dir)
+    df = spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+    )
+
+
+@register(
+    "scan_json_schema",
+    oracle="""
+SELECT s_nationkey, COUNT(*) AS n_supp,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(28,4))), 4) AS DOUBLE) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+""",
+    tags=("scan", "json"),
+)
+def scan_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema JSON-lines scan, same round-trip contract."""
+    prep(spark)
+    path = _ensure_json(spark, sf_dir)
+    df = spark.read.schema(SUPPLIER_SCHEMA).json(path)
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.round(F.sum(F.col("s_acctbal").cast("decimal(28,4)")), 4)
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+SELECT year(o_orderdate) AS order_year, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS total
+FROM orders
+WHERE year(o_orderdate) IN (1996, 1997)
+GROUP BY 1, 2
+""",
+    tags=("sink", "parquet", "partition-pruning"),
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by year, read back with a partition filter
+    (pruned to 2 of 7 directories — the physical layout behind SCALE.md's
+    pruning claim), aggregate, and match the unpartitioned original."""
+    prep(spark)
+    path = _work(sf_dir, "orders_by_year")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "orders")
+            .withColumn("order_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(path)
+        )
+    df = spark.read.parquet(path).where(F.col("order_year").isin(1996, 1997))
+    return df.groupBy("order_year", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4)
+        .cast("double")
+        .alias("total"),
+    )

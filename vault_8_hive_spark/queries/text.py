@@ -403,3 +403,33 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(_simhash_batch, schema=_SIMHASH_SCHEMA)
+
+
+@register(
+    "text_bpe_tokens",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS n_unique,
+       array_to_string(list_sort(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))[1:3], ' ') AS sample
+FROM documents
+WHERE doc_id <= 200
+""",
+    tags=("text", "tokenize"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer (letter runs | digit runs | single
+    punctuation — the GPT-2 pre-tokenizer shape) with counts, entirely
+    JVM-side via regexp_extract_all."""
+    prep(spark)
+    # F.regexp_extract_all with a Column pattern — routing the regex
+    # through F.expr would subject `\s` to SQL string-literal unescaping.
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    toks = F.regexp_extract_all("text", F.lit(pat), 0)
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), " ").alias("sample"),
+    )

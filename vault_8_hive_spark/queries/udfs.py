@@ -1,0 +1,104 @@
+"""UDF surface (SURVEY.md §2B): row-at-a-time scalar Python UDF, vectorized
+pandas UDF, and grouped-map applyInPandas — each Column-composable.
+
+The scalar UDF is registered for completeness and benchmarked as the slow
+path (see the pandas UDF doing the same work vectorized); real pipelines
+here always prefer built-ins > pandas UDF > scalar UDF (SCALE.md).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from ..catalog import table
+from ..functions.codecs import crc16
+from ..session import prep
+from . import register
+
+# Fixed fixture strings so the expected CRCs can be embedded in the oracle.
+_CRC_INPUTS = [f"hive-record-{i:04d}" for i in range(64)]
+_CRC_EXPECTED = [(s, crc16(s.encode())) for s in _CRC_INPUTS]
+
+
+@register(
+    "udf_scalar_crc16",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{s}', {c})" for s, c in _CRC_EXPECTED)
+    + ") AS t(payload, crc)",
+    tags=("udf", "scalar"),
+)
+def udf_scalar_crc16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (functions/codecs.crc16) over a fixture
+    column; oracle = the same CRCs precomputed at registration time."""
+    prep(spark)
+    crc_udf = F.udf(lambda s: crc16(s.encode()), IntegerType())
+    df = spark.createDataFrame([(s,) for s in _CRC_INPUTS], "payload string")
+    return df.select("payload", crc_udf("payload").alias("crc"))
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge
+FROM lineitem
+WHERE l_orderkey <= 500
+""",
+    tags=("udf", "pandas"),
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF computing the charge formula on whole
+    batches. No rounding on either side: the same association of IEEE
+    double ops is bit-identical in numpy and the oracle, while a final
+    round-to-4 would diverge (numpy rounds half-even, SQL half-away)."""
+    prep(spark)
+
+    @F.pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return (price * (1 - disc)) * (1 + tax)
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@register(
+    "udf_grouped_map_topk",
+    oracle="""
+SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) t WHERE rn <= 2
+""",
+    tags=("udf", "grouped-map"),
+)
+def udf_grouped_map_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the UDAF/UDTF analog): per-segment top-2
+    by balance with a deterministic tie-break, computed in pandas per
+    group. One shuffle on the group key; each group must fit in one pandas
+    frame (fine for bounded groups — the window variant
+    win_topk_per_group is the unbounded-safe twin)."""
+    prep(spark)
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(2)
+        return out[["c_mktsegment", "c_custkey", "c_acctbal"]]
+
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"))
+        .groupBy("c_mktsegment")
+        .applyInPandas(top2, schema="c_mktsegment string, c_custkey bigint, c_acctbal double")
+    )
