@@ -248,3 +248,55 @@ def domain_gateway_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.iface_ip").alias("iface_ip"),
         F.col("m.prefix_len").alias("prefix_len"),
     )
+
+
+# --- 5. fleet liveness (missed-beacon detector) ----------------------------
+# The analytic dual of the reference's self-delete clock
+# (server/self_delete.c:19-57: act when now - last_contact > delay): flag
+# implants whose expected next beacon is overdue at a fixed "now".
+
+_BASE_TS = "2024-03-01 00:00:00"
+_NOW_OFFSET_MIN = 3000  # "now" = base + 3000 minutes
+
+
+def _py_liveness() -> list[tuple]:
+    last: dict[str, dict] = {}
+    for r in _RECORDS:
+        cur = last.get(r["mac"])
+        if cur is None or r["beacon_id"] > cur["beacon_id"]:
+            last[r["mac"]] = r
+    out = []
+    for mac in sorted(last):
+        r = last[mac]
+        recv_min = r["beacon_id"] * 10  # deterministic synthetic recv time
+        overdue_s = (_NOW_OFFSET_MIN - recv_min) * 60 - 2 * r["next_beacon_s"]
+        out.append((mac, r["beacon_id"], r["next_beacon_s"], overdue_s > 0))
+    return out
+
+
+@register(
+    "domain_fleet_liveness",
+    oracle=f"""
+SELECT * FROM {_values(_py_liveness(), ["mac", "last_beacon_id", "next_beacon_s", "missed"])}
+""",
+    tags=("domain", "liveness", "window"),
+)
+def domain_fleet_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missed-beacon detection: per MAC take the latest beacon (max_by),
+    reconstruct its receive time (synthetic: beacon_id * 10 min after a
+    fixed base), and flag implants more than 2 intervals overdue at a
+    pinned 'now'. Streaming twin: stream_stateful_user_stats's
+    applyInPandasWithState shape with a processing-time timeout."""
+    prep(spark)
+    b = bronze_beacons(spark)
+    last = b.groupBy("mac").agg(
+        F.max_by(F.struct("beacon_id", "next_beacon_s"), F.col("beacon_id")).alias("m")
+    )
+    recv_min = F.col("m.beacon_id") * 10
+    overdue_s = (F.lit(3000) - recv_min) * 60 - 2 * F.col("m.next_beacon_s")
+    return last.select(
+        "mac",
+        F.col("m.beacon_id").alias("last_beacon_id"),
+        F.col("m.next_beacon_s").alias("next_beacon_s"),
+        (overdue_s > 0).alias("missed"),
+    )

@@ -253,3 +253,50 @@ def join_asof_prior_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.col("day_spend").alias("prior_day_spend"),
     )
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       big.o_orderkey IS NOT NULL AS is_big
+FROM (
+  SELECT * FROM orders
+  WHERE o_totalprice BETWEEN 100000 AND 200000
+    AND o_orderstatus IN ('F', 'O')
+    AND o_orderpriority NOT IN ('4-NOT SPECIFIED', '5-LOW')
+    AND o_orderpriority LIKE '%-%'
+    AND regexp_matches(o_orderpriority, '^[1-3]-')
+    AND NOT (o_orderstatus = 'P' OR o_custkey < 10)
+    AND o_custkey IS NOT NULL
+) o
+LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000) big USING (o_orderkey)
+""",
+    tags=("filter", "predicates"),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full predicate family in one query: between, IN, NOT IN, LIKE,
+    rlike, and/or/not, IS (NOT) NULL — all pushed below the join by
+    Catalyst (BETWEEN and IN reach the parquet scan as PushedFilters)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").between(100000, 200000)
+        & F.col("o_orderstatus").isin("F", "O")
+        & ~F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
+        & F.col("o_orderpriority").like("%-%")
+        & F.col("o_orderpriority").rlike("^[1-3]-")
+        & ~((F.col("o_orderstatus") == "P") | (F.col("o_custkey") < 10))
+        & F.col("o_custkey").isNotNull()
+    )
+    big = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 150000)
+        .select(F.col("o_orderkey").alias("big_key"))
+    )
+    return o.join(big, o.o_orderkey == big.big_key, "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("big_key").isNotNull().alias("is_big"),
+    )

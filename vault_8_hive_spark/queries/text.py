@@ -433,3 +433,33 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_unique"),
         F.array_join(F.slice(F.array_sort(toks), 1, 3), " ").alias("sample"),
     )
+
+
+@register(
+    "text_ngram_jaccard",
+    oracle=f"""
+WITH {_O_SHINGLES}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.shingles, b.shingles))), 9) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE a.doc_id < 60 AND b.doc_id < 60
+  AND len(list_intersect(a.shingles, b.shingles)) > 0
+""",
+    tags=("text", "dedup", "ngram"),
+)
+def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive pairwise n-gram (3-word shingle) Jaccard on a bounded
+    slice — the exact ground truth the LSH path approximates (kept
+    intentionally small: this is the O(n^2) shape LSH exists to avoid)."""
+    prep(spark)
+    sh = _shingled(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    ).localCheckpoint(eager=False)
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = sh.crossJoin(b).where(F.col("doc_id") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("shingles", "sh_b"))
+    jac = inter.cast("double") / F.size(F.array_union("shingles", "sh_b"))
+    return pairs.where(inter > 0).select(
+        F.col("doc_id").alias("doc_a"), "doc_b", F.round(jac, 9).alias("jaccard")
+    )

@@ -219,3 +219,43 @@ def vec_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_id", "label", "cos_sim", F.row_number().over(w).alias("rn")).where(
         F.col("rn") <= 5
     )
+
+
+@register(
+    "vec_cosine_neardup_pairs",
+    oracle=f"""
+WITH sigs AS (SELECT vec_id, embedding, ({_O_SIG}) AS bucket FROM embeddings)
+SELECT e.vec_id AS vec_a, q.vec_id AS vec_b,
+       ROUND((list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))), 6) AS cos_sim
+FROM sigs e JOIN sigs q ON e.bucket = q.bucket AND e.vec_id < q.vec_id
+WHERE (list_sum(list_transform(generate_series(1, 64),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) >= 0.95
+""",
+    tags=("vectors", "dedup", "lsh", "similarity"),
+)
+def vec_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: LSH-bucketed candidate
+    pairs verified at cosine >= 0.95 — the vector analog of MinHash text
+    dedup (bucket join instead of all-pairs; same shape at 100 TB)."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id", "embedding", lsh_signature(to_double("embedding"), PLANES).alias("bucket")
+    ).localCheckpoint(eager=False)
+    right = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("bucket").alias("bk")
+    )
+    pairs = sigs.join(right, (sigs.bucket == right.bk) & (sigs.vec_id < right.vec_b))
+    cos = cosine(to_double("embedding"), to_double("emb_b"))
+    return pairs.where(cos >= 0.95).select(
+        F.col("vec_id").alias("vec_a"), "vec_b", F.round(cos, 6).alias("cos_sim")
+    )
