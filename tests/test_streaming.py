@@ -42,3 +42,57 @@ def test_watermark_metadata_present(spark, sf_dir):
     """withWatermark must annotate the plan's event-time column."""
     ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     assert "watermark" in ev._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_watermark_drops_late_data(spark, sf_dir):
+    """True late-data semantics: two files processed as separate
+    micro-batches (maxFilesPerTrigger=1); the second file's rows are far
+    older than the watermark advanced by the first, so an append-mode
+    windowed aggregation must drop them."""
+    import time as _time
+
+    base = f"{WORK_DIR}/late_{uuid.uuid4().hex[:8]}"
+    on_time = spark.createDataFrame(
+        [(i, f"2024-06-01 12:{m:02d}:00") for i, m in enumerate([0, 5, 50, 55])],
+        "id long, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    late = spark.createDataFrame(
+        [(100, "2024-06-01 10:00:00"), (101, "2024-06-01 10:05:00")],
+        "id long, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    # Two EXPLICIT micro-batches: write f1, drain, then write f2, drain —
+    # so the watermark computed from batch 1 (12:55 - 10min = 12:45) is in
+    # force when the late rows arrive in batch 2.
+    on_time.coalesce(1).write.parquet(f"{base}/in/f1")
+
+    stream = spark.readStream.schema("id long, ts timestamp").parquet(f"{base}/in/*")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    late.coalesce(1).write.parquet(f"{base}/in/f2")
+    _time.sleep(0.2)
+    q.processAllAvailable()
+    q.stop()
+    try:
+        got = {
+            (r["w"]["start"].hour, r["w"]["start"].minute): r["n"]
+            for r in spark.table(name).collect()
+        }
+        # Windows from the on-time batch close when the watermark passes;
+        # the 10:00/10:05 late rows arrive after the watermark reached
+        # 12:45 and must NOT appear anywhere.
+        assert not any(h == 10 for (h, m) in got), got
+        assert got.get((12, 0)) == 2, got
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

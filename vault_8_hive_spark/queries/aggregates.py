@@ -359,3 +359,41 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("urgent_total"),
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS total,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "skew"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation (operators/skew.py) on a deliberately
+    skewed key (o_orderstatus: 'O'/'F' carry ~49% each): partials per
+    (key, salt), then merge — result identical to the direct groupBy, but
+    no single task ever holds a hot key's full row set."""
+    from ..operators.skew import salted_agg
+
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    return salted_agg(
+        o,
+        keys=["o_orderstatus"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec("o_totalprice", "decimal(28,4)")).alias("ps"),
+            F.max("o_totalprice").alias("pm"),
+        ],
+        merge_aggs=lambda: [
+            F.sum("pn").alias("n_orders"),
+            round4(F.sum("ps")).alias("total"),
+            F.max("pm").cast("double").alias("max_price"),
+        ],
+        salt_on="o_orderkey",
+    )

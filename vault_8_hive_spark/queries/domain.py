@@ -300,3 +300,41 @@ def domain_fleet_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.next_beacon_s").alias("next_beacon_s"),
         (overdue_s > 0).alias("missed"),
     )
+
+
+# --- 6. MAC normalization across wire formats ------------------------------
+
+_MAC_FIXTURES = [
+    (0, "aa-bb-cc-dd-ee-0f"),
+    (1, "AA:BB:CC:DD:EE:1F"),
+    (2, "aabb.ccdd.ee2f"),
+    (3, "AABBCCDDEE3F"),
+    (4, "aa-bb-cc-dd-ee"),      # 10 hex digits -> invalid
+    (5, "not a mac"),
+    (6, "0a:1B:2c:3D:4e:5F"),
+]
+
+
+def _py_mac_norm(s: str) -> str | None:
+    import re
+
+    h = re.sub(r"[^0-9a-fA-F]", "", s).lower()
+    return "-".join(h[i : i + 2] for i in range(0, 12, 2)) if len(h) == 12 else None
+
+
+@register(
+    "domain_mac_normalize",
+    oracle=f"""
+SELECT * FROM {_values([(i, s, _py_mac_norm(s)) for i, s in _MAC_FIXTURES], ["id", "raw", "mac"])}
+""",
+    tags=("domain", "net", "scalar"),
+)
+def domain_mac_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAC normalization (functions/net.py): dash/colon/dotted/bare wire
+    formats -> canonical `aa-bb-cc-dd-ee-ff`, NULL for invalid — pure
+    Column expressions, oracle = an independent python regex impl."""
+    from ..functions.net import mac_normalize
+
+    prep(spark)
+    df = spark.createDataFrame(_MAC_FIXTURES, "id int, raw string")
+    return df.select("id", "raw", mac_normalize("raw").alias("mac"))

@@ -123,3 +123,64 @@ def top_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_mktsegment")
         .limit(5)
     )
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       CAST(ROUND(SUM({_O_DISC}), 4) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("scan", "join", "agg", "sort"),
+    bench=True,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-table join with a same-nation residual condition
+    (customer's nation == supplier's nation) and a region filter.
+
+    Scale: region+nation are broadcast (fixed cardinality), so the region
+    filter prunes nations BEFORE the big fact joins; the three fact-side
+    joins shuffle on their keys and AQE reorders/broadcasts by runtime
+    size. The c_nationkey = s_nationkey condition rides the supplier join
+    as a residual — no extra shuffle.
+    """
+    from ..catalog import dim
+
+    prep(spark)
+    region = dim(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = dim(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            round4(F.sum(_disc_price())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
