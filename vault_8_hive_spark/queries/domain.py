@@ -55,7 +55,7 @@ _PARSE_ROWS = [
 
 @register(
     "domain_beacon_parse",
-    oracle=f"SELECT * FROM {_values(_PARSE_ROWS, _PARSE_COLS)}",
+    oracle=f"SELECT beacon_id, version, os_name, mac, CAST(uptime_s AS BIGINT) AS uptime_s, next_beacon_s, has_procs FROM {_values(_PARSE_ROWS, _PARSE_COLS)}",
     tags=("domain", "codec", "udf"),
 )
 def domain_beacon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,7 +190,8 @@ def _py_prefix_match() -> list[tuple]:
 @register(
     "domain_gateway_prefix_match",
     oracle=f"""
-SELECT * FROM {_values(_py_prefix_match(), ["beacon_id", "gateway", "iface", "iface_ip", "prefix_len"])}
+SELECT CAST(beacon_id AS BIGINT) AS beacon_id, gateway, iface, iface_ip, prefix_len
+FROM {_values(_py_prefix_match(), ["beacon_id", "gateway", "iface", "iface_ip", "prefix_len"])}
 """,
     tags=("domain", "join", "text-parse"),
 )
@@ -277,7 +278,8 @@ def _py_liveness() -> list[tuple]:
 @register(
     "domain_fleet_liveness",
     oracle=f"""
-SELECT * FROM {_values(_py_liveness(), ["mac", "last_beacon_id", "next_beacon_s", "missed"])}
+SELECT mac, CAST(last_beacon_id AS BIGINT) AS last_beacon_id, next_beacon_s, missed
+FROM {_values(_py_liveness(), ["mac", "last_beacon_id", "next_beacon_s", "missed"])}
 """,
     tags=("domain", "liveness", "window"),
 )

@@ -108,7 +108,7 @@ def scan_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_partitioned_parquet",
     oracle="""
-SELECT year(o_orderdate) AS order_year, o_orderstatus, COUNT(*) AS n_orders,
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus, COUNT(*) AS n_orders,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS total
 FROM orders
 WHERE year(o_orderdate) IN (1996, 1997)

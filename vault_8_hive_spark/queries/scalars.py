@@ -36,8 +36,8 @@ SELECT p_partkey,
        regexp_replace(c_like.p_name_num, '[0-9]+', '#')  AS masked,
        p_type LIKE 'PRO%'                                AS is_promo,
        regexp_matches(p_name, '^[a-z]+ (widget|bolt)$')  AS is_known_shape,
-       length(p_name)                                    AS name_len,
-       levenshtein(p_brand, 'Brand#13')                  AS brand_dist
+       CAST(length(p_name) AS INT)                       AS name_len,
+       CAST(levenshtein(p_brand, 'Brand#13') AS INT)     AS brand_dist
 FROM (SELECT *, p_name || CAST(p_partkey AS VARCHAR) AS p_name_num FROM part) c_like
 WHERE p_partkey <= 2000
 """,
@@ -70,14 +70,14 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_date",
     oracle="""
 SELECT o_orderkey,
-       year(o_orderdate)                                   AS y,
-       month(o_orderdate)                                  AS m,
-       day(o_orderdate)                                    AS d,
-       quarter(o_orderdate)                                AS q,
-       dayofweek(o_orderdate) + 1                          AS dow,
-       weekofyear(o_orderdate)                             AS woy,
+       CAST(year(o_orderdate) AS INT)                      AS y,
+       CAST(month(o_orderdate) AS INT)                     AS m,
+       CAST(day(o_orderdate) AS INT)                       AS d,
+       CAST(quarter(o_orderdate) AS INT)                   AS q,
+       CAST(dayofweek(o_orderdate) + 1 AS INT)             AS dow,
+       CAST(weekofyear(o_orderdate) AS INT)                AS woy,
        date_trunc('month', o_orderdate)                    AS month_start,
-       datediff('day', o_orderdate, TIMESTAMP '1998-12-31') AS days_to_eoy,
+       CAST(datediff('day', o_orderdate, TIMESTAMP '1998-12-31') AS INT) AS days_to_eoy,
        strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
        o_orderdate + INTERVAL 3 DAY                        AS ts_plus3,
        CAST(epoch(o_orderdate) AS BIGINT)                  AS epoch_s,
@@ -194,12 +194,12 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_hof",
     oracle="""
 SELECT doc_id,
-       len(words)                                                AS n_words,
+       CAST(len(words) AS INT)                                   AS n_words,
        array_to_string(words[1:5], ' ')                          AS first5,
        list_contains(words, 'spark')                             AS has_spark,
        array_to_string(list_sort(words)[1:3], ' ')               AS sorted3,
        upper(words[1])                                           AS first_upper,
-       len(list_filter(words, w -> length(w) > 4))               AS n_long,
+       CAST(len(list_filter(words, w -> length(w) > 4)) AS INT)  AS n_long,
        CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_chars
 FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id <= 300) t
 """,
@@ -231,7 +231,7 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_explode",
     oracle="""
-SELECT d.doc_id, i.pos - 1 AS pos, d.words[i.pos] AS word
+SELECT d.doc_id, CAST(i.pos - 1 AS INT) AS pos, d.words[i.pos] AS word
 FROM (SELECT doc_id, string_split(text, ' ') AS words
       FROM documents WHERE doc_id <= 20) d,
      LATERAL (SELECT unnest(generate_series(1, len(d.words))) AS pos) i

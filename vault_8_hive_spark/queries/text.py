@@ -255,7 +255,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to")
     oracle=f"""
 WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
 SELECT doc_id,
-       len(words) AS n_tokens,
+       CAST(len(words) AS INT) AS n_tokens,
        ROUND(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 9) AS uniq_ratio,
        ROUND(CAST(len(list_filter(words, t -> list_contains({list(_STOPWORDS)!r}, t))) AS DOUBLE)
              / len(words), 9) AS stopword_ratio,
@@ -333,7 +333,7 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint_5gram",
     oracle="""
 SELECT doc_id,
-       length(text) - 4 AS n_grams,
+       CAST(length(text) - 4 AS INT) AS n_grams,
        list_min(list_transform(generate_series(1, length(text)-4),
                                i -> md5(text[i:i+4]))) AS fp_min,
        list_max(list_transform(generate_series(1, length(text)-4),
@@ -409,8 +409,8 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpe_tokens",
     oracle="""
 SELECT doc_id,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
-       len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS n_unique,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS INT) AS n_unique,
        array_to_string(list_sort(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))[1:3], ' ') AS sample
 FROM documents
 WHERE doc_id <= 200

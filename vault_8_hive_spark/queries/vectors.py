@@ -57,7 +57,7 @@ _O_SIG = " || ".join(
     "vec_cosine_topk",
     oracle=f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, label, cos_sim, rn FROM (
+SELECT vec_id, label, cos_sim, CAST(rn AS INT) AS rn FROM (
   SELECT e.vec_id, e.label, {_O_COS} AS cos_sim,
          ROW_NUMBER() OVER (ORDER BY {_O_COS} DESC, e.vec_id) AS rn
   FROM embeddings e, q
@@ -183,7 +183,7 @@ def vec_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sigs AS (SELECT vec_id, label, embedding, ({_O_SIG}) AS bucket FROM embeddings),
 q AS (SELECT vec_id, embedding, bucket FROM sigs WHERE vec_id = 0)
-SELECT vec_id, label, cos_sim, rn FROM (
+SELECT vec_id, label, cos_sim, CAST(rn AS INT) AS rn FROM (
   SELECT e.vec_id, e.label, {_O_COS} AS cos_sim,
          ROW_NUMBER() OVER (ORDER BY {_O_COS} DESC, e.vec_id) AS rn
   FROM sigs e, q

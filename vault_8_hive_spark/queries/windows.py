@@ -27,10 +27,10 @@ from . import register
     "win_ranking",
     oracle="""
 SELECT n_name, s_suppkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
-       ROW_NUMBER()  OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rn,
-       RANK()        OVER (PARTITION BY n_name ORDER BY s_acctbal DESC) AS rnk,
-       DENSE_RANK()  OVER (PARTITION BY n_name ORDER BY s_acctbal DESC) AS drnk,
-       NTILE(4)      OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS quartile,
+       CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS rn,
+       CAST(RANK() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC) AS INT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC) AS INT) AS drnk,
+       CAST(NTILE(4) OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS quartile,
        ROUND(PERCENT_RANK() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC), 9) AS prank
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 """,
@@ -144,7 +144,7 @@ def win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_topk_per_group",
     oracle="""
-SELECT c_mktsegment, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+SELECT c_mktsegment, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, CAST(rn AS INT) AS rn
 FROM (
   SELECT c_mktsegment, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY c_mktsegment
