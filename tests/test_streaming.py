@@ -96,3 +96,28 @@ def test_watermark_drops_late_data(spark, sf_dir):
         assert got.get((12, 0)) == 2, got
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_rate_source_smoke(spark):
+    """The rate source (synthetic streaming benchmark source) produces
+    monotonically increasing values with timestamps."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time as _time
+
+        deadline = _time.time() + 15
+        while _time.time() < deadline and spark.table(name).count() < 5:
+            _time.sleep(0.5)
+        rows = spark.table(name).collect()
+        assert len(rows) >= 5
+        vals = sorted(r["value"] for r in rows)
+        assert vals == list(range(vals[0], vals[0] + len(vals)))
+    finally:
+        q.stop()

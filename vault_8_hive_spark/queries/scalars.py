@@ -81,6 +81,7 @@ SELECT o_orderkey,
        strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
        o_orderdate + INTERVAL 3 DAY                        AS ts_plus3,
        CAST(epoch(o_orderdate) AS BIGINT)                  AS epoch_s,
+       CAST(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS reparsed,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')          AS formatted
 FROM orders
 WHERE o_orderkey <= 3000
@@ -107,6 +108,9 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("plus30"),
         (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("ts_plus3"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.to_timestamp(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("reparsed"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
     )
 

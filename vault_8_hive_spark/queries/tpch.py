@@ -184,3 +184,32 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+_SQL_API_TEXT = """
+SELECT n_name,
+       COUNT(DISTINCT s_suppkey)                 AS n_suppliers,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(28,4))), 4) AS DOUBLE) AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name <> 'EUROPE'
+GROUP BY n_name
+HAVING COUNT(DISTINCT s_suppkey) > 1
+"""
+
+
+@register(
+    "sql_api_text",
+    oracle=_SQL_API_TEXT,
+    tags=("sql-api", "join", "agg"),
+)
+def sql_api_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text API surface: the identical ANSI string runs through
+    spark.sql() over registered views AND through the DuckDB oracle —
+    one query text, two engines, hash-equal results (incl. HAVING)."""
+    from ..catalog import register_views
+
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_TEXT)
