@@ -24,3 +24,16 @@ def test_lsh_buckets_partition_corpus(spark, sf_dir):
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert pdf["n_vecs"].sum() == n
     assert len(pdf) > 1, "all vectors hashed to one bucket — planes broken"
+
+
+def test_kmeans_converges_and_deterministic(spark, sf_dir):
+    from vault_8_hive_spark.operators.kmeans import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a1, c1, inertia = kmeans(emb, "embedding", "vec_id", k=4, iters=3, dim=64)
+    assert inertia[0] >= inertia[-1], inertia  # Lloyd's never increases
+    n = emb.count()
+    sizes = {r["cluster"]: r["n"] for r in a1.groupBy("cluster").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == n
+    _, c2, _ = kmeans(emb, "embedding", "vec_id", k=4, iters=3, dim=64)
+    assert c1 == c2  # deterministic end to end

@@ -1,0 +1,64 @@
+"""Iterative k-means over an embedding column — the engine's
+iterative-algorithm pattern (SURVEY.md §2B notes such ops as
+non-SQL-expressible; checked by convergence/determinism tests).
+
+Shape: the PER-ITERATION work is fully distributed (assignment = argmin
+over broadcast centroid literals, update = posexplode + grouped mean);
+only the k x dim centroid matrix crosses the driver each iteration —
+the standard Spark iterative-ML pattern (k*dim doubles, not data rows).
+Deterministic: centroids initialize from caller-given ids and every
+reduction is a grouped mean (no RNG, no row-order dependence beyond
+float-sum order inside groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dist2(vec_col, centroid: list[float]):
+    """Squared L2 distance from an array column to a centroid literal."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add `cluster` (argmin centroid index) and `dist2` columns."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dists = F.array(*[_dist2(v, c) for c in centroids])
+    return df.withColumn(
+        "dist2", F.array_min(dists)
+    ).withColumn("cluster", F.array_position(dists, F.col("dist2")).cast("int") - 1)
+
+
+def kmeans(
+    df: DataFrame, vec_col: str, id_col: str, k: int, iters: int, dim: int
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Lloyd's algorithm; init = vectors of the k smallest ids.
+
+    Returns (assignments DataFrame, final centroids, per-iteration inertia).
+    """
+    seed_rows = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    inertia: list[float] = []
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_clusters(df, vec_col, centroids)
+        inertia.append(assigned.agg(F.sum("dist2")).collect()[0][0])
+        new_rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, list[float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["m"]
+        centroids = [by_cluster.get(c, centroids[c]) for c in range(k)]
+    return assigned, centroids, inertia

@@ -55,7 +55,7 @@ _PARSE_ROWS = [
 
 @register(
     "domain_beacon_parse",
-    oracle=f"SELECT beacon_id, version, os_name, mac, CAST(uptime_s AS BIGINT) AS uptime_s, next_beacon_s, has_procs FROM {_values(_PARSE_ROWS, _PARSE_COLS)}",
+    oracle=f"SELECT CAST(beacon_id AS BIGINT) AS beacon_id, version, os_name, mac, CAST(uptime_s AS BIGINT) AS uptime_s, next_beacon_s, has_procs FROM {_values(_PARSE_ROWS, _PARSE_COLS)}",
     tags=("domain", "codec", "udf"),
 )
 def domain_beacon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -300,3 +300,27 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("big_key").isNotNull().alias("is_big"),
     )
+
+
+_CORR_SUBQ = """
+SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_mktsegment = c.c_mktsegment)
+"""
+
+
+@register(
+    "subquery_correlated_scalar",
+    oracle=_CORR_SUBQ,
+    tags=("subquery", "join", "agg"),
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their segment's mean
+    balance) — Catalyst decorrelates it into an aggregate + join; the
+    identical SQL text runs on both engines."""
+    from ..catalog import register_views
+
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SUBQ)

@@ -154,7 +154,7 @@ def dedup_exact_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_full_row",
     oracle="""
-SELECT DISTINCT o_orderstatus, o_orderpriority, year(o_orderdate) AS order_year
+SELECT DISTINCT o_orderstatus, o_orderpriority, CAST(year(o_orderdate) AS INT) AS order_year
 FROM orders
 """,
     tags=("dedup",),
@@ -168,4 +168,29 @@ def dedup_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority", F.year("o_orderdate").alias("order_year")
         )
         .distinct()
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+FROM part WHERE p_partkey <= 1000
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+FROM part WHERE p_partkey <= 1000
+""",
+    tags=("unpivot",),
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns -> (metric, value) rows via stack()
+    — the inverse of events_daily_pivot."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 1000)
+        .selectExpr(
+            "p_partkey",
+            "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (metric, value)",
+        )
     )

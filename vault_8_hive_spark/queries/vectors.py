@@ -238,14 +238,17 @@ WHERE (list_sum(list_transform(generate_series(1, 64),
       / (sqrt(list_sum(list_transform(generate_series(1, 64),
               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
          * sqrt(list_sum(list_transform(generate_series(1, 64),
-                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) >= 0.95
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) >= 0.3
 """,
     tags=("vectors", "dedup", "lsh", "similarity"),
 )
 def vec_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: LSH-bucketed candidate
-    pairs verified at cosine >= 0.95 — the vector analog of MinHash text
-    dedup (bucket join instead of all-pairs; same shape at 100 TB)."""
+    pairs verified at cosine >= 0.3 — the vector analog of MinHash text
+    dedup (bucket join instead of all-pairs; same shape at 100 TB). The
+    synthetic embeddings are near-orthogonal (max in-bucket cosine ~0.40),
+    so 0.3 marks the top percentile of similar pairs; with a corpus that
+    has true duplicates the threshold moves to ~0.95 unchanged."""
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
     sigs = emb.select(
@@ -256,6 +259,27 @@ def vec_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = sigs.join(right, (sigs.bucket == right.bk) & (sigs.vec_id < right.vec_b))
     cos = cosine(to_double("embedding"), to_double("emb_b"))
-    return pairs.where(cos >= 0.95).select(
+    return pairs.where(cos >= 0.3).select(
         F.col("vec_id").alias("vec_a"), "vec_b", F.round(cos, 6).alias("cos_sim")
+    )
+
+
+@register(
+    "vec_kmeans_clusters",
+    oracle=None,  # iterative algorithm — convergence/determinism in
+    # tests/test_vectors.py (SQL cannot express the fixpoint loop)
+    tags=("vectors", "iterative", "kmeans"),
+)
+def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (k=4, 3 Lloyd iterations, deterministic init from the 4
+    smallest vec_ids) over the embedding corpus; returns per-cluster size
+    and mean squared distance (operators/kmeans.py)."""
+    from ..operators.kmeans import kmeans
+
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _, _ = kmeans(emb, "embedding", "vec_id", k=4, iters=3, dim=DIM)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("dist2"), 6).alias("mean_dist2"),
     )
