@@ -340,3 +340,138 @@ def domain_mac_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     df = spark.createDataFrame(_MAC_FIXTURES, "id int, raw string")
     return df.select("id", "raw", mac_normalize("raw").alias("mac"))
+
+
+# --- 7. command-session log (D3) -------------------------------------------
+# Session/command analytics over the COMMAND/REPLY record family
+# (server/client_session.h:29-72, dispatch client_session.c:504-568).
+# Deterministic fixture: 300 sessions across the fleet's MACs.
+
+_COMMANDS_D3 = ("UPLOAD", "EXECUTE", "DOWNLOAD", "DELETE", "SHUTDOWN", "LAUNCHTRUESHELL", "EXIT")
+
+
+def _session_fixture() -> list[tuple]:
+    import random
+
+    rng = random.Random(1337)
+    macs = sorted({r["mac"] for r in _RECORDS})
+    rows = []
+    for sid in range(300):
+        mac = macs[sid % len(macs)]
+        start_min = sid * 7 + rng.randint(0, 5)
+        dur_s = rng.randint(5, 3600)  # SESSION_TIMEOUT is 1h
+        cmd = _COMMANDS_D3[rng.randint(0, len(_COMMANDS_D3) - 1)]
+        path = f"/tmp/file_{sid % 17}.bin" if cmd in ("UPLOAD", "DOWNLOAD", "DELETE") else None
+        size = rng.randint(100, 4_000_000) if cmd in ("UPLOAD", "DOWNLOAD") else None
+        reply = 0 if rng.random() > 0.08 else rng.randint(1, 4)
+        rows.append((sid, mac, start_min, dur_s, cmd, path, size, reply))
+    return rows
+
+
+_SESSIONS = _session_fixture()
+
+
+def _py_session_stats() -> list[tuple]:
+    agg: dict[str, list] = {}
+    for (_sid, _mac, _start, dur, cmd, _path, size, reply) in _SESSIONS:
+        a = agg.setdefault(cmd, [0, 0, 0, 0])  # n, fails, total_dur, total_size
+        a[0] += 1
+        a[1] += 1 if reply != 0 else 0
+        a[2] += dur
+        a[3] += size or 0
+    return [
+        (cmd, a[0], a[1], a[2], round(a[2] / a[0], 6), a[3])
+        for cmd, a in sorted(agg.items())
+    ]
+
+
+@register(
+    "domain_session_commands",
+    oracle=f"""
+SELECT command, CAST(n AS BIGINT) AS n, CAST(n_failed AS BIGINT) AS n_failed,
+       CAST(total_dur_s AS BIGINT) AS total_dur_s,
+       ROUND(CAST(total_dur_s AS DOUBLE) / n, 6) AS avg_dur_s,
+       CAST(total_bytes AS BIGINT) AS total_bytes
+FROM {_values(_py_session_stats(), ["command", "n", "n_failed", "total_dur_s", "avg_dur_s_ref", "total_bytes"])}
+""",
+    tags=("domain", "sessions", "agg"),
+)
+def domain_session_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Command-mix analytics over the session log (D3): per command —
+    volume, failure count (reply != 0, client_session.c:147 semantics),
+    duration, transfer bytes."""
+    prep(spark)
+    df = spark.createDataFrame(
+        _SESSIONS,
+        "session_id long, mac string, start_min int, dur_s int, command string, "
+        "path string, size long, reply int",
+    )
+    return df.groupBy("command").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("reply") != 0, 1).otherwise(0)).alias("n_failed"),
+        F.sum("dur_s").cast("bigint").alias("total_dur_s"),
+        F.round(F.sum("dur_s").cast("double") / F.count(F.lit(1)), 6).alias("avg_dur_s"),
+        F.sum(F.coalesce(F.col("size"), F.lit(0))).alias("total_bytes"),
+    )
+
+
+def _py_sockets() -> list[tuple]:
+    rows = []
+    for r in _RECORDS:
+        if not r["netstat_an"]:
+            continue
+        for line in r["netstat_an"].split("\n"):
+            proto, local, remote, state = line.split()
+            l_addr, l_port = local.rsplit(":", 1)
+            r_addr, r_port = remote.rsplit(":", 1)
+            rows.append((r["beacon_id"], proto, l_addr, int(l_port), r_addr, int(r_port), state))
+    return rows
+
+
+def _py_socket_rollup() -> list[tuple]:
+    agg: dict[tuple, list] = {}
+    for (_b, proto, _la, _lp, ra, rp, state) in _py_sockets():
+        a = agg.setdefault((proto, state), [0, set(), set()])
+        a[0] += 1
+        a[1].add(ra)
+        a[2].add(rp)
+    return [
+        (proto, state, a[0], len(a[1]), len(a[2]))
+        for (proto, state), a in sorted(agg.items())
+    ]
+
+
+@register(
+    "domain_sockets_explode",
+    oracle=f"""
+SELECT proto, state, CAST(n_sockets AS BIGINT) AS n_sockets,
+       CAST(n_remote_addrs AS BIGINT) AS n_remote_addrs,
+       CAST(n_remote_ports AS BIGINT) AS n_remote_ports
+FROM {_values(_py_socket_rollup(), ["proto", "state", "n_sockets", "n_remote_addrs", "n_remote_ports"])}
+""",
+    tags=("domain", "text-parse", "sockets"),
+)
+def domain_sockets_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netstat_an text blob -> sockets silver table (A5; busybox netstat
+    shape per server/netstat_an.c) -> per (proto, state) rollup with
+    distinct remote endpoints — the fleet's connection census."""
+    prep(spark)
+    b = bronze_beacons(spark).where(F.col("netstat_an").isNotNull())
+    f = F.split(F.col("line"), " ")
+    socks = (
+        b.select("beacon_id", F.explode(F.split("netstat_an", "\n")).alias("line"))
+        .select(
+            "beacon_id",
+            F.element_at(f, 1).alias("proto"),
+            F.regexp_extract(F.element_at(f, 2), "^(.*):([0-9]+)$", 1).alias("local_addr"),
+            F.regexp_extract(F.element_at(f, 2), "^(.*):([0-9]+)$", 2).cast("int").alias("local_port"),
+            F.regexp_extract(F.element_at(f, 3), "^(.*):([0-9]+)$", 1).alias("remote_addr"),
+            F.regexp_extract(F.element_at(f, 3), "^(.*):([0-9]+)$", 2).cast("int").alias("remote_port"),
+            F.element_at(f, 4).alias("state"),
+        )
+    )
+    return socks.groupBy("proto", "state").agg(
+        F.count(F.lit(1)).alias("n_sockets"),
+        F.countDistinct("remote_addr").alias("n_remote_addrs"),
+        F.countDistinct("remote_port").alias("n_remote_ports"),
+    )
