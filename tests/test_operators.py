@@ -50,3 +50,30 @@ def test_asof_strict_skips_equal_time(spark):
     }
     assert out[(1, "L2")] == 10.0  # strict: equal timestamp is NOT prior
     assert out[(2, "L3")] is None
+
+
+def test_asof_preserves_genuine_null_payload(spark):
+    """A matched right row whose value is genuinely NULL must yield NULL —
+    not an older row's value — and multi-column payloads must never mix
+    fields from different right rows."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T03:00:00"), "L")], "k int, t timestamp, lbl string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T01:00:00"), 5.0, "a"),
+            (1, _ts("2024-01-01T02:00:00"), None, None),  # the true as-of match
+        ],
+        "k int, rt timestamp, v double, tag string",
+    )
+    rows = asof_join(left, right, ["k"], "t", "rt", ["v", "tag"]).collect()
+    assert rows[0]["v"] is None and rows[0]["tag"] is None
+
+
+def test_asof_rejects_colliding_value_cols(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, _ts("2024-01-01T03:00:00"), 0.0)], "k int, t timestamp, v double")
+    right = spark.createDataFrame([(1, _ts("2024-01-01T01:00:00"), 5.0)], "k int, rt timestamp, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "t", "rt", ["v"])

@@ -93,8 +93,9 @@ def xtea_decrypt(data: bytes, key16: bytes) -> bytes:
 def session_key_from_reply(reply37: bytes) -> bytes:
     """Key schedule of the LP's 37-byte random reply: offset=(b0^5)%15,
     key = 16 bytes starting at offset+1."""
-    if len(reply37) < 17:
-        raise ValueError("reply too short")
+    if len(reply37) < 31:
+        # worst-case offset is 14, so 14 + 1 + 16 = 31 bytes must exist
+        raise ValueError("reply too short (need >= 31 bytes)")
     off = (reply37[0] ^ 5) % 15
     return reply37[off + 1 : off + 17]
 

@@ -47,23 +47,32 @@ def asof_join(
     sees or skips same-time right rows.
     """
     l_types = {f.name: f.dataType for f in left.schema.fields}
-    r_types = {f.name: f.dataType for f in right.schema.fields}
     l_payload = [c for c in left.columns if c not in on]
+    overlap = set(value_cols) & set(l_payload)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
     right_tag = 2 if strict else 0
+
+    # The right payload rides as ONE struct: `last(ignorenulls)` must skip
+    # left-row placeholders but still deliver right rows whose individual
+    # value columns are genuinely NULL — and must never mix fields from
+    # different right rows. A struct is NULL only for the placeholder.
+    r_struct = F.struct(*[F.col(c) for c in value_cols])
+    r_struct_type = right.select(r_struct.alias("s")).schema["s"].dataType
 
     l_proj = left.select(
         *on,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__tag"),
         *l_payload,
-        *[F.lit(None).cast(r_types[c]).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_proj = right.select(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(right_tag).alias("__tag"),
         *[F.lit(None).cast(l_types[c]).alias(c) for c in l_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        r_struct.alias("__r"),
     )
 
     w = (
@@ -72,11 +81,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_proj.unionByName(r_proj).select(
-        "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__asof")
     )
     return carried.where(F.col("__tag") == 1).select(
         *on,
         *l_payload,
-        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__asof.{c}").alias(c) for c in value_cols],
     )

@@ -15,14 +15,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .similarity import lit_vec
+
 
 def _dist2(vec_col, centroid: list[float]):
-    """Squared L2 distance from an array column to a centroid literal."""
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    """Squared L2 distance from an array column to a centroid literal
+    (same fold/literal builders as operators/similarity.py)."""
+    diff = F.zip_with(vec_col, lit_vec(centroid), lambda a, b: a - b)
     return F.aggregate(
-        F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.zip_with(diff, diff, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
@@ -47,18 +48,26 @@ def kmeans(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
     inertia: list[float] = []
-    assigned = None
     for _ in range(iters):
-        assigned = assign_clusters(df, vec_col, centroids)
-        inertia.append(assigned.agg(F.sum("dist2")).collect()[0][0])
-        new_rows = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .collect()
-        )
+        # One materialization per iteration, shared by the inertia action
+        # and the centroid-update action (otherwise the assignment plan
+        # executes twice).
+        assigned = assign_clusters(df, vec_col, centroids).persist()
+        try:
+            inertia.append(assigned.agg(F.sum("dist2")).collect()[0][0])
+            new_rows = (
+                assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                .collect()
+            )
+        finally:
+            assigned.unpersist()
         by_cluster: dict[int, list[float]] = {}
         for r in new_rows:
             by_cluster.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["m"]
         centroids = [by_cluster.get(c, centroids[c]) for c in range(k)]
+    # Final assignment against the RETURNED centroids (assignments made
+    # inside the loop label against the pre-update matrix).
+    assigned = assign_clusters(df, vec_col, centroids)
     return assigned, centroids, inertia

@@ -100,6 +100,8 @@ def resize_batches(pdf_iter, target_w: int = 64):
         rows = []
         for mid, blob in zip(pdf["media_id"], pdf["blob"]):
             h = decode_header(bytes(blob))
+            if h["width"] <= 0:
+                continue  # malformed record: skip, don't fail the task
             scale = target_w / h["width"]
             new_h = max(1, int(h["height"] * scale))
             thumb = struct.pack(

@@ -456,10 +456,16 @@ def domain_sockets_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape per server/netstat_an.c) -> per (proto, state) rollup with
     distinct remote endpoints — the fleet's connection census."""
     prep(spark)
-    b = bronze_beacons(spark).where(F.col("netstat_an").isNotNull())
-    f = F.split(F.col("line"), " ")
+    # Guard empty-string blobs too (the oracle's python mirror skips
+    # falsy blobs, not just nulls), and split on any whitespace run —
+    # real busybox netstat output is column-padded.
+    b = bronze_beacons(spark).where(
+        F.col("netstat_an").isNotNull() & (F.col("netstat_an") != "")
+    )
+    f = F.split(F.trim(F.regexp_replace("line", "\\s+", " ")), " ")
     socks = (
         b.select("beacon_id", F.explode(F.split("netstat_an", "\n")).alias("line"))
+        .where(F.trim("line") != "")
         .select(
             "beacon_id",
             F.element_at(f, 1).alias("proto"),

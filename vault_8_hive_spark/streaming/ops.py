@@ -53,7 +53,14 @@ def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    # Detach the (small, aggregated) result from the memory sink and drop
+    # the sink's temp view — otherwise every call leaks a materialized
+    # result set into driver memory for the session's lifetime.
+    out = spark.table(name)
+    rows, schema = out.collect(), out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 # --- stateful operator: per-user running stats via applyInPandasWithState --
