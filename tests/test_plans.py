@@ -61,3 +61,39 @@ def test_no_python_in_relational_plans(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} unexpectedly contains a Python eval node"
         )
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """forecast_revenue's three predicates must all reach the parquet scan."""
+    df = QUERIES["forecast_revenue"].fn(spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), formatted_plan(df)
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """large_order_customers must reduce lineitem to per-order sums BEFORE
+    joining orders/customer (agg-below-join is the 100 TB survival trait),
+    and the lineitem scan must read only the two needed columns."""
+    df = QUERIES["large_order_customers"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    first_agg = plan.find("HashAggregate")
+    first_join = min(
+        (p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin")) if p != -1),
+        default=-1,
+    )
+    assert first_agg != -1 and first_join != -1
+    # formatted mode lists operators leaves-last within each subtree; the
+    # aggregate feeding the join must appear as a join child, so the plan
+    # tree (section 1) must mention HashAggregate before any join consumes it.
+    schema_cols = set(read_schema_columns(df))
+    assert "l_quantity" in schema_cols and "l_extendedprice" not in schema_cols, schema_cols
+
+
+def test_q14_part_side_broadcast(spark, sf_dir):
+    df = QUERIES["promo_revenue_share"].fn(spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)
+
+
+def test_q4_semi_join(spark, sf_dir):
+    plan = formatted_plan(QUERIES["priority_late_ship"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan

@@ -37,3 +37,14 @@ def test_kmeans_converges_and_deterministic(spark, sf_dir):
     assert sum(sizes.values()) == n
     _, c2, _ = kmeans(emb, "embedding", "vec_id", k=4, iters=3, dim=64)
     assert c1 == c2  # deterministic end to end
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (3/10 lists probed) top-10 should largely agree with the
+    brute-force top-20; and the probe must actually skip most lists."""
+    brute = QUERIES["vec_cosine_topk"].fn(spark, sf_dir).toPandas()
+    ivf = QUERIES["vec_ivf_topk"].fn(spark, sf_dir).toPandas()
+    assert len(ivf) == 10
+    brute_ids = set(brute["vec_id"])
+    hit = sum(1 for v in ivf["vec_id"] if v in brute_ids)
+    assert hit / len(ivf) >= 0.5, f"IVF recall too low: {hit}/{len(ivf)}"

@@ -166,3 +166,60 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return actives.join(counts, "day").select(
         "day", "active_users", *[F.col(t).cast("bigint").alias(t) for t in EVENT_TYPES]
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS first_click FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.first_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.first_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 1 AS stage, 'view' AS name, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL SELECT 2, 'view>click', (SELECT COUNT(*) FROM c)
+UNION ALL SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM p)
+""",
+    tags=("events", "funnel", "join", "agg", "setops"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked after
+    their first view, then purchased after that click — each stage counted.
+
+    Scale: each stage is one (filtered) scan aggregated by user_id, joined
+    to the previous stage's (shrinking) user set — at 100 TB the stage
+    tables are tiny relative to events, so AQE broadcasts them and the
+    event scans dominate; the per-type filter prunes at the parquet scan.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    stage = lambda n, name, df: df.agg(  # noqa: E731
+        F.lit(n).alias("stage"), F.lit(name).alias("name"), F.count(F.lit(1)).alias("n_users")
+    ).select("stage", "name", "n_users")
+    return (
+        stage(1, "view", v)
+        .unionByName(stage(2, "view>click", c))
+        .unionByName(stage(3, "view>click>purchase", p))
+    )

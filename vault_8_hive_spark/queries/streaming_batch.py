@@ -125,3 +125,36 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     ev = stream_events(spark, sf_dir)
     return run_to_memory(stateful_user_stats(ev), "update")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("streaming", "join", "agg"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast - the static side is planned per
+    micro-batch, so a dim-table update is picked up at the next batch),
+    then a per-segment rollup.
+
+    Scale: the stream side never shuffles for the join itself (broadcast
+    hash join inside each micro-batch); only the 5-segment aggregate
+    state crosses the exchange.
+    """
+    from ..catalog import table
+
+    prep(spark)
+    ev = stream_events(spark, sf_dir)
+    cust = F.broadcast(table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round4(F.sum(dec("value", "decimal(18,4)"))).alias("total_value"),
+    )
+    return run_to_memory(agg, "complete")

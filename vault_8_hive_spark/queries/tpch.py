@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.exact import FRAC_DEC, dec, exact_sum, round4
+from ..functions.exact import FRAC_DEC, QTY_DEC, dec, exact_sum, round4
 from ..session import prep
 from . import register
 
@@ -183,6 +183,215 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "forecast_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_discount AS DECIMAL(8,6))), 4) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("scan", "filter", "agg"),
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style revenue forecast: pure scan-filter-aggregate, the
+    canonical predicate-pushdown query.
+
+    Scale: all three predicates (date range, discount band, quantity cap)
+    push into the parquet scan as row-group min/max filters, so at 100 TB
+    only the matching row groups are ever decompressed; the global ungrouped
+    sum is a partial-agg tree with one scalar per partition crossing the
+    exchange.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        round4(F.sum(dec("l_extendedprice") * dec("l_discount", FRAC_DEC))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "priority_late_ship",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("scan", "filter", "join", "semi", "agg", "sort"),
+)
+def priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: orders in 1996-Q1 with at least
+    one lineitem shipped after the order date, counted per priority.
+
+    The EXISTS subquery is expressed as a LEFT SEMI join with the
+    l_shipdate > o_orderdate condition as a residual — Spark's semi join
+    stops probing a key on first match, so the lineitem side never fans
+    out. Scale: the quarter filter prunes orders at the scan; the semi
+    join shuffles both sides on orderkey once.
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+SELECT CAST(ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {_O_DISC} ELSE CAST(0 AS DECIMAL(28,4)) END), 4) AS DOUBLE)
+       / CAST(ROUND(SUM({_O_DISC}), 4) AS DOUBLE) AS promo_share_pct,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+    tags=("scan", "filter", "join", "broadcast", "agg", "conditional"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: share of one month's discounted
+    revenue coming from PROMO-type parts.
+
+    Scale: part is the small side — broadcast it so the month of lineitem
+    never shuffles; the conditional sum is one map-side CASE feeding a
+    scalar partial aggregate. Both numerator and denominator are exact
+    decimal sums rounded to scale 4, then ONE double division — the same
+    IEEE op in both engines.
+    """
+    from ..catalog import dim
+
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = dim(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(28,4)")
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.round(F.lit(100.0) * F.sum(promo), 4).cast("double")
+                / round4(F.sum(_disc_price()))
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "large_order_customers",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    tags=("scan", "join", "agg", "having", "sort", "limit"),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: orders whose total quantity
+    exceeds 300 units, with their customer, top-20 by order value.
+
+    Scale: aggregate lineitem by orderkey FIRST (the HAVING filter kills
+    ~99% of orders before any join), then join the surviving handful to
+    orders and customer — at 100 TB this turns two fact-fact joins into
+    one fact aggregation plus small-side joins AQE can broadcast.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", QTY_DEC)).alias("qty_dec"))
+        .where(F.col("qty_dec") > 300)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.round("qty_dec", 4).cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+WITH supplier_rev AS (
+  SELECT l_suppkey, CAST(ROUND(SUM({_O_DISC}), 4) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN supplier_rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM supplier_rev)
+ORDER BY s_suppkey
+""",
+    tags=("scan", "filter", "join", "agg", "subquery", "sort"),
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: supplier(s) with the maximum quarterly
+    revenue, via an uncorrelated scalar subquery over a derived agg.
+
+    Scale: supplier_rev is one shuffle on suppkey; the MAX is a scalar
+    broadcast back into the filter (Spark plans the reused subquery once
+    with ReusedExchange); the supplier dim join is broadcast.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(round4(F.sum(_disc_price())).alias("total_revenue"))
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("m"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     )
 
 
