@@ -137,3 +137,31 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+SELECT p_type, p_brand, COUNT(*) AS n_parts,
+       CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS total_price
+FROM part
+GROUP BY p_type, p_brand
+""",
+    tags=("sink", "scan", "orc"),
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round trip: part written as ORC once, read back and
+    aggregated; must equal the parquet original. ORC is the other columnar
+    format with predicate pushdown/pruning in Spark — interchange with
+    ORC-based warehouses without a correctness cliff."""
+    prep(spark)
+    path = _work(sf_dir, "part_orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "part").write.mode("overwrite").orc(path)
+    df = spark.read.orc(path)
+    return df.groupBy("p_type", "p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum(F.col("p_retailprice").cast("decimal(28,4)")), 4)
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -393,8 +393,32 @@ def _simhash_batch(pdf_iter):
 
 @register(
     "text_simhash",
-    oracle=None,  # 64-bit bit-twiddling is not ANSI-SQL-expressible; see
-    # tests/test_text.py for the pure-python reference cross-check
+    # DuckDB replays the exact bit-twiddling: token hash = first 16 hex
+    # chars of md5 as UBIGINT (== first 8 digest bytes big-endian), ±1
+    # votes per bit over a 0..63 series, fingerprint = sum of winning
+    # bits. (Assumes non-empty text, which holds for the documents table
+    # at every SF; the UDF's empty-doc branch is covered in tests.)
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, generate_series(0, 63) AS g(i)
+  GROUP BY doc_id, i
+),
+fp AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << CAST(i AS INT))
+                               ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS f
+  FROM votes GROUP BY doc_id
+)
+SELECT fp.doc_id AS doc_id, lpad(lower(hex(f)), 16, '0') AS simhash_hex,
+       CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+FROM fp JOIN documents d ON fp.doc_id = d.doc_id
+""",
     tags=("text", "simhash", "udf"),
 )
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
