@@ -487,3 +487,90 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(inter > 0).select(
         F.col("doc_id").alias("doc_a"), "doc_b", F.round(jac, 9).alias("jaccard")
     )
+
+
+@register(
+    "text_train_test_split",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM h GROUP BY 1, 2
+""",
+    tags=("text", "pipeline", "sampling"),
+)
+def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test split by content-independent
+    key hash (first 4 md5 bytes of doc_id, mod 100) — the reproducible,
+    engine-portable way to split a training corpus.
+
+    Scale: the split is a pure projection (no shuffle, no sampling state,
+    no RNG); any engine or a later rerun assigns every document to the
+    same split, which is what makes held-out contamination checks valid.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "text_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY 1
+""",
+    tags=("text", "pipeline", "window"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents in deterministic
+    doc_id order are packed into ~512-token bins by running token count
+    (bin = cumulative tokens before the doc, integer-divided by 512).
+
+    Scale: one global running sum — the classic "order-dependent but
+    associative" pattern. At 100 TB the single global window would be the
+    bottleneck; the production layout keeps doc_id ranges partitioned and
+    packs per range (pack_id = (range_id, local_bin)), which this plan
+    becomes by adding the range key to the window partition — same
+    semantics, no global sort.
+    """
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = docs.select(
+        "doc_id",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).cast("bigint").alias("pack_id"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
