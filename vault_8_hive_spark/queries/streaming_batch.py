@@ -6,6 +6,8 @@ DuckDB oracle applicable (SURVEY.md §5.2 item 2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -158,3 +160,76 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.sum(dec("value", "decimal(18,4)"))).alias("total_value"),
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_foreach_batch_upsert",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "foreachBatch", "sink", "agg"),
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the event stream is consumed one file per
+    micro-batch (4 range-split files), and each batch APPENDS its partial
+    per-user aggregate to a parquet target; the serving read compacts the
+    partials into final totals.
+
+    This is the idempotent streaming-upsert pattern for non-ACID targets:
+    partial-agg appends commute (decimal sums), so replayed batches only
+    duplicate a partial that the compaction re-merges — no read-modify-
+    write race on the target. Scale: each micro-batch ships a partial agg
+    (bounded by distinct keys, not events); compaction is one shuffle at
+    read or a periodic background rewrite.
+    """
+    import shutil
+
+    from .formats import _work
+
+    prep(spark)
+    src = _work(sf_dir, "events_split4")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartitionByRange(4, "event_id")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    target = _work(sf_dir, "user_totals_incremental")
+    ckpt = target + "_ckpt"
+    for d in (target, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value", "decimal(18,4)")).alias("value_dec"),
+            )
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(target)
+    return partials.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        round4(F.sum("value_dec")).alias("total_value"),
+    )
