@@ -99,3 +99,35 @@ def test_beacon_roundtrip_property(version, os, mac, uptime, nxt, proc, ipc, rn,
     assert out["ipconfig"] == ipc
     assert out["netstat_rn"] == rn
     assert out["netstat_an"] == an
+
+
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=0, max_value=65535),
+    st.binary(min_size=20, max_size=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_trigger_roundtrip_property(seed, addr, port, kh):
+    from vault_8_hive_spark.functions.codecs import decode_trigger, encode_trigger
+
+    blob = encode_trigger(seed, addr, port, kh)
+    assert len(blob) == 29
+    d = decode_trigger(blob)
+    assert d["crc_ok"] is True
+    assert d["seed"] == seed
+    assert d["callback_port"] == port
+    assert d["key_hash_hex"] == kh.hex()
+    assert d["callback_ip"] == ".".join(str((addr >> s) & 0xFF) for s in (24, 16, 8, 0))
+
+
+@given(st.integers(min_value=1, max_value=28), st.integers(min_value=1, max_value=255))
+@settings(max_examples=100, deadline=None)
+def test_trigger_corruption_detected(pos, flip):
+    """Any single-byte corruption of the obfuscated body must fail the CRC
+    (or, for byte 0, change the seed and thus scramble the body)."""
+    from vault_8_hive_spark.functions.codecs import decode_trigger, encode_trigger
+
+    blob = encode_trigger(90, 0x0A00020F, 4444, b"\x11" * 20)
+    bad = blob[:pos] + bytes([blob[pos] ^ flip]) + blob[pos + 1 :]
+    assert decode_trigger(bad)["crc_ok"] is False

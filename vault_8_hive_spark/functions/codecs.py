@@ -139,6 +139,44 @@ def crc16(data: bytes, poly: int = 0x1021, init: int = 0xFFFF) -> int:
     return crc
 
 
+# --- trigger payload (D2) fixture codec ------------------------------------
+# Record shape per the reference's Payload struct (server/trigger_payload.h:
+# 32-39): {u8 seed, u32 callback_addr, u16 callback_port, u8[20] idKey_hash,
+# u16 crc} = 29 packed network-order bytes; deobfuscate-then-CRC-validate
+# flow per server/trigger_payload.c:96-133. Fixture simplification: the
+# keystream is the seed byte repeated (the analytics engine needs the
+# record SHAPE and a validatable checksum, not protocol fidelity).
+
+
+def encode_trigger(seed: int, callback_addr: int, callback_port: int, key_hash20: bytes) -> bytes:
+    """Pack + seed-XOR a 29-byte trigger payload; CRC16 over the clear body."""
+    import struct
+
+    body = struct.pack(">IH20s", callback_addr, callback_port, key_hash20)
+    clear = body + struct.pack(">H", crc16(body))
+    return bytes([seed]) + bytes(b ^ seed for b in clear)
+
+
+def decode_trigger(blob: bytes) -> dict:
+    """Deobfuscate + parse + CRC-validate a trigger payload blob."""
+    import struct
+
+    if len(blob) != 29:
+        return {"seed": None, "callback_ip": None, "callback_port": None,
+                "key_hash_hex": None, "crc_ok": False}
+    seed = blob[0]
+    clear = bytes(b ^ seed for b in blob[1:])
+    addr, port, kh = struct.unpack(">IH20s", clear[:26])
+    (crc,) = struct.unpack(">H", clear[26:28])
+    return {
+        "seed": seed,
+        "callback_ip": ".".join(str((addr >> s) & 0xFF) for s in (24, 16, 8, 0)),
+        "callback_port": port,
+        "key_hash_hex": kh.hex(),
+        "crc_ok": crc16(clear[:26]) == crc,
+    }
+
+
 # --- beacon record ---------------------------------------------------------
 
 

@@ -481,3 +481,96 @@ def domain_sockets_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("remote_addr").alias("n_remote_addrs"),
         F.countDistinct("remote_port").alias("n_remote_ports"),
     )
+
+
+# --- trigger payload (D2) parse --------------------------------------------
+
+def _trigger_fixtures() -> list[tuple[int, bytes, dict]]:
+    """Deterministic good/bad trigger-payload matrix (the shape of the
+    reference's manual fixture specs, ilm-client/goodLocal*/bad*): valid
+    payloads across the seed domain, one CRC-corrupted, one truncated."""
+    import hashlib as _h
+
+    from ..functions.codecs import decode_trigger, encode_trigger
+
+    out = []
+    for i in range(10):
+        seed = (i * 37 + 5) % 256
+        addr = (10 << 24) | (i << 16) | (2 * i << 8) | (i + 1)
+        port = 1024 + 53 * i
+        kh = _h.sha1(f"trigger-key-{i}".encode()).digest()
+        blob = encode_trigger(seed, addr, port, kh)
+        if i == 7:  # corrupt a body byte AFTER encoding: CRC must fail
+            blob = blob[:5] + bytes([blob[5] ^ 0xFF]) + blob[6:]
+        if i == 9:  # truncated datagram
+            blob = blob[:12]
+        out.append((i, blob, decode_trigger(blob)))
+    return out
+
+
+_TRIG = _trigger_fixtures()
+_TRIG_COLS = ["trigger_id", "seed", "callback_ip", "callback_port", "key_hash_hex", "crc_ok"]
+
+
+@register(
+    "domain_trigger_parse",
+    oracle=(
+        "SELECT CAST(trigger_id AS BIGINT) AS trigger_id, CAST(seed AS INT) AS seed, "
+        "callback_ip, CAST(callback_port AS INT) AS callback_port, key_hash_hex, crc_ok FROM "
+        + _values(
+            [
+                (i, d["seed"], d["callback_ip"], d["callback_port"], d["key_hash_hex"], d["crc_ok"])
+                for i, _, d in _TRIG
+            ],
+            _TRIG_COLS,
+        )
+    ),
+    tags=("domain", "codec", "udf"),
+)
+def domain_trigger_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 trigger-payload parse (SURVEY.md §1 D2): 29-byte packed structs
+    -> seed-XOR deobfuscate -> CRC16 validate -> typed rows, via
+    mapInPandas over a binary column. Bad records (corrupt CRC, short
+    blob) surface as crc_ok=false rows, never task failures."""
+    import pandas as _pd
+
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.codecs import decode_trigger
+
+    prep(spark)
+    blobs = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in _TRIG],
+        StructType([StructField("trigger_id", LongType()), StructField("blob", BinaryType())]),
+    )
+    out_schema = StructType(
+        [
+            StructField("trigger_id", LongType()),
+            StructField("seed", IntegerType()),
+            StructField("callback_ip", StringType()),
+            StructField("callback_port", IntegerType()),
+            StructField("key_hash_hex", StringType()),
+            StructField("crc_ok", BooleanType()),
+        ]
+    )
+
+    def parse(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for tid, blob in zip(pdf["trigger_id"], pdf["blob"]):
+                d = decode_trigger(bytes(blob))
+                rows.append(
+                    (int(tid), d["seed"], d["callback_ip"], d["callback_port"],
+                     d["key_hash_hex"], d["crc_ok"])
+                )
+            yield _pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return blobs.mapInPandas(parse, schema=out_schema)
