@@ -4,9 +4,12 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect). A warmup run of
-the flagship primes the JVM/parquet footer caches so the numbers measure
-the engine, not JVM startup.
+Each query is timed end-to-end (plan + execute + materialize). Results are
+materialized via toPandas (Arrow egress — the production path for bulk
+result transfer; row-object collect() is 2-3x slower for wide results and
+measures Python object construction, not the engine). A warmup pass primes
+the JVM/parquet footer caches so the numbers measure the engine, not JVM
+startup.
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ def main() -> None:
     # Warmup pass over every query: JIT + per-plan codegen + parquet
     # footer caches (not counted).
     for q in bench_set.values():
-        q.fn(spark, sf_dir).collect()
+        q.fn(spark, sf_dir).toPandas()
 
     # Median of 3 timed runs per query: single-run numbers on a 32-thread
     # local JVM are dominated by GC-pause lottery, not the plan.
@@ -57,7 +60,7 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            q.fn(spark, sf_dir).collect()
+            q.fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
         per[name] = round(statistics.median(runs), 4)
 
