@@ -77,3 +77,53 @@ def test_asof_rejects_colliding_value_cols(spark):
     right = spark.createDataFrame([(1, _ts("2024-01-01T01:00:00"), 5.0)], "k int, rt timestamp, v double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, ["k"], "t", "rt", ["v"])
+
+
+def test_asof_randomized_vs_duckdb(spark):
+    """Cross-engine fuzz: asof_join must equal DuckDB's native ASOF JOIN
+    on seeded random data (unique right timestamps per key, NULL payloads
+    included), in both inclusive and strict modes."""
+    import random
+
+    import duckdb
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 1, 1)
+        lrows = [
+            (k, base + dt.timedelta(seconds=rng.randint(0, 50_000)), f"L{k}-{i}")
+            for i, k in enumerate(rng.choices(range(6), k=60))
+        ]
+        # unique right times per key (ties are caller-contract-excluded)
+        rrows = []
+        for k in range(6):
+            times = rng.sample(range(0, 50_000), 25)
+            rrows += [
+                (
+                    k,
+                    base + dt.timedelta(seconds=s),
+                    None if rng.random() < 0.2 else round(rng.uniform(0, 100), 3),
+                )
+                for s in times
+            ]
+        left = spark.createDataFrame(lrows, "k int, t timestamp, lbl string")
+        right = spark.createDataFrame(rrows, "k int, rt timestamp, v double")
+
+        conn = duckdb.connect()
+        conn.register("l", left.toPandas())
+        conn.register("r", right.toPandas())
+        for strict, cmp in ((False, ">="), (True, ">")):
+            got = {
+                (row["k"], row["lbl"]): row["v"]
+                for row in asof_join(
+                    left, right, ["k"], "t", "rt", ["v"], strict=strict
+                ).collect()
+            }
+            exp = {
+                (row[0], row[1]): row[2]
+                for row in conn.execute(
+                    f"SELECT l.k, l.lbl, r.v FROM l ASOF LEFT JOIN r"
+                    f" ON l.k = r.k AND l.t {cmp} r.rt"
+                ).fetchall()
+            }
+            assert got == exp, (seed, strict)
