@@ -368,25 +368,32 @@ def _simhash_batch(pdf_iter):
 
     Token hash = first 8 bytes of md5 (portable, seedless); fingerprint
     bit i = sign of the sum of (+1/-1) votes from each token's bit i.
+
+    Hot-path shape: md5 is computed once per DISTINCT token per batch
+    (natural-language vocabularies are far smaller than token counts),
+    and the per-doc vote matrix is one numpy broadcast over all of the
+    doc's token hashes — no per-token Python arithmetic.
     """
     import hashlib
 
     import numpy as np
 
+    shifts = np.arange(64, dtype=np.uint64)
     for pdf in pdf_iter:
+        hash_cache: dict[str, int] = {}
         out = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             tokens = text.split(" ") if text else []
             if not tokens:
                 out.append((doc_id, "0" * 16, 0))
                 continue
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
             for t in tokens:
-                h = np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big"))
-                bits = (np.right_shift(h, shifts) & np.uint64(1)).astype(np.int64)
-                votes += 2 * bits - 1
-            fp = sum(1 << i for i in range(64) if votes[i] > 0)
+                if t not in hash_cache:
+                    hash_cache[t] = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            hs = np.array([hash_cache[t] for t in tokens], dtype=np.uint64)
+            bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tokens, 64)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            fp = int(((votes > 0).astype(np.uint64) << shifts).sum())
             out.append((doc_id, f"{fp:016x}", len(tokens)))
         yield pd.DataFrame(out, columns=["doc_id", "simhash_hex", "n_tokens"])
 
@@ -420,6 +427,7 @@ SELECT fp.doc_id AS doc_id, lpad(lower(hex(f)), 16, '0') AS simhash_hex,
 FROM fp JOIN documents d ON fp.doc_id = d.doc_id
 """,
     tags=("text", "simhash", "udf"),
+    bench=True,
 )
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints via mapInPandas (Arrow-batched; the one text
