@@ -11,7 +11,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.exact import FRAC_DEC, QTY_DEC, dec, exact_sum, round4
+from ..functions.exact import (
+    FRAC_DEC,
+    QTY_DEC,
+    dec,
+    exact_sum,
+    long_avg,
+    long_double,
+    long_sum,
+    round4,
+    scaled_long,
+)
 from ..session import prep
 from . import register
 
@@ -25,6 +35,21 @@ def _disc_price() -> F.Column:
 
 def _charge() -> F.Column:
     return _disc_price() * (F.lit(1).cast(FRAC_DEC) + dec("l_tax", FRAC_DEC))
+
+
+# Scaled-long spellings of the same exact values (see functions/exact.py:
+# hot path for the bench SFs; the decimal spellings above are the >=5e7-row
+# cluster-scale fallback with identical results).
+
+
+def _disc100x100() -> F.Column:
+    # l_extendedprice*(1-l_discount) in 1e-4 units, exact on int64
+    return scaled_long("l_extendedprice") * (F.lit(100) - scaled_long("l_discount"))
+
+
+def _charge100x3() -> F.Column:
+    # ... * (1+l_tax) in 1e-6 units
+    return _disc100x100() * (F.lit(100) + scaled_long("l_tax"))
 
 
 # DECIMAL(28,4) (not 18) so DuckDB multiplies in int128 instead of
@@ -63,16 +88,24 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    # Exact fixed-point aggregation on scaled int64 (functions/exact.py):
+    # the five money sums stay long-typed through the partial/final agg
+    # (whole-stage codegen, no BigDecimal buffers) and unscale through
+    # decimal on the 6 output rows — bit-identical doubles to the decimal
+    # spelling, measured ~2x faster end-to-end at sf0.1.
+    sq = F.sum(scaled_long("l_quantity"))
+    se = F.sum(scaled_long("l_extendedprice"))
+    sd100 = F.sum(scaled_long("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            exact_sum("l_quantity").alias("sum_qty"),
-            exact_sum("l_extendedprice").alias("sum_base_price"),
-            round4(F.sum(_disc_price())).alias("sum_disc_price"),
-            round4(F.sum(_charge())).alias("sum_charge"),
-            (exact_sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
-            (exact_sum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
-            (F.sum(dec("l_discount", FRAC_DEC)).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            long_sum(sq, 2).alias("sum_qty"),
+            long_sum(se, 2).alias("sum_base_price"),
+            long_sum(F.sum(_disc100x100()), 4).alias("sum_disc_price"),
+            long_sum(F.sum(_charge100x3()), 6).alias("sum_charge"),
+            long_avg(sq, 2, F.count("l_quantity")).alias("avg_qty"),
+            long_avg(se, 2, F.count("l_extendedprice")).alias("avg_price"),
+            (long_double(sd100, 2) / F.count("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -117,7 +150,7 @@ def top_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            round4(F.sum(_disc_price())).alias("revenue"),
+            long_sum(F.sum(_disc100x100()), 4).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), "c_mktsegment")
@@ -179,7 +212,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            round4(F.sum(_disc_price())).alias("revenue"),
+            long_sum(F.sum(_disc100x100()), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy(F.desc("revenue"), "n_name")
