@@ -200,9 +200,15 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier")
+    # lineitem leads the chain so it is always the STREAM side: with
+    # customer leading, the static planner broadcast-built lineitem itself
+    # (its size estimate sits under the threshold at bench SFs) — a 600k-row
+    # hashed relation per run. Fact-table-first ordering keeps every build
+    # side a dim/filtered table at any SF, and at cluster scale AQE re-picks
+    # shuffle joins when a side outgrows the threshold.
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             sup,
             (F.col("l_suppkey") == F.col("s_suppkey"))
