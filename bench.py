@@ -57,6 +57,10 @@ def main() -> None:
     per: dict[str, float] = {}
     for name, q in bench_set.items():
         gc.collect()
+        # JVM-side GC too: accumulated broadcast/UDF garbage from earlier
+        # queries otherwise pays its collection pause inside a later
+        # query's timed window (measured up to +1.5s on a single query).
+        spark._jvm.System.gc()
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
