@@ -36,8 +36,11 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 # Memo of lazy DataFrame handles: spark.read.parquet does an eager file
 # listing + footer schema read per call, which dominates latency for
 # repeated small queries. DataFrames are immutable, so reusing the handle
-# per (session, path) is safe.
-_HANDLES: dict[tuple[int, str, str], DataFrame] = {}
+# per (application, path) is safe. Keyed by applicationId (stable per
+# SparkContext, never recycled) rather than id(spark): CPython can reuse
+# an id() after a stopped session is collected, which would hand back
+# handles bound to a dead session.
+_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,7 +48,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key in _HANDLES:
         return _HANDLES[key]
     prep(spark)  # idempotent; needed before schema resolution (nanos conf)

@@ -255,17 +255,23 @@ def decode_beacon(blob: bytes, key16: bytes) -> dict:
     return out
 
 
-# OS code -> name enrichment (server/beacon.h:20-32 value set)
+# OS code -> name enrichment (server/beacon.h:20-32 value set:
+# BH_UNDEFINED=0, BH_WINDOWS=10, BH_LINUX_X86=20, BH_LINUX_X86_64=21,
+# BH_SOLARIS_SPARC=30, BH_SOLARIS_X86=31, BH_MIKROTIK_MIPS=40,
+# BH_MIKROTIK_MIPSEL=41, BH_MIKROTIK_X86=42, BH_MIKROTIK_PPC=43,
+# BH_UBIQUITI_MIPS=50, BH_ARM=60, BH_AVTECH_ARM=61)
 OS_NAMES = {
-    0: "unknown",
+    0: "undefined",
+    10: "windows",
     20: "linux-x86",
     21: "linux-x86_64",
-    31: "solaris-sparc",
+    30: "solaris-sparc",
+    31: "solaris-x86",
     40: "mikrotik-mips",
     41: "mikrotik-mipsel",
     42: "mikrotik-x86",
     43: "mikrotik-ppc",
-    50: "avtech-arm",
-    60: "windows-x86",
-    61: "windows-x86_64",
+    50: "ubiquiti-mips",
+    60: "arm",
+    61: "avtech-arm",
 }

@@ -76,12 +76,14 @@ def scaled_long(col: Column | str, digits: int = 2) -> Column:
 
     floor(x*10^d + 0.5) instead of ROUND: Spark's ROUND on DoubleType goes
     through BigDecimal per row even inside codegen, which is most of the
-    aggregate's CPU; the +0.5 floor-cast is a single fused double op and is
-    exact here because inputs are non-negative fixed-point values whose
-    double representation error (<1e-9 abs) can't cross the .5 boundary.
+    aggregate's CPU; floor(+0.5) is a fused double op and is exact here
+    because inputs are fixed-point values whose double representation error
+    (<1e-9 abs) can't cross the .5 boundary. A true F.floor (not a long
+    cast, which truncates toward zero) keeps negatives exact too:
+    floor(-1.00*100 + 0.5) = -100, where a cast would yield -99.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (c * (10**digits) + F.lit(0.5)).cast("long")
+    return F.floor(c * (10**digits) + F.lit(0.5)).cast("long")
 
 
 def _unscale_dec(sum_long: Column, digits: int) -> Column:

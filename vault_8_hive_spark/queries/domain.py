@@ -27,7 +27,19 @@ def _sql_lit(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, str):
-        return "'" + v.replace("'", "''").replace("\n", "\\n") + "'"
+        # DuckDB does not interpret backslash escapes inside plain '...'
+        # literals, so newline-bearing values are built by concatenating
+        # chr(10)/chr(13) — never by emitting a literal backslash-n.
+        parts = []
+        for segment in v.replace("\r", "\n\r").split("\n"):
+            if segment.startswith("\r"):
+                parts.append("chr(13)")
+                segment = segment[1:]
+            else:
+                parts.append("chr(10)")
+            parts.append("'" + segment.replace("'", "''") + "'")
+        expr = " || ".join(parts[1:]) if parts else "''"
+        return f"({expr})" if len(parts) > 2 else parts[1]
     return str(v)
 
 

