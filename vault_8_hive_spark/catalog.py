@@ -13,8 +13,12 @@ broadcast — `dim()` wraps them in an explicit broadcast hint.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+WORK_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".work")
 
 TABLES = (
     "region",
@@ -43,6 +47,11 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 _HANDLES: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _opt_path(sf_dir: str, name: str) -> str:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(WORK_DIR, sf_tag, "opt", name)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .session import prep
 
@@ -52,7 +61,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in _HANDLES:
         return _HANDLES[key]
     prep(spark)  # idempotent; needed before schema resolution (nanos conf)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Prefer the split-friendly compacted copy when the ingest layer has
+    # built one (optimize_tables): the driver-generated files are a single
+    # parquet row group each, which pins every scan to ONE task no matter
+    # the core count — the compacted layout restores scan parallelism.
+    opt = _opt_path(sf_dir, name)
+    src = opt if os.path.exists(os.path.join(opt, "_SUCCESS")) else f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(src)
     if name == "events":
         # ts arrives as raw int64 nanos (see session.prep); truncate to
         # micros exactly like DuckDB reads the same file, so both engines
@@ -60,6 +75,39 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     _HANDLES[key] = df
     return df
+
+
+def optimize_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TABLES,
+    chunks: int | None = None,
+) -> None:
+    """Ingest-layer compaction: rewrite each landing parquet into a
+    multi-file layout so scans split across the cluster.
+
+    This is the 100 TB posture made literal at bench scale — no engine
+    keeps terabyte tables as one row group; landing data is compacted into
+    split-sized files (and, for the real deployment, partitioned /
+    bucketed — see SCALE.md) as the first step of ingestion. Queries are
+    byte-identical over either layout; only scan parallelism changes.
+    Idempotent: each table is rewritten once per sf dir.
+    """
+    from .session import prep
+
+    prep(spark)
+    n = chunks or spark.sparkContext.defaultParallelism
+    for name in tables:
+        dst = _opt_path(sf_dir, name)
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Small dims stay single-file (splitting 5 rows buys nothing).
+        parts = 1 if name in BROADCAST_TABLES else n
+        raw.repartition(parts).write.mode("overwrite").parquet(dst)
+        # Invalidate memoized handles that still point at the raw file.
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        _HANDLES.pop(key, None)
 
 
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

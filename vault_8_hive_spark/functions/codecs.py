@@ -177,6 +177,88 @@ def decode_trigger(blob: bytes) -> dict:
     }
 
 
+# --- BTHP proxy envelope ----------------------------------------------------
+# Record shape per the LP's proxy transport (reference honeycomb/honeycomb.py:
+# 67-68 declares the formats, :138-183 the parse): outer header '>BBHII'
+# {ver, type, hdrLen, dataLen, proxyId}, then a chain of '>BB' {type, len}
+# additional headers carrying 4-byte inet addresses (2 = beacon_ip,
+# 3 = dst_ip, 6 = proxy_ip), terminated by type=0,len=0; the encapsulated
+# beacon payload follows.
+
+BTHP_HDR_FMT = ">BBHII"
+BTHP_ADDL_FMT = ">BB"
+BTHP_T_BEACON_IP = 2
+BTHP_T_DST_IP = 3
+BTHP_T_PROXY_IP = 6
+
+
+def _ip_bytes(ip: str) -> bytes:
+    parts = [int(o) for o in ip.split(".")]
+    if len(parts) != 4 or any(not 0 <= p <= 255 for p in parts):
+        raise ValueError(f"bad IPv4 {ip!r}")
+    return bytes(parts)
+
+
+def _ip_str(b: bytes) -> str:
+    return ".".join(str(x) for x in b)
+
+
+def encode_bthp(
+    payload: bytes,
+    beacon_ip: str | None = None,
+    dst_ip: str | None = None,
+    proxy_ip: str | None = None,
+    proxy_id: int = 1,
+    ver: int = 1,
+    typ: int = 1,
+) -> bytes:
+    """Wrap a beacon payload in a BTHP proxy envelope."""
+    addl = bytearray()
+    for t, ip in (
+        (BTHP_T_BEACON_IP, beacon_ip),
+        (BTHP_T_DST_IP, dst_ip),
+        (BTHP_T_PROXY_IP, proxy_ip),
+    ):
+        if ip is not None:
+            addl += struct.pack(BTHP_ADDL_FMT, t, 4) + _ip_bytes(ip)
+    addl += struct.pack(BTHP_ADDL_FMT, 0, 0)
+    hdr_len = struct.calcsize(BTHP_HDR_FMT) + len(addl)
+    return (
+        struct.pack(BTHP_HDR_FMT, ver, typ, hdr_len, len(payload), proxy_id)
+        + bytes(addl)
+        + payload
+    )
+
+
+def decode_bthp(blob: bytes) -> tuple[dict, bytes]:
+    """Parse the BTHP envelope; returns (envelope fields, inner payload)."""
+    ver, typ, _hdr_len, data_len, proxy_id = struct.unpack_from(BTHP_HDR_FMT, blob, 0)
+    off = struct.calcsize(BTHP_HDR_FMT)
+    out: dict = {
+        "bthp_ver": ver,
+        "bthp_type": typ,
+        "proxy_id": proxy_id,
+        "bytecount": data_len,
+        "beacon_ip": None,
+        "dst_ip": None,
+        "proxy_ip": None,
+    }
+    while True:
+        t, ln = struct.unpack_from(BTHP_ADDL_FMT, blob, off)
+        off += struct.calcsize(BTHP_ADDL_FMT)
+        if t == 0 and ln == 0:
+            break
+        val = blob[off : off + ln]
+        off += ln
+        if t == BTHP_T_BEACON_IP:
+            out["beacon_ip"] = _ip_str(val)
+        elif t == BTHP_T_DST_IP:
+            out["dst_ip"] = _ip_str(val)
+        elif t == BTHP_T_PROXY_IP:
+            out["proxy_ip"] = _ip_str(val)
+    return out, blob[off : off + data_len]
+
+
 # --- beacon record ---------------------------------------------------------
 
 

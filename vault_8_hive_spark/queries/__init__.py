@@ -53,6 +53,7 @@ _MODULES = (
     "formats",
     "udfs",
     "multimodal",
+    "ingest",
     "composites",  # must import last: composites wrap the fine registrations
 )
 
@@ -75,6 +76,7 @@ DRIVER_NAMES = (
     "domain_codec_scalars",
     "domain_fleet_telemetry",
     "domain_gateway_prefix_match",
+    "domain_rsi_parse",
     "domain_session_commands",
     "events_daily_pivot",
     "events_sessionize",
@@ -94,6 +96,7 @@ DRIVER_NAMES = (
     "setop_dedup_family",
     "sort_multikey_nulls",
     "sql_text_subqueries",
+    "stream_beacon_ingest",
     "stream_stateful_sink",
     "stream_windowed",
     "text_corpus_mgmt",

@@ -12,15 +12,29 @@ side must reproduce them through the full encode -> XTEA/bz2/TLV -> decode
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.codecs import OS_NAMES
 from ..session import prep
-from ..sources.beacons import bronze_beacons, make_fixture_records
+from ..sources.beacons import (
+    FIXTURE_KEY,
+    bronze_beacons,
+    make_fixture_records,
+)
 from . import register
 
 _RECORDS = make_fixture_records()
+
+
+def _dialect_col():
+    """os_name -> telemetry dialect (the LP's dispatch, processRSI.py:
+    121/167/207: 'ikro' / 'olar' / else-Linux branches)."""
+    return (
+        F.when(F.col("os_name").startswith("mikrotik"), "mikrotik")
+        .when(F.col("os_name").startswith("solaris"), "solaris")
+        .otherwise("linux")
+    )
 
 
 def _sql_lit(v) -> str:
@@ -50,7 +64,19 @@ def _values(rows: list[tuple], cols: list[str]) -> str:
 
 # --- 1. codec round-trip ----------------------------------------------------
 
-_PARSE_COLS = ["beacon_id", "version", "os_name", "mac", "uptime_s", "next_beacon_s", "has_procs"]
+
+def _expected_bytecount(r: dict) -> int:
+    """The BTHP header's dataLen = size of the encapsulated (TLV->bz2->
+    XTEA) beacon — recomputed here independently for the oracle."""
+    from ..functions.codecs import encode_beacon
+
+    return len(encode_beacon(r, FIXTURE_KEY))
+
+
+_PARSE_COLS = [
+    "beacon_id", "version", "os_name", "mac", "uptime_s", "next_beacon_s",
+    "beacon_ip", "proxy_ip", "bytecount", "has_procs",
+]
 _PARSE_ROWS = [
     (
         r["beacon_id"],
@@ -59,6 +85,9 @@ _PARSE_ROWS = [
         r["mac"],
         r["uptime_s"],
         r["next_beacon_s"],
+        r["beacon_ip"],
+        r["proxy_ip"],
+        _expected_bytecount(r),
         r["proc_list"] is not None,
     )
     for r in _RECORDS
@@ -67,13 +96,20 @@ _PARSE_ROWS = [
 
 @register(
     "domain_beacon_parse",
-    oracle=f"SELECT CAST(beacon_id AS BIGINT) AS beacon_id, version, os_name, mac, CAST(uptime_s AS BIGINT) AS uptime_s, next_beacon_s, has_procs FROM {_values(_PARSE_ROWS, _PARSE_COLS)}",
+    oracle=(
+        "SELECT CAST(beacon_id AS BIGINT) AS beacon_id, version, os_name, mac, "
+        "CAST(uptime_s AS BIGINT) AS uptime_s, next_beacon_s, beacon_ip, proxy_ip, "
+        "CAST(bytecount AS BIGINT) AS bytecount, has_procs "
+        f"FROM {_values(_PARSE_ROWS, _PARSE_COLS)}"
+    ),
     tags=("domain", "codec", "udf"),
 )
 def domain_beacon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full wire round-trip: fixture dicts -> TLV -> bz2 -> XTEA -> binary
-    column -> from_hive_beacon (mapInPandas) -> typed rows. The oracle is
-    the encoder's input — any codec/parse defect breaks the hash."""
+    """Full wire round-trip: fixture dicts -> TLV -> bz2 -> XTEA -> BTHP
+    proxy envelope (beacon/dst/proxy IP sub-headers, honeycomb.py:138-183)
+    -> binary column -> from_hive_beacon (mapInPandas) -> typed rows
+    including the envelope's source IPs and byte count. The oracle is the
+    encoder's input — any codec/parse defect breaks the hash."""
     prep(spark)
     return bronze_beacons(spark).select(
         "beacon_id",
@@ -82,6 +118,9 @@ def domain_beacon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mac",
         "uptime_s",
         "next_beacon_s",
+        "beacon_ip",
+        "proxy_ip",
+        "bytecount",
         F.col("proc_list").isNotNull().alias("has_procs"),
     )
 
@@ -119,18 +158,13 @@ def domain_os_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- 3. processes silver table (text-blob parse) ---------------------------
 
 
-def _parse_procs_py(rec: dict) -> list[tuple]:
-    rows = []
-    if rec["proc_list"]:
-        for line in rec["proc_list"].split("\n"):
-            parts = line.split()
-            rows.append(
-                (rec["beacon_id"], int(parts[0]), parts[1], int(parts[2]), parts[5])
-            )
-    return rows
-
-
-_PROC_ROWS = [row for r in _RECORDS for row in _parse_procs_py(r)]
+# Oracle mirror straight from the encoder's structured inputs (_procs) —
+# independent of both the renderer and the Spark parse.
+_PROC_ROWS = [
+    (r["beacon_id"], pid, st, ppid, cmd)
+    for r in _RECORDS
+    for (pid, st, ppid, _pgrp, _sess, cmd) in r["_procs"]
+]
 
 
 @register(
@@ -147,20 +181,25 @@ def domain_processes_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """proc_list text blob -> processes silver table: split lines, split
     whitespace fields (all JVM expressions), then a fleet rollup per
     command. Parse shape per server/process_list.c:182-227 field order
-    (pid state ppid pgrp session command)."""
+    (pid state ppid pgrp session command); the Linux popen variant
+    (server/get_data.c) prefixes a ps-style header line, dropped by the
+    numeric-pid filter."""
     prep(spark)
     b = bronze_beacons(spark).where(F.col("proc_list").isNotNull())
     lines = b.select(
         "beacon_id", F.explode(F.split("proc_list", "\n")).alias("line")
     )
     fields = F.split(F.trim(F.regexp_replace("line", " +", " ")), " ")
+    # try_cast (not cast): under ANSI semantics a cast of the ps header
+    # line's 'PID' token would fail the task; try_cast yields NULL and the
+    # filter drops the header row.
     procs = lines.select(
         "beacon_id",
-        F.element_at(fields, 1).cast("int").alias("pid"),
+        F.element_at(fields, 1).try_cast("int").alias("pid"),
         F.element_at(fields, 2).alias("state"),
-        F.element_at(fields, 3).cast("int").alias("ppid"),
+        F.element_at(fields, 3).try_cast("int").alias("ppid"),
         F.element_at(fields, 6).alias("command"),
-    )
+    ).where(F.col("pid").isNotNull())
     return procs.groupBy("command").agg(
         F.count(F.lit(1)).alias("n_procs"),
         F.countDistinct("beacon_id").alias("n_beacons"),
@@ -173,29 +212,17 @@ def domain_processes_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _py_prefix_match() -> list[tuple]:
-    """Python reference for the /24 -> /16 -> /8 longest-prefix match."""
+    """Oracle mirror for the /24 -> /16 -> /8 longest-prefix match,
+    computed from the encoder's structured inputs (_gateway/_iface/
+    _iface_ip) — independent of both the dialect renderers and the Spark
+    text parse, so a defect in either breaks the hash."""
     out = []
     for r in _RECORDS:
-        gw = None
-        for line in (r["netstat_rn"] or "").split("\n"):
-            parts = line.split()
-            if len(parts) >= 4 and parts[0] == "0.0.0.0" and "UG" in parts[2]:
-                gw = parts[1]
-        if gw is None:
-            continue
-        ifaces = []
-        for line in (r["ipconfig"] or "").split("\n"):
-            parts = line.split()
-            if len(parts) >= 4 and parts[1] == "ip":
-                ifaces.append((parts[0], parts[2]))
-        match_name, match_ip, match_depth = None, None, 0
-        for name, ip in ifaces:
-            g, p = gw.split("."), ip.split(".")
-            depth = 24 if g[:3] == p[:3] else 16 if g[:2] == p[:2] else 8 if g[:1] == p[:1] else 0
-            if depth > match_depth:
-                match_name, match_ip, match_depth = name, ip, depth
-        if match_depth:
-            out.append((r["beacon_id"], gw, match_name, match_ip, match_depth))
+        gw, name, ip = r["_gateway"], r["_iface"], r["_iface_ip"]
+        g, p = gw.split("."), ip.split(".")
+        depth = 24 if g[:3] == p[:3] else 16 if g[:2] == p[:2] else 8 if g[:1] == p[:1] else 0
+        if depth:
+            out.append((r["beacon_id"], gw, name, ip, depth))
     return out
 
 
@@ -205,34 +232,82 @@ def _py_prefix_match() -> list[tuple]:
 SELECT CAST(beacon_id AS BIGINT) AS beacon_id, gateway, iface, iface_ip, prefix_len
 FROM {_values(_py_prefix_match(), ["beacon_id", "gateway", "iface", "iface_ip", "prefix_len"])}
 """,
-    tags=("domain", "join", "text-parse"),
+    tags=("domain", "join", "text-parse", "dialect"),
 )
 def domain_gateway_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's gateway<->interface longest-prefix-match join
-    (processRSI.py:287-320) as a scalable Spark plan: parse routes and
-    interfaces from text blobs, derive /24,/16,/8 prefix keys, join per
-    depth (equi-join on computed keys — broadcast/shuffle-joinable at any
-    scale, no cross product), take the deepest match per beacon."""
-    prep(spark)
-    b = bronze_beacons(spark)
+    (processRSI.py:287-320) over dialect-dispatched telemetry parses
+    (:120-283): routes and interfaces arrive in MikroTik / Solaris /
+    Linux text shapes, selected per row by os_name — exactly the LP's
+    'ikro'/'olar'/else branching, as CASE expressions instead of python
+    loops.
 
-    routes = (
-        b.select("beacon_id", F.explode(F.split("netstat_rn", "\n")).alias("line"))
-        .select("beacon_id", F.split(F.col("line"), " ").alias("f"))
-        .where(
-            (F.element_at("f", 1) == "0.0.0.0") & F.element_at("f", 3).contains("UG")
+    Scale: the stateful "attach detail lines to the most recent header
+    line" parse is a per-beacon last(ignorenulls) window (one shuffle on
+    beacon_id, arbitrary parallelism across beacons); the depth match is
+    an equi-join on beacon_id plus computed prefix comparisons — never a
+    cross product; max_by picks the deepest match without a sort."""
+    prep(spark)
+    b = bronze_beacons(spark).withColumn("dialect", _dialect_col())
+
+    # --- default gateway per dialect (processRSI.py:249-283) ---
+    rl = b.select(
+        "beacon_id", "dialect", F.explode(F.split("netstat_rn", "\n")).alias("line")
+    )
+    rtok = F.split(F.trim(F.regexp_replace("line", "\\s+", " ")), " ")
+    is_default = (
+        F.when(F.col("dialect") == "solaris", F.element_at(rtok, 1) == "default")
+        .otherwise(F.element_at(rtok, 1) == "0.0.0.0")
+    ) & F.col("line").contains("UG")
+    routes = rl.where(is_default).select(
+        "beacon_id", F.element_at(rtok, 2).alias("gateway")
+    )
+
+    # --- interfaces per dialect (processRSI.py:120-248) ---
+    il = b.select(
+        "beacon_id", "dialect",
+        F.posexplode(F.split("ipconfig", "\n")).alias("pos", "line"),
+    )
+    line = F.col("line")
+    is_hdr = (
+        F.when(F.col("dialect") == "linux", line.contains("Link encap"))
+        .when(F.col("dialect") == "solaris", line.contains("<"))
+        .otherwise(line.contains(": <"))
+    )
+    hdr_name = F.when(
+        F.col("dialect") == "linux", F.element_at(F.split(F.trim(line), " +"), 1)
+    ).otherwise(F.split_part(line, F.lit(":"), F.lit(1)))
+    ttok = F.split(F.trim(F.regexp_replace("line", "\\s+", " ")), " ")
+    ip_val = (
+        F.when(
+            (F.col("dialect") == "linux") & line.contains("inet addr"),
+            F.regexp_extract(line, "addr:([0-9.]+)", 1),
         )
-        .select("beacon_id", F.element_at("f", 2).alias("gateway"))
+        .when(
+            # rlike, not trim().startswith: Spark's trim strips spaces
+            # only — the Solaris detail lines are tab-indented.
+            (F.col("dialect") == "solaris")
+            & line.rlike("^\\s*inet ")
+            & ~line.contains("inet6"),
+            F.element_at(ttok, 2),
+        )
+        .when(
+            (F.col("dialect") == "mikrotik") & line.contains("inet addr:"),
+            F.element_at(ttok, 3),
+        )
+    )
+    w = (
+        Window.partitionBy("beacon_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ifaces = (
-        b.select("beacon_id", F.explode(F.split("ipconfig", "\n")).alias("line"))
-        .select("beacon_id", F.split(F.col("line"), " ").alias("f"))
-        .where(F.element_at("f", 2) == "ip")
-        .select(
+        il.select(
             "beacon_id",
-            F.element_at("f", 1).alias("iface"),
-            F.element_at("f", 3).alias("iface_ip"),
+            F.last(F.when(is_hdr, hdr_name), ignorenulls=True).over(w).alias("iface"),
+            ip_val.alias("iface_ip"),
         )
+        .where(F.col("iface_ip").isNotNull())
     )
 
     def prefix(col: str, n: int):

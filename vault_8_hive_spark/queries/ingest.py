@@ -1,0 +1,286 @@
+"""Landing-zone ingestion queries (SURVEY.md §1 D4 + §3.1 lifecycle).
+
+domain_rsi_parse — the reference LP's canonical parsed output is the
+`.rsi` XML beacon document (one file per beacon,
+honeycomb/honeycomb.py:318-385 writes it; honeycomb/processRSI.py:54-117
+re-parses it). This module renders the same document shape from the
+fixture records, lands the files in a raw directory, and ingests them
+with Spark's native XML source into the nested StructType D4 declares —
+the raw-landing-zone -> parsed-table pattern.
+
+stream_beacon_ingest — the reference's data path is an unbounded beacon
+stream (SURVEY.md §1.3, §3.1): blobs land continuously and the LP parses
+each on arrival. Here that lifecycle runs end-to-end as Structured
+Streaming: file-source stream of enveloped blobs -> from_hive_beacon ->
+watermarked typed append, whose replay must equal the batch bronze table
+(the oracle embeds the encoder inputs).
+"""
+
+from __future__ import annotations
+
+import os
+from xml.sax.saxutils import escape
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codecs import OS_NAMES
+from ..session import prep
+from ..sources.beacons import make_fixture_records
+from .domain import _expected_bytecount, _values
+from . import register
+
+_RECORDS = make_fixture_records()
+
+_BASE_EPOCH = 1709251200  # 2024-03-01 00:00:00 UTC — recv_ts base
+_RECV_STEP_S = 600  # one beacon lands every 10 minutes (synthetic)
+
+
+def _recv_str(beacon_id: int) -> str:
+    import datetime as _dt
+
+    t = _dt.datetime.fromtimestamp(
+        _BASE_EPOCH + beacon_id * _RECV_STEP_S, _dt.timezone.utc
+    )
+    return t.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def render_rsi(rec: dict) -> str:
+    """One beacon as a ToolHandlerFile XML document — field-for-field the
+    shape honeycomb.py:318-385 emits (header ID = dash-stripped MAC,
+    IP = proxy, byteCount = encapsulated size, deviceStats uptime,
+    networkAddress = beacon source IP, extraData[@label] blobs)."""
+
+    def tag(name: str, text: str | None, label: str | None = None) -> str:
+        attr = f' label="{label}"' if label else ""
+        body = escape(text) if text is not None else ""
+        return f"<{name}{attr}>{body}</{name}>"
+
+    extras = [tag("extraData", str(rec["next_beacon_s"]), "next_beacon_time"),
+              tag("extraData", str(rec["version"]), "hiveVersion"),
+              tag("extraData", OS_NAMES[rec["os"]], "os")]
+    for label, key in (
+        ("processList", "proc_list"),
+        ("ipconfig", "ipconfig"),
+        ("netstat_rn", "netstat_rn"),
+        ("netstat_an", "netstat_an"),
+    ):
+        if rec[key] is not None:
+            extras.append(tag("extraData", rec[key], label))
+    return (
+        '<ToolHandlerFile version="1.0">'
+        "<header>"
+        + tag("ID", rec["mac"].replace("-", ""))
+        + tag("IP", rec["proxy_ip"])
+        + tag("dateTimeStamp", _recv_str(rec["beacon_id"]))
+        + tag("byteCount", str(_expected_bytecount(rec)))
+        + tag("dataDescription", "Beacon")
+        + tag("toolHandlerID", "88")
+        + "</header>"
+        "<beacon>"
+        "<deviceStats>"
+        + tag("beaconSeqNumber", "0")
+        + tag("beaconAckNumber", "0")
+        + tag("sequenceTrigger", "0")
+        + tag("deviceUptimeSeconds", str(rec["uptime_s"]))
+        + "</deviceStats>"
+        "<deviceIP><networkAddress>"
+        + tag("addressString", rec["beacon_ip"])
+        + tag("mask", "")
+        + "</networkAddress></deviceIP>"
+        + tag("MACAddress", rec["mac"])
+        + "".join(extras)
+        + "</beacon>"
+        "</ToolHandlerFile>"
+    )
+
+
+_RSI_SCHEMA = (
+    "header struct<ID:string, IP:string, dateTimeStamp:string, byteCount:bigint, "
+    "dataDescription:string, toolHandlerID:int>, "
+    "beacon struct<"
+    "deviceStats:struct<beaconSeqNumber:int, beaconAckNumber:int, "
+    "sequenceTrigger:int, deviceUptimeSeconds:bigint>, "
+    "deviceIP:struct<networkAddress:struct<addressString:string, mask:string>>, "
+    "MACAddress:string, "
+    "extraData:array<struct<_VALUE:string, _label:string>>>"
+)
+
+
+def _rsi_landing_dir(sf_dir: str) -> str:
+    from .formats import _work
+
+    path = _work(sf_dir, "rsi_landing")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        for rec in _RECORDS:
+            # timestamp+MAC filename like the LP's writer, minus the
+            # colons — Hadoop paths reject ':' in file names.
+            stamp = _recv_str(rec["beacon_id"]).replace(" ", "-").replace(":", "")
+            fname = f"{stamp}_{rec['mac']}.rsi"
+            with open(os.path.join(path, fname), "w", encoding="utf-8") as fh:
+                fh.write(render_rsi(rec))
+        with open(marker, "w", encoding="utf-8"):
+            pass
+    return path
+
+
+_RSI_COLS = [
+    "beacon_id", "mac_id", "proxy_ip", "bytecount", "uptime_s", "beacon_ip",
+    "mac", "os_name", "hive_version", "next_beacon_s", "has_proclist",
+]
+_RSI_ROWS = [
+    (
+        r["beacon_id"],
+        r["mac"].replace("-", ""),
+        r["proxy_ip"],
+        _expected_bytecount(r),
+        r["uptime_s"],
+        r["beacon_ip"],
+        r["mac"],
+        OS_NAMES[r["os"]],
+        str(r["version"]),
+        r["next_beacon_s"],
+        r["proc_list"] is not None,
+    )
+    for r in _RECORDS
+]
+
+
+@register(
+    "domain_rsi_parse",
+    oracle=(
+        "SELECT CAST(beacon_id AS BIGINT) AS beacon_id, mac_id, proxy_ip, "
+        "CAST(bytecount AS BIGINT) AS bytecount, CAST(uptime_s AS BIGINT) AS uptime_s, "
+        "beacon_ip, mac, os_name, hive_version, next_beacon_s, has_proclist "
+        f"FROM {_values(_RSI_ROWS, _RSI_COLS)}"
+    ),
+    tags=("domain", "xml", "scan", "landing-zone"),
+)
+def domain_rsi_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.rsi XML beacon documents -> typed table via Spark's native XML
+    source (rowTag=ToolHandlerFile, explicit nested schema — never infer
+    at 100 TB). beacon_id is reconstructed from the header timestamp
+    (receive times step deterministically), extraData[@label] becomes a
+    map via map_from_arrays, and the label lookups pull the typed fields
+    out — the engine-side equivalent of processRSI.py:54-117.
+
+    Scale: one file per beacon is exactly how the LP lands them; the XML
+    source parallelizes per file (and per split for large files), and
+    everything after the parse is columnar. A real deployment compacts
+    bronze XML into parquet on a schedule; that sink is
+    sink_partitioned_parquet's pattern."""
+    prep(spark)
+    path = _rsi_landing_dir(sf_dir)
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "ToolHandlerFile")
+        .schema(_RSI_SCHEMA)
+        .load(path + "/*.rsi")
+    )
+    extra = F.col("beacon.extraData")
+    xmap = F.map_from_arrays(
+        F.transform(extra, lambda x: x["_label"]),
+        F.transform(extra, lambda x: x["_VALUE"]),
+    )
+    recv = F.to_timestamp("header.dateTimeStamp", "yyyy-MM-dd HH:mm:ss")
+    return raw.select(
+        ((F.unix_timestamp(recv) - F.lit(_BASE_EPOCH)) / _RECV_STEP_S)
+        .cast("bigint")
+        .alias("beacon_id"),
+        F.col("header.ID").alias("mac_id"),
+        F.col("header.IP").alias("proxy_ip"),
+        F.col("header.byteCount").alias("bytecount"),
+        F.col("beacon.deviceStats.deviceUptimeSeconds").alias("uptime_s"),
+        F.col("beacon.deviceIP.networkAddress.addressString").alias("beacon_ip"),
+        F.col("beacon.MACAddress").alias("mac"),
+        xmap["os"].alias("os_name"),
+        xmap["hiveVersion"].alias("hive_version"),
+        xmap["next_beacon_time"].cast("int").alias("next_beacon_s"),
+        F.map_contains_key(xmap, "processList").alias("has_proclist"),
+    )
+
+
+# --- streaming beacon ingestion (§3.1 lifecycle as Structured Streaming) ---
+
+_STREAM_COLS = ["beacon_id", "os_name", "mac", "uptime_s", "beacon_ip", "recv_ts"]
+_STREAM_ROWS = [
+    (
+        r["beacon_id"],
+        OS_NAMES[r["os"]],
+        r["mac"],
+        r["uptime_s"],
+        r["beacon_ip"],
+        _recv_str(r["beacon_id"]),
+    )
+    for r in _RECORDS
+]
+
+
+@register(
+    "stream_beacon_ingest",
+    oracle=(
+        "SELECT CAST(beacon_id AS BIGINT) AS beacon_id, os_name, mac, "
+        "CAST(uptime_s AS BIGINT) AS uptime_s, beacon_ip, "
+        "CAST(recv_ts AS TIMESTAMP) AS recv_ts "
+        f"FROM {_values(_STREAM_ROWS, _STREAM_COLS)}"
+    ),
+    tags=("domain", "streaming", "codec", "udf"),
+)
+def stream_beacon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's beacon data path (SURVEY.md §3.1) end-to-end as a
+    stream: enveloped blobs land as files -> file-source stream (one
+    landing file per micro-batch) -> from_hive_beacon (the same mapInPandas
+    decode the batch path uses) -> event-time watermark on the receive
+    time -> typed bronze append. The replayed stream must equal the batch
+    bronze table, which is what the encoder-input oracle checks.
+
+    Scale: the decode is per-blob parallel inside each micro-batch; the
+    watermark bounds state for any downstream windowed aggregation
+    (beacons arrive late by design — the reference jitters its interval);
+    the memory sink stands in for a partitioned parquet/Delta append."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.beacons import encode_fixture_blob, from_hive_beacon
+    from ..streaming.ops import run_to_memory
+    from .formats import _work
+
+    prep(spark)
+    src = _work(sf_dir, "beacon_stream")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        rows = [
+            (r["beacon_id"], bytearray(encode_fixture_blob(r))) for r in _RECORDS
+        ]
+        schema = StructType(
+            [StructField("beacon_id", LongType()), StructField("blob", BinaryType())]
+        )
+        (
+            spark.createDataFrame(rows, schema)
+            .repartitionByRange(4, "beacon_id")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    blob_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(blob_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    parsed = from_hive_beacon(stream)
+    bronze = parsed.select(
+        "beacon_id",
+        "os_name",
+        "mac",
+        "uptime_s",
+        "beacon_ip",
+        F.timestamp_seconds(
+            F.lit(_BASE_EPOCH) + F.col("beacon_id") * _RECV_STEP_S
+        ).alias("recv_ts"),
+    ).withWatermark("recv_ts", "30 minutes")
+    return run_to_memory(bronze, "append")
