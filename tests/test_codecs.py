@@ -121,6 +121,89 @@ def test_trigger_roundtrip_property(seed, addr, port, kh):
     assert d["callback_ip"] == ".".join(str((addr >> s) & 0xFF) for s in (24, 16, 8, 0))
 
 
+_ip_st = st.tuples(*[st.integers(0, 255)] * 4).map(lambda t: ".".join(map(str, t)))
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=512),
+    beacon_ip=st.none() | _ip_st,
+    dst_ip=st.none() | _ip_st,
+    proxy_ip=st.none() | _ip_st,
+    proxy_id=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_bthp_roundtrip_property(payload, beacon_ip, dst_ip, proxy_ip, proxy_id):
+    """BTHP envelope encode -> decode is the identity on the payload and
+    every sub-header field, for any subset of present IPs."""
+    from vault_8_hive_spark.functions.codecs import decode_bthp, encode_bthp
+
+    blob = encode_bthp(
+        payload, beacon_ip=beacon_ip, dst_ip=dst_ip, proxy_ip=proxy_ip, proxy_id=proxy_id
+    )
+    env, inner = decode_bthp(blob)
+    assert inner == payload
+    assert env["beacon_ip"] == beacon_ip
+    assert env["dst_ip"] == dst_ip
+    assert env["proxy_ip"] == proxy_ip
+    assert env["proxy_id"] == proxy_id
+    assert env["bytecount"] == len(payload)
+
+
+def test_fixture_blob_full_chain():
+    """Envelope + beacon chain: encode_fixture_blob -> decode_bthp ->
+    decode_beacon recovers every fixture field (the pipeline from_hive_beacon
+    runs per row)."""
+    from vault_8_hive_spark.functions.codecs import decode_beacon, decode_bthp
+    from vault_8_hive_spark.sources.beacons import (
+        FIXTURE_KEY,
+        encode_fixture_blob,
+        make_fixture_records,
+    )
+
+    for rec in make_fixture_records(n=25):
+        env, inner = decode_bthp(encode_fixture_blob(rec))
+        assert env["beacon_ip"] == rec["beacon_ip"]
+        assert env["proxy_ip"] == rec["proxy_ip"]
+        assert env["bytecount"] == len(inner)
+        d = decode_beacon(inner, FIXTURE_KEY)
+        assert d["mac"] == rec["mac"]
+        assert d["os"] == rec["os"]
+        assert d["proc_list"] == rec["proc_list"]
+
+
+def test_dialect_renderers_cover_all_families():
+    """Every OS code maps to a dialect and the rendered telemetry carries
+    the dialect's parse markers (the LP's dispatch cues)."""
+    from vault_8_hive_spark.functions.codecs import OS_NAMES
+    from vault_8_hive_spark.sources.beacons import (
+        dialect_of,
+        render_ifconfig,
+        render_routes,
+    )
+
+    markers = {
+        "linux": ("Link encap", "inet addr:"),
+        "solaris": ("<", "\tinet ", "\tether "),
+        "mikrotik": (": <", "HW addr:\t", "inet addr:\t"),
+    }
+    seen = set()
+    for code in OS_NAMES:
+        d = dialect_of(code)
+        seen.add(d)
+        ifc = render_ifconfig(d, "10.1.2.3", "aa-bb-cc-dd-ee-ff")
+        for m in markers[d]:
+            assert m in ifc, (d, m)
+        rt = render_routes(d, "10.1.2.1", "10.1.2")
+        assert "UG" in rt
+        if d == "solaris":
+            assert rt.startswith("default ")
+        elif d == "mikrotik":
+            assert rt.startswith(" 0.0.0.0 ")
+        else:
+            assert rt.startswith("0.0.0.0 ")
+    assert seen == {"linux", "solaris", "mikrotik"}
+
+
 @given(st.integers(min_value=1, max_value=28), st.integers(min_value=1, max_value=255))
 @settings(max_examples=100, deadline=None)
 def test_trigger_corruption_detected(pos, flip):

@@ -97,3 +97,50 @@ def test_q14_part_side_broadcast(spark, sf_dir):
 def test_q4_semi_join(spark, sf_dir):
     plan = formatted_plan(QUERIES["priority_late_ship"].fn(spark, sf_dir))
     assert "LeftSemi" in plan, plan
+
+
+def test_vector_topk_is_take_ordered(spark, sf_dir):
+    """The top-k finalization must plan TakeOrderedAndProject (distributed
+    partial top-k), and every Window in the plan must keep a partition
+    spec — an empty one moves ALL scored rows to a single partition (the
+    round-1 scale-killer)."""
+    import re
+
+    for name in ("vec_cosine_topk", "vec_lsh_ann", "vec_ivf_topk"):
+        plan = formatted_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, f"{name}: no distributed top-k\n{plan}"
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            # an empty partition spec renders the orderBy clause first —
+            # a partitioned spec starts with the partition expressions
+            assert not m.group(1).lstrip().startswith(("cos_sim", "nn_sim")), (
+                f"{name}: window lost its partition spec: {m.group(0)}"
+            )
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """text_pack_sequences must never contain an unpartitioned window —
+    the running sum is range-partitioned by design."""
+    plan = formatted_plan(QUERIES["text_pack_sequences"].fn(spark, sf_dir))
+    assert "range_id" in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "range_id" in m.group(1), f"window not partitioned by range_id: {m.group(0)}"
+
+
+def test_gateway_match_no_cartesian(spark, sf_dir):
+    """The dialect-dispatched prefix match must stay an equi-join on
+    beacon_id — never a cross product over routes x interfaces."""
+    plan = formatted_plan(QUERIES["domain_gateway_prefix_match"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_compacted_layout_splits_scan_if_built(spark, sf_dir):
+    """After optimize_tables, the lineitem scan must span >1 partition
+    (the raw landing file is a single row group = a single task)."""
+    from vault_8_hive_spark.catalog import optimize_tables, table
+
+    optimize_tables(spark, sf_dir, tables=("lineitem",), chunks=4)
+    df = table(spark, sf_dir, "lineitem")
+    assert df.rdd.getNumPartitions() > 1

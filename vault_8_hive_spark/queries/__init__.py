@@ -54,6 +54,7 @@ _MODULES = (
     "udfs",
     "multimodal",
     "ingest",
+    "pipeline",
     "composites",  # must import last: composites wrap the fine registrations
 )
 

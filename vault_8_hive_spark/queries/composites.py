@@ -395,8 +395,11 @@ _composite(
          {"k1": "doc_id", "n1": "n_bpe_tokens", "n2": "n_unique", "txt": "sample"}),
         ("fingerprint", "text_fingerprint_5gram",
          {"k1": "doc_id", "n1": "n_grams", "txt": _cat("fp_min", "fp_max")}),
+        ("redact", "text_redact_pii",
+         {"k1": "doc_id", "n1": "n_emails", "n2": "n_ips", "txt": "redacted_md5"}),
     ],
-    tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint", "composite"),
+    tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
+          "redaction", "composite"),
 )
 
 _composite(
@@ -408,8 +411,12 @@ _composite(
          {"a": "doc_a", "b": "doc_b", "d1": "jaccard"}),
         ("simhash", "text_simhash",
          {"a": "doc_id", "s1": "simhash_hex", "i1": "n_tokens"}),
+        ("simhash_hamming", "text_simhash_neardup",
+         {"a": "doc_a", "b": "doc_b", "i1": "hamming"}),
+        ("clusters", "text_dedup_clusters",
+         {"a": "doc_id", "b": "cluster_id", "i1": "cluster_size"}),
     ],
-    tags=("text", "dedup", "ngram", "simhash", "composite"),
+    tags=("text", "dedup", "ngram", "simhash", "iterative", "composite"),
 )
 
 _composite(
@@ -422,6 +429,8 @@ _composite(
         ("pack", "text_pack_sequences",
          {"k1": "range_id", "k2": "local_bin", "n1": "n_docs", "n2": "total_tokens",
           "n3": "first_doc", "n4": "last_doc"}),
+        ("stratified", "text_sample_stratified",
+         {"k1": "doc_id", "s1": "lang", "s2": "source", "n1": "n_chars"}),
     ],
     tags=("text", "pipeline", "sampling", "composite"),
 )

@@ -32,6 +32,31 @@ from . import register
 
 _RECORDS = make_fixture_records()
 
+
+def _built_with_tag(path: str) -> bool:
+    """True if `path` was built from the current fixture generation;
+    otherwise clears it so the caller rebuilds."""
+    import shutil
+
+    from ..sources.beacons import FIXTURE_VERSION
+
+    marker = os.path.join(path, "_FIXTURE_TAG")
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            if fh.read() == FIXTURE_VERSION:
+                return True
+    except OSError:
+        pass
+    shutil.rmtree(path, ignore_errors=True)
+    return False
+
+
+def _stamp_tag(path: str) -> None:
+    from ..sources.beacons import FIXTURE_VERSION
+
+    with open(os.path.join(path, "_FIXTURE_TAG"), "w", encoding="utf-8") as fh:
+        fh.write(FIXTURE_VERSION)
+
 _BASE_EPOCH = 1709251200  # 2024-03-01 00:00:00 UTC — recv_ts base
 _RECV_STEP_S = 600  # one beacon lands every 10 minutes (synthetic)
 
@@ -111,8 +136,7 @@ def _rsi_landing_dir(sf_dir: str) -> str:
     from .formats import _work
 
     path = _work(sf_dir, "rsi_landing")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    if not _built_with_tag(path):
         os.makedirs(path, exist_ok=True)
         for rec in _RECORDS:
             # timestamp+MAC filename like the LP's writer, minus the
@@ -121,8 +145,7 @@ def _rsi_landing_dir(sf_dir: str) -> str:
             fname = f"{stamp}_{rec['mac']}.rsi"
             with open(os.path.join(path, fname), "w", encoding="utf-8") as fh:
                 fh.write(render_rsi(rec))
-        with open(marker, "w", encoding="utf-8"):
-            pass
+        _stamp_tag(path)
     return path
 
 
@@ -253,7 +276,7 @@ def stream_beacon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     src = _work(sf_dir, "beacon_stream")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+    if not _built_with_tag(src):
         rows = [
             (r["beacon_id"], bytearray(encode_fixture_blob(r))) for r in _RECORDS
         ]
@@ -266,6 +289,7 @@ def stream_beacon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(src)
         )
+        _stamp_tag(src)
     blob_schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(blob_schema)

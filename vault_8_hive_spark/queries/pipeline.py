@@ -1,0 +1,284 @@
+"""Training-data pipeline operators, second wave (SURVEY.md §2B
+north-star additions): SimHash-banded near-duplicate pairs (Hamming
+verification), dedup-cluster formation (connected components over the
+near-dup graph), deterministic stratified sampling, and PII redaction.
+
+Each has a full DuckDB oracle: the SimHash banding replays the engine's
+bit arithmetic in SQL, the cluster op's oracle is a recursive-CTE
+transitive closure, and sampling/redaction are plain expression parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..session import prep
+from . import QUERIES, register
+from .text import _SIMHASH_SCHEMA, _simhash_batch
+
+# --- SimHash near-dup: band join + Hamming verification ---------------------
+
+_HAMMING_MAX = 10
+
+# Parametrized replay of the SimHash bit arithmetic (see text_simhash's
+# oracle for the derivation): src -> fp(doc_id, f UBIGINT).
+def _o_simhash_cte(src: str) -> str:
+    return f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {src}),
+th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks),
+votes AS (SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, generate_series(0, 63) AS g(i) GROUP BY doc_id, i),
+fp AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << CAST(i AS INT))
+                                    ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS f
+       FROM votes GROUP BY doc_id)
+"""
+
+
+_MUTATED_SHIFT = 2_000_000
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a near-identical mutation of every 7th doc (first
+    word replaced) so the detector has true positives to find."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _MUTATED_SHIFT).alias("doc_id"),
+        F.regexp_replace("text", "^[^ ]+", "REPLACED").alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+_O_NEARDUP_CORPUS = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_MUTATED_SHIFT} AS doc_id, regexp_replace(text, '^[^ ]+', 'REPLACED')
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+@register(
+    "text_simhash_neardup",
+    oracle=f"""
+WITH {_O_NEARDUP_CORPUS}, {_o_simhash_cte("corpus")},
+bands AS (
+  SELECT doc_id, f, b, substr(lpad(lower(hex(f)), 16, '0'), b * 4 + 1, 4) AS bk
+  FROM fp, generate_series(0, 3) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.f AS fa, y.f AS fb
+  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= {_HAMMING_MAX}
+""",
+    tags=("text", "dedup", "simhash", "lsh", "udf"),
+)
+def text_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 64-bit fingerprints (the mapInPandas
+    operator text_simhash exposes) banded into 4x16-bit keys; candidate
+    pairs share a band, survivors verify at Hamming distance <= 10 — the
+    bit-space analog of MinHash-LSH (candidate generation by equality on
+    a sketch slice, exact verification only on candidates).
+
+    Scale: banding explodes 4 rows/doc and the candidate join shuffles on
+    a uniform 16-bit-plus-band key; Hamming verification is two xor +
+    popcount ops per candidate (the 64-bit hash rides as two signed
+    32-bit halves so the JVM never faces unsigned overflow)."""
+    prep(spark)
+    sims = _neardup_corpus(spark, sf_dir).mapInPandas(
+        _simhash_batch, schema=_SIMHASH_SCHEMA
+    )
+    sigs = sims.select(
+        "doc_id",
+        "simhash_hex",
+        F.conv(F.substring("simhash_hex", 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring("simhash_hex", 9, 8), 16, 10).cast("bigint").alias("h2"),
+    ).localCheckpoint(eager=False)
+    bands = sigs.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.posexplode(
+            F.array(*[F.substring("simhash_hex", b * 4 + 1, 4) for b in range(4)])
+        ).alias("b", "bk"),
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("h1").alias("g1"),
+        F.col("h2").alias("g2"), F.col("b").alias("b2"), F.col("bk").alias("bk2"),
+    )
+    cand = (
+        bands.join(
+            right,
+            (bands.b == right.b2) & (bands.bk == right.bk2) & (bands.doc_id < right.doc_b),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b", "h1", "h2", "g1", "g2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("g1"))) + F.bit_count(
+        F.col("h2").bitwiseXOR(F.col("g2"))
+    )
+    return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")).where(
+        F.col("hamming") <= _HAMMING_MAX
+    )
+
+
+# --- dedup clusters: connected components over the near-dup graph ----------
+
+
+@register(
+    "text_dedup_clusters",
+    # The oracle closes the SAME pair set transitively with a recursive
+    # CTE — an independent formulation of the component computation.
+    oracle=None,  # assigned below (needs text_minhash_lsh's oracle text)
+    tags=("text", "dedup", "iterative", "minhash", "lsh"),
+)
+def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate groups: MinHash-LSH verified pairs -> connected
+    components (operators/components.py min-label propagation) -> one row
+    per clustered doc with its canonical id (min doc of the component)
+    and the component size. This is the step that turns pairwise dedup
+    output into 'keep one per group' decisions.
+
+    Scale: pair generation is the LSH band join (never all-pairs); the
+    propagation loop is Pregel-shaped — shuffle join + grouped min per
+    iteration, iterations bounded by component diameter (shallow for dup
+    graphs)."""
+    from ..operators.components import connected_components
+    from .text import text_minhash_lsh
+
+    prep(spark)
+    pairs = text_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+def _clusters_oracle() -> str:
+    minhash = QUERIES["text_minhash_lsh"].oracle
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (
+{minhash}
+) AS _mh),
+ee AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM ee),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT ee.s, reach.r FROM ee JOIN reach ON ee.d = reach.node
+),
+lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+"""
+
+
+# register() stores the Query frozen; rebuild the entry with the oracle
+# text now that text_minhash_lsh's registration is importable.
+_q = QUERIES["text_dedup_clusters"]
+QUERIES["text_dedup_clusters"] = type(_q)(
+    name=_q.name, fn=_q.fn, oracle=_clusters_oracle(), tags=_q.tags,
+    bench=_q.bench, doc=_q.doc,
+)
+
+
+# --- deterministic stratified sampling -------------------------------------
+
+
+@register(
+    "text_sample_stratified",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+) t
+WHERE (rn - 1) % 10 = 0
+""",
+    tags=("text", "pipeline", "sampling", "window"),
+)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified 10% sample: every 10th document per language
+    stratum in deterministic doc_id order — the reproducible alternative
+    to TABLESAMPLE (whose row choice is partition-layout-dependent) when
+    an eval set must be reconstructible forever.
+
+    Scale: one shuffle on the stratum key; the rank filter prunes inside
+    each partition. For heavily skewed strata, swap the window for the
+    hash-mod bucketing text_train_test_split uses (no sort at all)."""
+    prep(spark)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars", F.row_number().over(w).alias("rn"))
+        .where((F.col("rn") - 1) % 10 == 0)
+        .drop("rn")
+    )
+
+
+# --- PII redaction ----------------------------------------------------------
+
+_RE_EMAIL = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+"
+_RE_IP = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_RE_NUM = "\\b[0-9]{8,}\\b"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+              || '.7 card 4111111111111111' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_RE_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace(raw, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                                   '{_RE_IP}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(raw,
+             '{_RE_EMAIL}', '<EMAIL>', 'g'),
+             '{_RE_IP}', '<IP>', 'g'),
+             '{_RE_NUM}', '<NUM>', 'g')) AS redacted_md5
+FROM injected
+""",
+    tags=("text", "pipeline", "redaction", "scalar"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub before training: emails, IPv4 addresses, and long digit
+    runs (card/account numbers) replaced with typed placeholder tokens,
+    with per-doc detection counts. The corpus gets a deterministic PII
+    suffix injected so the redactor provably fires; the oracle hashes the
+    fully-redacted text (md5 parity across engines).
+
+    Scale: pure regexp projection — no shuffle, whole-stage codegen; at
+    100 TB this runs at scan speed, which is why redaction belongs in the
+    same pass as quality scoring rather than as its own job."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 card 4111111111111111"),
+    )
+    no_email = F.regexp_replace(raw, _RE_EMAIL, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, _RE_IP, "<IP>")
+    redacted = F.regexp_replace(no_ip, _RE_NUM, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_RE_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_RE_IP), 0)).alias("n_ips"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )

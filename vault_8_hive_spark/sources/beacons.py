@@ -53,6 +53,12 @@ from ..functions.codecs import (
 FIXTURE_KEY = hashlib.md5(b"vault8-fixture-key").digest()  # 16 bytes, deterministic
 N_FIXTURE_BEACONS = 200
 
+# Bump whenever the fixture content changes shape: landing directories
+# derived from these records (.work/*/rsi_landing, beacon_stream) are
+# stamped with this tag and rebuilt on mismatch, so stale data from an
+# earlier fixture generation can never silently serve a query.
+FIXTURE_VERSION = "r2-bthp-dialects-1"
+
 BEACON_SCHEMA = StructType(
     [
         StructField("beacon_id", LongType()),
