@@ -356,8 +356,10 @@ _composite(
          {"ts1": "window_start", "n": "n_events", "d1": "total_value"}),
         ("session", "stream_session_window",
          {"k1": "user_id", "ts1": "session_start", "ts2": "session_end", "n": "n_events"}),
+        ("late_drop", "stream_late_data_drop",
+         {"ts1": "window_start", "n": "n_events"}),
     ],
-    tags=("streaming", "window-time", "session-window", "composite"),
+    tags=("streaming", "window-time", "session-window", "watermark", "composite"),
 )
 
 _composite(

@@ -162,6 +162,105 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
+_LATE_BASE = 1709251200  # 2024-03-01 00:00:00 UTC
+
+
+def _late_fixture() -> tuple[list[tuple[int, int]], list[tuple[int, int]], list[tuple]]:
+    """(phase-1 rows, phase-2 rows, expected emitted windows).
+
+    Phase 1: 60 events in hour 0, 30 in hour 1, 11 in hour 2 (the last at
+    02:59 drives the watermark to 02:29, closing hours 0 and 1).
+    Phase 2: 20 LATE events back in hour 0 (must be dropped — their
+    window closed in phase 1), 5 more hour-2 events (on time), and one
+    far-future flush event that advances the watermark past hour 2.
+    """
+    p1 = [(i, _LATE_BASE + i * 60) for i in range(60)]  # hour 0
+    p1 += [(100 + i, _LATE_BASE + 3600 + i * 60) for i in range(30)]  # hour 1
+    p1 += [(200 + i, _LATE_BASE + 7200 + i * 60) for i in range(10)]  # hour 2
+    p1.append((299, _LATE_BASE + 7200 + 59 * 60))  # 02:59 watermark driver
+    p2 = [(300 + i, _LATE_BASE + i * 60) for i in range(20)]  # LATE: hour 0
+    p2 += [(400 + i, _LATE_BASE + 7200 + 30 * 60 + i * 60) for i in range(5)]  # hour 2
+    p2.append((499, _LATE_BASE + 36000))  # flush: hour 10
+    expected = [
+        ("2024-03-01 00:00:00", 60),
+        ("2024-03-01 01:00:00", 30),
+        ("2024-03-01 02:00:00", 16),
+    ]
+    return p1, p2, expected
+
+
+@register(
+    "stream_late_data_drop",
+    oracle=(
+        "SELECT CAST(window_start AS TIMESTAMP) AS window_start, "
+        "CAST(n_events AS BIGINT) AS n_events FROM (VALUES "
+        + ", ".join(f"('{w}', {n})" for w, n in _late_fixture()[2])
+        + ") AS t(window_start, n_events)"
+    ),
+    tags=("streaming", "watermark", "late-data"),
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, end to end and driver-checkable: two
+    availableNow runs share one checkpoint, so the second run restores
+    the first run's watermark (02:29) from state — its 20 hour-0 events
+    arrive BELOW the watermark and are dropped, while its on-time hour-2
+    events merge into the still-open window. Append mode emits each
+    window exactly once, when the watermark passes its end; the flush
+    event closes hour 2 and its own window never emits. The oracle is the
+    hand-computed emitted set — any failure to drop (or double-emit)
+    breaks the hash.
+
+    Scale: this is the micro-shaped proof of the state-bounding contract
+    streaming depends on at 100 TB — watermark state survives restarts
+    via the checkpoint, and late data costs nothing but the drop."""
+    import shutil
+
+    from .formats import _work
+
+    prep(spark)
+    p1, p2, _ = _late_fixture()
+    land = _work(sf_dir, "late_drop_landing")
+    ckpt = _work(sf_dir, "late_drop_ckpt")
+    sink = _work(sf_dir, "late_drop_out")
+    for d in (land, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def write_phase(rows: list[tuple[int, int]]) -> None:
+        # one landing file per phase; the checkpoint's file log makes
+        # run 2 read only the file added after run 1
+        df = spark.createDataFrame(rows, "event_id long, epoch_s long")
+        df.coalesce(1).write.mode("append").parquet(land)
+
+    def run_phase() -> None:
+        schema = spark.read.parquet(land).schema
+        stream = spark.readStream.schema(schema).parquet(land)
+        agg = (
+            stream.withColumn("ts", F.timestamp_seconds("epoch_s"))
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        # File sink (not memory): the memory sink is not fault-tolerant,
+        # so only a recoverable sink lets run 2 restore run 1's watermark
+        # from the checkpoint — which is the behavior under test.
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_phase(p1)
+    run_phase()
+    write_phase(p2)
+    run_phase()
+    return spark.read.parquet(sink)
+
+
 @register(
     "stream_foreach_batch_upsert",
     oracle="""
