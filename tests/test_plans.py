@@ -136,6 +136,46 @@ def test_gateway_match_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_ivf_partitioned_layout_prunes(spark, sf_dir):
+    """vec_ivf_topk's documented production layout made literal: the
+    corpus written partitionBy(list_id) turns probing 3 of 10 inverted
+    lists into partition pruning at the scan (PartitionFilters on the
+    file source, 70% of the I/O never read)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vault_8_hive_spark.catalog import WORK_DIR, table
+
+    path = os.path.join(WORK_DIR, os.path.basename(sf_dir), "ivf_layout")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "embeddings")
+            .withColumn("list_id", F.col("label"))
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(path)
+        )
+    df = spark.read.parquet(path).where(F.col("list_id").isin(1, 2, 3))
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+    # the pruned read must touch only the 3 probed lists
+    assert df.select("list_id").distinct().count() == 3
+
+
+def test_beacon_decoder_tolerates_bad_records(spark, sf_dir):
+    """Corrupt landing blobs become parse_ok='false' rows — never task
+    failures (the 100 TB ingest contract)."""
+    from pyspark.sql import functions as F
+
+    from vault_8_hive_spark.sources.beacons import fixture_blobs_df, from_hive_beacon
+
+    raw = from_hive_beacon(fixture_blobs_df(spark, include_bad=True))
+    bad = raw.where(F.col("parse_ok") == "false")
+    assert bad.count() == 2
+    assert bad.where(F.col("mac").isNotNull()).count() == 0
+
+
 def test_compacted_layout_splits_scan_if_built(spark, sf_dir):
     """After optimize_tables, the lineitem scan must span >1 partition
     (the raw landing file is a single row group = a single task)."""

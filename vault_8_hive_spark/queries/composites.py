@@ -495,14 +495,16 @@ _composite(
     # has_procs rides a string slot: a NULL boolean hashes as None in
     # Spark's toPandas but NaN in DuckDB's .df() — strings round-trip
     # None identically on both engines.
-    schema=[("beacon_id", "bigint"), ("version", "int"), ("os_name", "string"),
+    schema=[("beacon_id", "bigint"), ("parse_ok", "string"), ("version", "int"),
+            ("os_name", "string"),
             ("mac", "string"), ("uptime_s", "bigint"), ("next_beacon_s", "int"),
             ("beacon_ip", "string"), ("proxy_ip", "string"), ("bytecount", "bigint"),
             ("has_procs", "string"),
             ("n_beacons", "bigint"), ("total_uptime", "bigint"), ("avg_uptime", "double")],
     branches=[
         ("parse", "domain_beacon_parse",
-         {"beacon_id": "beacon_id", "version": "version", "os_name": "os_name",
+         {"beacon_id": "beacon_id", "parse_ok": "parse_ok", "version": "version",
+          "os_name": "os_name",
           "mac": "mac", "uptime_s": "uptime_s", "next_beacon_s": "next_beacon_s",
           "beacon_ip": "beacon_ip", "proxy_ip": "proxy_ip", "bytecount": "bytecount",
           "has_procs": "has_procs"}),

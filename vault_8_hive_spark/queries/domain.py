@@ -74,12 +74,13 @@ def _expected_bytecount(r: dict) -> int:
 
 
 _PARSE_COLS = [
-    "beacon_id", "version", "os_name", "mac", "uptime_s", "next_beacon_s",
-    "beacon_ip", "proxy_ip", "bytecount", "has_procs",
+    "beacon_id", "parse_ok", "version", "os_name", "mac", "uptime_s",
+    "next_beacon_s", "beacon_ip", "proxy_ip", "bytecount", "has_procs",
 ]
 _PARSE_ROWS = [
     (
         r["beacon_id"],
+        "true",
         r["version"],
         OS_NAMES[r["os"]],
         r["mac"],
@@ -94,13 +95,22 @@ _PARSE_ROWS = [
 ]
 
 
+def _bad_parse_rows() -> list[tuple]:
+    from ..sources.beacons import bad_fixture_blobs
+
+    return [
+        (bid, "false", None, None, None, None, None, None, None, None, False)
+        for bid, _ in bad_fixture_blobs()
+    ]
+
+
 @register(
     "domain_beacon_parse",
     oracle=(
-        "SELECT CAST(beacon_id AS BIGINT) AS beacon_id, version, os_name, mac, "
+        "SELECT CAST(beacon_id AS BIGINT) AS beacon_id, parse_ok, version, os_name, mac, "
         "CAST(uptime_s AS BIGINT) AS uptime_s, next_beacon_s, beacon_ip, proxy_ip, "
         "CAST(bytecount AS BIGINT) AS bytecount, has_procs "
-        f"FROM {_values(_PARSE_ROWS, _PARSE_COLS)}"
+        f"FROM {_values(_PARSE_ROWS + _bad_parse_rows(), _PARSE_COLS)}"
     ),
     tags=("domain", "codec", "udf"),
 )
@@ -108,11 +118,18 @@ def domain_beacon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full wire round-trip: fixture dicts -> TLV -> bz2 -> XTEA -> BTHP
     proxy envelope (beacon/dst/proxy IP sub-headers, honeycomb.py:138-183)
     -> binary column -> from_hive_beacon (mapInPandas) -> typed rows
-    including the envelope's source IPs and byte count. The oracle is the
-    encoder's input — any codec/parse defect breaks the hash."""
+    including the envelope's source IPs and byte count. The landing set
+    includes deliberately-corrupt blobs (truncated envelope, flipped
+    ciphertext) that must surface as parse_ok='false' rows — bad records
+    can never fail an ingest task. The oracle is the encoder's input plus
+    the expected bad-row matrix — any codec/parse defect breaks the hash."""
+    from ..sources.beacons import fixture_blobs_df, from_hive_beacon
+
     prep(spark)
-    return bronze_beacons(spark).select(
+    raw = from_hive_beacon(fixture_blobs_df(spark, include_bad=True))
+    return raw.select(
         "beacon_id",
+        "parse_ok",
         "version",
         "os_name",
         "mac",

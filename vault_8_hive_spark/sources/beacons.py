@@ -62,6 +62,7 @@ FIXTURE_VERSION = "r2-bthp-dialects-1"
 BEACON_SCHEMA = StructType(
     [
         StructField("beacon_id", LongType()),
+        StructField("parse_ok", StringType()),  # 'true'/'false' (see note)
         StructField("version", IntegerType()),
         StructField("os", IntegerType()),
         StructField("os_name", StringType()),
@@ -78,6 +79,10 @@ BEACON_SCHEMA = StructType(
         StructField("netstat_an", StringType()),
     ]
 )
+# parse_ok is a string, not a boolean, for oracle-hash symmetry: a NULL
+# boolean round-trips as None from Spark but NaN from DuckDB (see
+# queries/composites.py) — and downstream VALUES oracles embed this
+# column directly.
 
 _OS_CODES = sorted(OS_NAMES)
 _COMMANDS = ("init", "sshd", "cron", "ntpd", "syslogd", "httpd", "getty", "sh")
@@ -235,53 +240,85 @@ def encode_fixture_blob(rec: dict) -> bytes:
     )
 
 
-def fixture_blobs_df(spark: SparkSession) -> DataFrame:
+# Deliberately-corrupt landing blobs (ids >= _BAD_ID_BASE): a truncated
+# datagram and a bit-flipped ciphertext. A 100 TB ingest ALWAYS contains
+# malformed records; the decoder must surface them as parse_ok=false rows,
+# never as task failures.
+_BAD_ID_BASE = 1_000_000
+
+
+def bad_fixture_blobs() -> list[tuple[int, bytes]]:
+    good = encode_fixture_blob(make_fixture_records(n=1)[0])
+    flipped = bytearray(good)
+    flipped[len(flipped) // 2] ^= 0xFF  # corrupt the XTEA ciphertext
+    return [
+        (_BAD_ID_BASE + 0, good[:11]),       # truncated mid-envelope
+        (_BAD_ID_BASE + 1, bytes(flipped)),  # undecryptable body
+    ]
+
+
+def fixture_blobs_df(spark: SparkSession, include_bad: bool = False) -> DataFrame:
     """DataFrame(beacon_id long, blob binary) of enveloped fixture beacons
-    — the raw landing zone."""
+    — the raw landing zone (optionally with the corrupt-record matrix)."""
     rows = [
         (r["beacon_id"], bytearray(encode_fixture_blob(r)))
         for r in make_fixture_records()
     ]
+    if include_bad:
+        rows += [(bid, bytearray(b)) for bid, b in bad_fixture_blobs()]
     schema = StructType(
         [StructField("beacon_id", LongType()), StructField("blob", BinaryType())]
     )
     return spark.createDataFrame(rows, schema)
 
 
+_NULL_ROW = (None,) * (len(BEACON_SCHEMA.fields) - 2)
+
+
 def _decode_batches(pdf_iter):
     for pdf in pdf_iter:
         out = []
         for bid, blob in zip(pdf["beacon_id"], pdf["blob"]):
-            env, inner = decode_bthp(bytes(blob))
-            d = decode_beacon(inner, FIXTURE_KEY)
-            out.append(
-                (
-                    int(bid),
-                    d["version"],
-                    d["os"],
-                    OS_NAMES.get(d["os"], "unknown"),
-                    d["mac"],
-                    d["uptime_s"],
-                    d["next_beacon_s"],
-                    env["beacon_ip"],
-                    env["dst_ip"],
-                    env["proxy_ip"],
-                    env["bytecount"],
-                    d["proc_list"],
-                    d["ipconfig"],
-                    d["netstat_rn"],
-                    d["netstat_an"],
+            try:
+                env, inner = decode_bthp(bytes(blob))
+                d = decode_beacon(inner, FIXTURE_KEY)
+                out.append(
+                    (
+                        int(bid),
+                        "true",
+                        d["version"],
+                        d["os"],
+                        OS_NAMES.get(d["os"], "unknown"),
+                        d["mac"],
+                        d["uptime_s"],
+                        d["next_beacon_s"],
+                        env["beacon_ip"],
+                        env["dst_ip"],
+                        env["proxy_ip"],
+                        env["bytecount"],
+                        d["proc_list"],
+                        d["ipconfig"],
+                        d["netstat_rn"],
+                        d["netstat_an"],
+                    )
                 )
-            )
+            except Exception:
+                # malformed record: flagged row, not a task failure
+                out.append((int(bid), "false") + _NULL_ROW)
         yield pd.DataFrame(out, columns=[f.name for f in BEACON_SCHEMA.fields])
 
 
 def from_hive_beacon(blobs: DataFrame) -> DataFrame:
     """Decode a (beacon_id, blob) DataFrame into the typed bronze beacons
     table — the engine's signature parsing UDF (mapInPandas): BTHP
-    envelope fields + decoded TLV sections per row."""
+    envelope fields + decoded TLV sections per row. Malformed blobs
+    (truncated envelope, undecryptable body, bad bz2) become
+    parse_ok='false' rows with null fields."""
     return blobs.mapInPandas(_decode_batches, schema=BEACON_SCHEMA)
 
 
 def bronze_beacons(spark: SparkSession) -> DataFrame:
-    return from_hive_beacon(fixture_blobs_df(spark))
+    """The clean bronze table (parse_ok rows only) every silver-layer
+    query builds on; the raw parse including bad records is
+    domain_beacon_parse's surface."""
+    return from_hive_beacon(fixture_blobs_df(spark)).where(F.col("parse_ok") == "true")
