@@ -68,10 +68,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     opt = _opt_path(sf_dir, name)
     src = opt if os.path.exists(os.path.join(opt, "_SUCCESS")) else f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(src)
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts arrives as raw int64 nanos (see session.prep); truncate to
         # micros exactly like DuckDB reads the same file, so both engines
-        # see identical timestamps.
+        # see identical timestamps. (Engine-written copies — e.g. the
+        # scale probe's — already carry a true timestamp column.)
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     _HANDLES[key] = df
     return df
