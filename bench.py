@@ -66,8 +66,9 @@ def main() -> None:
     # Exception: queries whose plan embeds a localCheckpoint would reuse
     # MATERIALIZED DATA (not just the plan) across runs — those rebuild a
     # fresh DataFrame every timed run so the number stays an honest
-    # end-to-end execution.
-    rebuild_each_run = {"text_minhash_lsh"}
+    # end-to-end execution. The set derives from the registration flag so
+    # it can never drift from the query definitions.
+    rebuild_each_run = {n for n, q in bench_set.items() if q.rebuild_per_run}
 
     prepared = {}
     for name, q in bench_set.items():

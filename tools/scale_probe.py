@@ -129,7 +129,7 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            if name == "text_minhash_lsh":  # localCheckpoint: rebuild fresh
+            if qs[name].rebuild_per_run:  # localCheckpoint plans: rebuild fresh
                 qs[name].fn(spark, dst).toPandas()
             else:
                 prepared[name].toPandas()

@@ -52,6 +52,24 @@ def _opt_path(sf_dir: str, name: str) -> str:
     return os.path.join(WORK_DIR, sf_tag, "opt", name)
 
 
+def _src_fingerprint(sf_dir: str, name: str) -> str:
+    """Identity of the raw landing file (size + mtime): the compacted
+    copy is only valid for the exact source it was built from."""
+    p = f"{sf_dir}/{name}.parquet"
+    st = os.stat(p)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _opt_is_current(sf_dir: str, name: str) -> bool:
+    opt = _opt_path(sf_dir, name)
+    tag = os.path.join(opt, "_SRC_FINGERPRINT")
+    try:
+        with open(tag, encoding="utf-8") as fh:
+            return fh.read() == _src_fingerprint(sf_dir, name)
+    except OSError:
+        return False
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .session import prep
 
@@ -62,11 +80,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _HANDLES[key]
     prep(spark)  # idempotent; needed before schema resolution (nanos conf)
     # Prefer the split-friendly compacted copy when the ingest layer has
-    # built one (optimize_tables): the driver-generated files are a single
-    # parquet row group each, which pins every scan to ONE task no matter
-    # the core count — the compacted layout restores scan parallelism.
+    # built one (optimize_tables) AND it still matches the raw landing
+    # file (size+mtime fingerprint — a regenerated source must never be
+    # served from a stale compaction): the driver-generated files are a
+    # single parquet row group each, which pins every scan to ONE task no
+    # matter the core count — the compacted layout restores parallelism.
     opt = _opt_path(sf_dir, name)
-    src = opt if os.path.exists(os.path.join(opt, "_SUCCESS")) else f"{sf_dir}/{name}.parquet"
+    src = opt if _opt_is_current(sf_dir, name) else f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(src)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts arrives as raw int64 nanos (see session.prep); truncate to
@@ -100,12 +120,14 @@ def optimize_tables(
     n = chunks or spark.sparkContext.defaultParallelism
     for name in tables:
         dst = _opt_path(sf_dir, name)
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        if _opt_is_current(sf_dir, name):
             continue
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # Small dims stay single-file (splitting 5 rows buys nothing).
         parts = 1 if name in BROADCAST_TABLES else n
         raw.repartition(parts).write.mode("overwrite").parquet(dst)
+        with open(os.path.join(dst, "_SRC_FINGERPRINT"), "w", encoding="utf-8") as fh:
+            fh.write(_src_fingerprint(sf_dir, name))
         # Invalidate memoized handles that still point at the raw file.
         key = (spark.sparkContext.applicationId, sf_dir, name)
         _HANDLES.pop(key, None)

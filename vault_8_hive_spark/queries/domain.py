@@ -65,12 +65,21 @@ def _values(rows: list[tuple], cols: list[str]) -> str:
 # --- 1. codec round-trip ----------------------------------------------------
 
 
+_BYTECOUNT_MEMO: dict[int, int] = {}
+
+
 def _expected_bytecount(r: dict) -> int:
     """The BTHP header's dataLen = size of the encapsulated (TLV->bz2->
-    XTEA) beacon — recomputed here independently for the oracle."""
-    from ..functions.codecs import encode_beacon
+    XTEA) beacon — recomputed here independently for the oracle.
+    Memoized by beacon_id: three import-time call sites (beacon-parse
+    VALUES, rsi VALUES, rsi rendering) would otherwise each pay 200
+    pure-python encodes."""
+    bid = r["beacon_id"]
+    if bid not in _BYTECOUNT_MEMO:
+        from ..functions.codecs import encode_beacon
 
-    return len(encode_beacon(r, FIXTURE_KEY))
+        _BYTECOUNT_MEMO[bid] = len(encode_beacon(r, FIXTURE_KEY))
+    return _BYTECOUNT_MEMO[bid]
 
 
 _PARSE_COLS = [

@@ -77,6 +77,7 @@ FROM cand
 WHERE bit_count(xor(fa, fb)) <= {_HAMMING_MAX}
 """,
     tags=("text", "dedup", "simhash", "lsh", "udf"),
+    rebuild_per_run=True,
 )
 def text_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit fingerprints (the mapInPandas
@@ -136,6 +137,7 @@ def text_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CTE — an independent formulation of the component computation.
     oracle=None,  # assigned below (needs text_minhash_lsh's oracle text)
     tags=("text", "dedup", "iterative", "minhash", "lsh"),
+    rebuild_per_run=True,
 )
 def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate groups: MinHash-LSH verified pairs -> connected
@@ -182,10 +184,10 @@ FROM lab
 
 # register() stores the Query frozen; rebuild the entry with the oracle
 # text now that text_minhash_lsh's registration is importable.
-_q = QUERIES["text_dedup_clusters"]
-QUERIES["text_dedup_clusters"] = type(_q)(
-    name=_q.name, fn=_q.fn, oracle=_clusters_oracle(), tags=_q.tags,
-    bench=_q.bench, doc=_q.doc,
+import dataclasses as _dc
+
+QUERIES["text_dedup_clusters"] = _dc.replace(
+    QUERIES["text_dedup_clusters"], oracle=_clusters_oracle()
 )
 
 

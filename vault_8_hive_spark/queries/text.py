@@ -125,6 +125,7 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
 """,
     tags=("text", "dedup", "minhash", "lsh"),
     bench=True,
+    rebuild_per_run=True,  # plan embeds localCheckpoints
 )
 def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 perms) + LSH (4 bands x 2 rows) near-duplicate pairs,
@@ -479,6 +480,7 @@ WHERE a.doc_id < 60 AND b.doc_id < 60
   AND len(list_intersect(a.shingles, b.shingles)) > 0
 """,
     tags=("text", "dedup", "ngram"),
+    rebuild_per_run=True,
 )
 def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive pairwise n-gram (3-word shingle) Jaccard on a bounded

@@ -250,6 +250,7 @@ WHERE (list_sum(list_transform(generate_series(1, 64),
                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) >= 0.3
 """,
     tags=("vectors", "dedup", "lsh", "similarity"),
+    rebuild_per_run=True,
 )
 def vec_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: LSH-bucketed candidate
