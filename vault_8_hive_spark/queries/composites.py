@@ -193,8 +193,11 @@ _composite(
         ("band", "join_band_nonequi",
          {"s1": "tier_name", "n": "n_orders", "d1": "tier_total"}),
         ("cross", "join_cross", {"s1": "region_a", "s2": "region_b"}),
+        ("interval", "join_interval_events",
+         {"s1": "CAST(window_id AS STRING)", "n": "n_events",
+          "d1": "CAST(n_users AS DOUBLE)"}),
     ],
-    tags=("join", "nonequi", "composite"),
+    tags=("join", "nonequi", "interval", "composite"),
 )
 
 # --- set ops + whole-row dedup ---------------------------------------------

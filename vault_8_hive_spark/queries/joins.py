@@ -302,6 +302,77 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 24 deterministic 2-hour maintenance windows spread across the events
+# month (2024-01): start = base + i*29h. Whole-hour boundaries by
+# construction, which is what makes hour-bucketing lossless.
+_IVL_BASE = "2024-01-01 00:00:00"
+_IVL_WINDOWS = [(i, i * 29, i * 29 + 2) for i in range(24)]  # (id, start_h, end_h)
+
+
+def _ivl_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, TIMESTAMP '{_IVL_BASE}' + INTERVAL {s} HOUR, "
+        f"TIMESTAMP '{_IVL_BASE}' + INTERVAL {e} HOUR)"
+        for i, s, e in _IVL_WINDOWS
+    )
+    return f"(VALUES {rows}) AS w(window_id, w_start, w_end)"
+
+
+@register(
+    "join_interval_events",
+    oracle=f"""
+SELECT window_id, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM {_ivl_values_sql()}
+JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY window_id
+""",
+    tags=("join", "nonequi", "interval", "window-time", "agg"),
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join at scale: events matched into maintenance
+    windows. The naive plan is a nested-loop theta join (every event
+    against every window); this one EQUI-joins on a coarse time bucket —
+    each window explodes into the hour buckets it covers, each event
+    carries its hour bucket — and verifies the exact interval predicate
+    only on bucket-collided rows.
+
+    Scale: the bucket join shuffles on a uniform time key (or broadcasts
+    the exploded window side, as here — it is dim-sized x a few buckets);
+    cost is O(events + windows*span/bucket) instead of O(events*windows).
+    The bucket granularity trades fan-out against candidate precision —
+    the standard interval-join decomposition."""
+    prep(spark)
+    win = spark.createDataFrame(
+        _IVL_WINDOWS, "window_id int, start_h int, end_h int"
+    ).select(
+        "window_id",
+        F.expr(f"TIMESTAMP '{_IVL_BASE}' + make_interval(0,0,0,0,start_h,0,0)").alias("w_start"),
+        F.expr(f"TIMESTAMP '{_IVL_BASE}' + make_interval(0,0,0,0,end_h,0,0)").alias("w_end"),
+    )
+    wb = F.broadcast(
+        win.select(
+            "window_id",
+            "w_start",
+            "w_end",
+            F.explode(
+                F.expr("sequence(date_trunc('hour', w_start), date_trunc('hour', w_end), interval 1 hour)")
+            ).alias("bucket"),
+        )
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "ts", "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    )
+    return (
+        ev.join(wb, "bucket")
+        .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 _CORR_SUBQ = """
 SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
 FROM customer c
