@@ -531,8 +531,11 @@ _composite(
           "n2": "n_remote_addrs", "n3": "n_remote_ports"}),
         ("liveness", "domain_fleet_liveness",
          {"s1": "mac", "n1": "last_beacon_id", "i1": "next_beacon_s", "ok": "missed"}),
+        ("state_history", "domain_state_history",
+         {"s1": "mac", "s2": "os_name", "n1": "from_id", "n2": "to_id",
+          "n3": "n_beacons"}),
     ],
-    tags=("domain", "text-parse", "sockets", "liveness", "composite"),
+    tags=("domain", "text-parse", "sockets", "liveness", "scd2", "composite"),
 )
 
 _composite(

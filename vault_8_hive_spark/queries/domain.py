@@ -417,6 +417,78 @@ def domain_fleet_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 5b. fleet state history (SCD2 / gaps-and-islands) ----------------------
+
+
+def _py_state_history() -> list[tuple]:
+    """Oracle mirror: per MAC, collapse consecutive runs of equal os_name
+    (beacon_id order) into [from_id, to_id] validity intervals."""
+    by_mac: dict[str, list] = {}
+    for r in sorted(_RECORDS, key=lambda r: r["beacon_id"]):
+        by_mac.setdefault(r["mac"], []).append((r["beacon_id"], OS_NAMES[r["os"]]))
+    out = []
+    for mac in sorted(by_mac):
+        run_os, run_from, run_n, last_id = None, None, 0, None
+        for bid, osn in by_mac[mac]:
+            if osn != run_os:
+                if run_os is not None:
+                    out.append((mac, run_os, run_from, last_id, run_n))
+                run_os, run_from, run_n = osn, bid, 0
+            run_n += 1
+            last_id = bid
+        out.append((mac, run_os, run_from, last_id, run_n))
+    return out
+
+
+@register(
+    "domain_state_history",
+    oracle=f"""
+SELECT mac, os_name, CAST(from_id AS BIGINT) AS from_id,
+       CAST(to_id AS BIGINT) AS to_id, CAST(n_beacons AS BIGINT) AS n_beacons
+FROM {_values(_py_state_history(), ["mac", "os_name", "from_id", "to_id", "n_beacons"])}
+""",
+    tags=("domain", "window", "scd2", "islands"),
+)
+def domain_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style fleet state history: per MAC, consecutive beacons
+    reporting the same os_name collapse into one validity interval
+    [from_id, to_id] — the gaps-and-islands pattern (lag -> change flag ->
+    running sum -> per-island aggregate), i.e. the value-change dual of
+    events_sessionize's time-gap islands. This is how a listening post
+    turns a beacon feed into an auditable configuration history.
+
+    Scale: one shuffle on mac + two window passes + the island aggregate;
+    island count is bounded by change frequency, not beacon volume."""
+    prep(spark)
+    b = bronze_beacons(spark).select("mac", "beacon_id", "os_name")
+    w = Window.partitionBy("mac").orderBy("beacon_id")
+    marked = b.select(
+        "mac",
+        "beacon_id",
+        "os_name",
+        F.when(
+            F.lag("os_name").over(w).isNull()
+            | (F.lag("os_name").over(w) != F.col("os_name")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    islands = marked.select(
+        "mac",
+        "beacon_id",
+        "os_name",
+        F.sum("is_change")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    return islands.groupBy("mac", "island", "os_name").agg(
+        F.min("beacon_id").alias("from_id"),
+        F.max("beacon_id").alias("to_id"),
+        F.count(F.lit(1)).alias("n_beacons"),
+    ).drop("island")
+
+
 # --- 6. MAC normalization across wire formats ------------------------------
 
 _MAC_FIXTURES = [
