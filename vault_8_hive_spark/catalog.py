@@ -122,12 +122,16 @@ def optimize_tables(
         dst = _opt_path(sf_dir, name)
         if _opt_is_current(sf_dir, name):
             continue
+        # Capture the fingerprint BEFORE reading: if the source is
+        # regenerated mid-compaction, the stale copy gets stamped with
+        # the OLD identity and the next check correctly rebuilds.
+        fp = _src_fingerprint(sf_dir, name)
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # Small dims stay single-file (splitting 5 rows buys nothing).
         parts = 1 if name in BROADCAST_TABLES else n
         raw.repartition(parts).write.mode("overwrite").parquet(dst)
         with open(os.path.join(dst, "_SRC_FINGERPRINT"), "w", encoding="utf-8") as fh:
-            fh.write(_src_fingerprint(sf_dir, name))
+            fh.write(fp)
         # Invalidate memoized handles that still point at the raw file.
         key = (spark.sparkContext.applicationId, sf_dir, name)
         _HANDLES.pop(key, None)

@@ -354,8 +354,15 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_id",
             "w_start",
             "w_end",
+            # last bucket = the hour containing w_end - 1s: an
+            # hour-aligned (exclusive) end contributes no bucket of its
+            # own, so no window carries a dead bucket whose candidates
+            # the ts < w_end filter would always discard.
             F.explode(
-                F.expr("sequence(date_trunc('hour', w_start), date_trunc('hour', w_end), interval 1 hour)")
+                F.expr(
+                    "sequence(date_trunc('hour', w_start), "
+                    "date_trunc('hour', w_end - interval 1 second), interval 1 hour)"
+                )
             ).alias("bucket"),
         )
     )
