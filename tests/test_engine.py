@@ -11,3 +11,35 @@ def test_engine_surface(spark, sf_dir):
     assert eng.table("nation").count() == 25
     assert len(eng.run("top_segment_revenue").collect()) == 5
     assert "lineitem" in eng.tables()
+
+
+def test_exact_aggregates_invariant_under_replan(spark, sf_dir):
+    """The determinism contract of functions/exact.py, tested directly:
+    money aggregates must hash-match under different shuffle partition
+    counts and with AQE toggled — the property that makes 1000-executor
+    re-runs byte-identical."""
+    from vault_8_hive_spark.queries import all_queries
+
+    qs = all_queries()
+    baseline = {}
+    for name in ("pricing_summary", "agg_basic", "top_segment_revenue"):
+        pdf = qs[name].fn(spark, sf_dir).toPandas()
+        baseline[name] = sorted(
+            tuple(repr(v) for v in r) for r in pdf[sorted(pdf.columns)].itertuples(index=False)
+        )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        for parts, aqe in (("3", "true"), ("17", "false")):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            for name, expect in baseline.items():
+                pdf = qs[name].fn(spark, sf_dir).toPandas()
+                got = sorted(
+                    tuple(repr(v) for v in r)
+                    for r in pdf[sorted(pdf.columns)].itertuples(index=False)
+                )
+                assert got == expect, f"{name} diverged at partitions={parts} aqe={aqe}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

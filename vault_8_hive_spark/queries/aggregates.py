@@ -330,6 +330,37 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_sketch_merge",
+    oracle=None,  # sketch bytes are implementation-specific; accuracy
+    # bounds asserted in tests/test_aggregates.py
+    tags=("agg", "approx", "sketch"),
+)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): build
+    per-group partial sketches, then UNION them into a rollup estimate —
+    the two-level pattern a 100 TB pipeline actually uses (store compact
+    sketch bytes per partition/day, merge on demand for any rollup,
+    never re-scan raw data for a new grouping).
+
+    Here: distinct suppliers per returnflag AND the all-flags union,
+    computed by merging the three per-flag sketches rather than
+    rescanning lineitem."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_suppkey").alias("sk")
+    )
+    flags = per_flag.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_suppliers")
+    )
+    merged = per_flag.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate("u").alias("approx_suppliers"),
+    )
+    return flags.unionByName(merged)
+
+
+@register(
     "agg_filtered_conditional",
     oracle="""
 SELECT o_orderstatus,
