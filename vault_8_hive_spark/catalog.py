@@ -70,6 +70,23 @@ def _opt_is_current(sf_dir: str, name: str) -> bool:
         return False
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to a session-tz (UTC) timestamp.
+
+    The driver's landing file has shipped two encodings across rounds:
+    int64 TIMESTAMP(NANOS) (read as bigint under the legacy nanosAsLong
+    conf) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    timestamp_ntz). Both normalize to the same instant DuckDB sees —
+    callers run session.prep first, so the NTZ cast interprets the naive
+    value as UTC."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .session import prep
 
@@ -88,12 +105,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     opt = _opt_path(sf_dir, name)
     src = opt if _opt_is_current(sf_dir, name) else f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(src)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts arrives as raw int64 nanos (see session.prep); truncate to
-        # micros exactly like DuckDB reads the same file, so both engines
-        # see identical timestamps. (Engine-written copies — e.g. the
-        # scale probe's — already carry a true timestamp column.)
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_events_ts(df)
     _HANDLES[key] = df
     return df
 

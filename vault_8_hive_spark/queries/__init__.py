@@ -76,6 +76,7 @@ DRIVER_NAMES = (
     "agg_moments_exact",
     "agg_percentile_exact",
     "agg_salted_skew",
+    "agg_sketch_merge",
     "dedup_exact_keyed",
     "domain_beacon_os",
     "domain_codec_scalars",

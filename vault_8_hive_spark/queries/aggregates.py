@@ -290,49 +290,94 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_moments_builtin",
-    oracle=None,  # single-pass float moments are order-dependent; rows-only
+    oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 6) AS stddev_qty,
+       ROUND(var_samp(l_quantity), 6) AS var_qty,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
     tags=("agg", "stats"),
 )
 def agg_moments_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in one-pass stddev_samp/var_samp/corr/covar_samp (the fast
-    path when last-ulp reproducibility isn't required)."""
+    path when last-ulp decimal reproducibility isn't required), rounded to
+    1e-6 so the float accumulation order (Spark partial-merge vs the
+    oracle's serial pass) can't show through — at that rounding both
+    engines agree exactly (measured at sf0.001 and sf0.01; the
+    exact-decimal twin is agg_moments_exact)."""
     prep(spark)
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.stddev_samp("l_quantity").alias("stddev_qty"),
-            F.var_samp("l_quantity").alias("var_qty"),
-            F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
-            F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         )
     )
 
 
 @register(
     "agg_approx",
-    oracle=None,  # HLL++/KLL sketches are implementation-specific; rows-only
+    # The sketch estimates themselves are implementation-specific, but the
+    # *accuracy contract* is not: each estimate is banded into the window
+    # the sketch promises (distinct: +-50 at rsd 0.02 over ~2k keys;
+    # median: +-500 over ~50k prices), and the exact answer banded the
+    # same way is the oracle. Measured margins at sf0.01: estimate 2019 vs
+    # exact 2000 (band [1950,2050)), median drift < 15 (band +-500).
+    oracle="""
+SELECT l_returnflag,
+       CAST(FLOOR((COUNT(DISTINCT l_partkey) + 50) / 100) AS BIGINT) AS parts_bucket,
+       CAST(FLOOR((quantile_disc(l_extendedprice, 0.5) + 500) / 1000) AS BIGINT) AS median_bucket
+FROM lineitem
+GROUP BY l_returnflag
+""",
     tags=("agg", "approx"),
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) + approx_percentile — the 100 TB path
-    where exact distinct/percentile shuffles would be prohibitive.
-    Accuracy vs exact is asserted in tests/test_aggregates.py."""
+    where exact distinct/percentile shuffles would be prohibitive. The
+    final projection bands each estimate into its sketch-accuracy window,
+    which IS reproducible from the exact answer on any engine — so the
+    driver hash-checks the sketch path end-to-end. Raw-estimate accuracy
+    vs exact is asserted in tests/test_aggregates.py."""
     prep(spark)
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+        )
+        .select(
+            "l_returnflag",
+            F.floor((F.col("ap") + 50) / 100).alias("parts_bucket"),
+            F.floor((F.col("am") + 500) / 1000).alias("median_bucket"),
         )
     )
 
 
 @register(
     "agg_sketch_merge",
-    oracle=None,  # sketch bytes are implementation-specific; accuracy
-    # bounds asserted in tests/test_aggregates.py
+    # Same banded-accuracy oracle pattern as agg_approx: DataSketches HLL
+    # is coupon-exact far beyond these cardinalities (10 / 100 suppliers),
+    # so the +-25 band has zero measured drift; the merged ALL row checks
+    # union correctness (it cannot be reconstructed from the per-flag
+    # estimates alone).
+    oracle="""
+SELECT l_returnflag,
+       CAST(FLOOR((COUNT(DISTINCT l_suppkey) + 25) / 50) AS BIGINT) AS supp_bucket
+FROM lineitem
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'ALL' AS l_returnflag,
+       CAST(FLOOR((COUNT(DISTINCT l_suppkey) + 25) / 50) AS BIGINT) AS supp_bucket
+FROM lineitem
+""",
     tags=("agg", "approx", "sketch"),
 )
 def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,18 +389,19 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Here: distinct suppliers per returnflag AND the all-flags union,
     computed by merging the three per-flag sketches rather than
-    rescanning lineitem."""
+    rescanning lineitem; estimates banded into the sketch's accuracy
+    window so the result is hash-checkable cross-engine (raw-estimate
+    accuracy is asserted in tests/test_aggregates.py)."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
+    bucket = lambda est: F.floor((est + 25) / 50).alias("supp_bucket")  # noqa: E731
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_suppkey").alias("sk")
     )
-    flags = per_flag.select(
-        "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_suppliers")
-    )
+    flags = per_flag.select("l_returnflag", bucket(F.hll_sketch_estimate("sk")))
     merged = per_flag.agg(F.hll_union_agg("sk").alias("u")).select(
         F.lit("ALL").alias("l_returnflag"),
-        F.hll_sketch_estimate("u").alias("approx_suppliers"),
+        bucket(F.hll_sketch_estimate("u")),
     )
     return flags.unionByName(merged)
 

@@ -141,17 +141,19 @@ _composite(
 
 _composite(
     "agg_approx_moments",
-    schema=[("grp", "string"), ("n1", "bigint"),
+    schema=[("grp", "string"), ("n1", "bigint"), ("n2", "bigint"),
             ("d1", "double"), ("d2", "double"), ("d3", "double"), ("d4", "double")],
     branches=[
+        # Sketch estimates ride as accuracy-window bands and the one-pass
+        # moments as 1e-6 roundings (see the fine registrations), so the
+        # whole composite is hash-checkable — no no_oracle debt left.
         ("approx", "agg_approx",
-         {"grp": "l_returnflag", "n1": "approx_parts", "d1": "approx_median_price"}),
+         {"grp": "l_returnflag", "n1": "parts_bucket", "n2": "median_bucket"}),
         ("moments_builtin", "agg_moments_builtin",
          {"grp": "l_returnflag", "d1": "stddev_qty", "d2": "var_qty",
           "d3": "covar_qty_price", "d4": "corr_qty_price"}),
     ],
     tags=("agg", "approx", "stats", "composite"),
-    no_oracle=True,  # both branches are sketch/float-order dependent by design
 )
 
 # --- joins ------------------------------------------------------------------

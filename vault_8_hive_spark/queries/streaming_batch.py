@@ -308,7 +308,9 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from ..catalog import normalize_events_ts
+
+    stream = normalize_events_ts(stream)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         (

@@ -409,16 +409,72 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(scored, 10)
 
 
+def _kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:
+    """Lloyd's algorithm with a FIXED iteration count is straight-line
+    relational algebra: unroll the loop into a CTE chain (assign =
+    per-(vector, centroid) squared-distance group-sum + argmin via
+    row_number ordered (dist2, cluster) — the same lowest-index tie-break
+    as array_position; update = per-(cluster, pos) mean with COALESCE
+    keeping an empty cluster's old centroid, mirroring
+    operators/kmeans.py). This graduates the "iterative" row from
+    rows-only to a full hash-checked oracle — measured hash-exact at
+    sf0.001 and sf0.01 (mean_dist2 rounded to 1e-6 absorbs float
+    accumulation-order drift)."""
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, range(1, {dim + 1}) t(i)
+),
+seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT s.cluster, v.pos, v.val FROM seeds s JOIN v USING (vec_id))"""
+    ]
+    assign = """{name} AS (
+  SELECT vec_id, cluster, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+  FROM (
+    SELECT v.vec_id, c.cluster, SUM((v.val - c.val) * (v.val - c.val)) AS dist2
+    FROM v JOIN {cent} c USING (pos)
+    GROUP BY v.vec_id, c.cluster
+  )
+)"""
+    for it in range(1, iters + 1):
+        parts.append(assign.format(name=f"a{it}", cent=f"c{it - 1}"))
+        parts.append(
+            f"""c{it} AS (
+  SELECT p.cluster, p.pos, COALESCE(u.m, p.val) AS val
+  FROM c{it - 1} p LEFT JOIN (
+    SELECT a.cluster, v.pos, AVG(v.val) AS m
+    FROM a{it} a JOIN v USING (vec_id)
+    WHERE a.rn = 1
+    GROUP BY a.cluster, v.pos
+  ) u ON u.cluster = p.cluster AND u.pos = p.pos
+)"""
+        )
+    parts.append(assign.format(name="fin", cent=f"c{iters}"))
+    return (
+        ",\n".join(parts)
+        + """
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(dist2), 6) AS mean_dist2
+FROM fin WHERE rn = 1 GROUP BY cluster"""
+    )
+
+
 @register(
     "vec_kmeans_clusters",
-    oracle=None,  # iterative algorithm — convergence/determinism in
-    # tests/test_vectors.py (SQL cannot express the fixpoint loop)
+    oracle=_kmeans_oracle_sql(k=4, iters=3, dim=DIM),
     tags=("vectors", "iterative", "kmeans"),
 )
 def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means (k=4, 3 Lloyd iterations, deterministic init from the 4
     smallest vec_ids) over the embedding corpus; returns per-cluster size
-    and mean squared distance (operators/kmeans.py)."""
+    and mean squared distance (operators/kmeans.py). The oracle unrolls
+    the same fixed-iteration Lloyd's into a CTE chain (_kmeans_oracle_sql)
+    so even the iterative row is value-checked, not rows-only."""
     from ..operators.kmeans import kmeans
 
     prep(spark)

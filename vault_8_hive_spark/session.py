@@ -60,9 +60,12 @@ def prep(spark: SparkSession) -> SparkSession:
     # on an empty string when the key is unset)
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
-    # read the raw int64 and let the catalog convert to micros (matching
-    # DuckDB, which truncates parquet nanos to its micro timestamps).
+    # Some driver rounds ship events.parquet as TIMESTAMP(NANOS), which
+    # vanilla Spark rejects; with this conf the raw int64 comes through
+    # and catalog.normalize_events_ts converts to micros (matching DuckDB,
+    # which truncates parquet nanos). Harmless when the landing file is
+    # already micros (current rounds) — normalize_events_ts branches on
+    # the observed dtype.
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -38,7 +38,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from ..catalog import normalize_events_ts
+
+    return normalize_events_ts(raw)
 
 
 def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
