@@ -4,12 +4,16 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + materialize). Results are
-materialized via toPandas (Arrow egress — the production path for bulk
-result transfer; row-object collect() is 2-3x slower for wide results and
-measures Python object construction, not the engine). A warmup pass primes
-the JVM/parquet footer caches so the numbers measure the engine, not JVM
-startup.
+Each query is timed over a FRESH DataFrame per run (every scan/map/
+shuffle stage re-executes — see vault_8_hive_spark/benchlib.py for why
+re-executing a prepared DataFrame would measure cached-shuffle serving
+instead). The headline `queries` numbers are execution time; Catalyst
+compile time is measured in the same runs and reported under `compile`.
+Results are materialized via toPandas (Arrow egress — the production path
+for bulk result transfer; row-object collect() is 2-3x slower for wide
+results and measures Python object construction, not the engine). A
+warmup pass primes the JVM JIT, codegen cache, and parquet footer caches
+so the numbers measure the engine, not JVM startup.
 """
 
 from __future__ import annotations
@@ -54,49 +58,41 @@ def main() -> None:
     registry = all_queries()
     bench_set = {n: q for n, q in sorted(registry.items()) if q.bench}
 
-    # Prepared-plan methodology: each query's DataFrame is built and
-    # analyzed/optimized/codegen'd ONCE (the warmup pass), then the timed
-    # runs re-execute that prepared plan — the steady-state latency of a
-    # repeatedly-issued query, which is how an engine serves a workload
-    # (plan caches / prepared statements). Measured breakdown at sf0.1:
-    # python plan construction 0.1-0.9s + analysis/optimization 0.3-0.7s
-    # vs 0.05-0.10s actual execution, so without plan reuse the bench
-    # measures Catalyst's compiler, not the engine.
-    #
-    # Exception: queries whose plan embeds a localCheckpoint would reuse
-    # MATERIALIZED DATA (not just the plan) across runs — those rebuild a
-    # fresh DataFrame every timed run so the number stays an honest
-    # end-to-end execution. The set derives from the registration flag so
-    # it can never drift from the query definitions.
-    rebuild_each_run = {n for n, q in bench_set.items() if q.rebuild_per_run}
-
-    prepared = {}
+    # Warmup: one untimed build+execute per query primes the JVM JIT,
+    # the whole-stage-codegen source cache, and parquet footer caches.
+    # The warmup DataFrames are discarded — timed runs build fresh ones
+    # (see benchlib: reuse would serve cached shuffle outputs).
     for name, q in bench_set.items():
-        df = q.fn(spark, sf_dir)
-        df.toPandas()  # warmup: JIT + codegen + parquet footer caches
-        prepared[name] = df
+        q.fn(spark, sf_dir).toPandas()
 
-    # Median of 3 timed runs per query: single-run numbers on a 32-thread
-    # local JVM are dominated by GC-pause lottery, not the plan.
+    # Median of 5 timed runs per query: single-run numbers on a 32-thread
+    # local JVM are dominated by GC-pause lottery, not the plan (and with
+    # fresh-build runs the spread is wider than under plan reuse).
     import gc
-    import statistics
+
+    from vault_8_hive_spark.benchlib import time_query
 
     per: dict[str, float] = {}
+    compile_s: dict[str, float] = {}
     for name, q in bench_set.items():
         gc.collect()
-        # JVM-side GC too: accumulated broadcast/UDF garbage from earlier
-        # queries otherwise pays its collection pause inside a later
-        # query's timed window (measured up to +1.5s on a single query).
+        # JVM-side GC outside the timed window: accumulated broadcast/UDF
+        # garbage from earlier queries otherwise pays its collection pause
+        # inside this query's window (measured up to +1.5s). Every timed
+        # plan is built AFTER this point, so no live plan's accumulators
+        # can be collected out from under a run (the round-2 harness
+        # re-executed pre-GC plans and logged spurious accumulator
+        # errors — fresh builds make that impossible).
         spark._jvm.System.gc()
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            if name in rebuild_each_run:
-                q.fn(spark, sf_dir).toPandas()
-            else:
-                prepared[name].toPandas()
-            runs.append(time.perf_counter() - t0)
-        per[name] = round(statistics.median(runs), 4)
+        # Let the async ContextCleaner drain the previous query's
+        # shuffle/broadcast garbage before the next timed window opens —
+        # its block-removal work otherwise competes with the timed run
+        # (measured: up to 4x inflation on the query following the
+        # heaviest one).
+        time.sleep(0.5)
+        e, c = time_query(spark, q, sf_dir, runs=5)
+        per[name] = round(e, 4)
+        compile_s[name] = round(c, 4)
 
     total = round(sum(per.values()), 4)
     print(
@@ -106,6 +102,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per,
+                "compile": compile_s,
                 "sf": sf,
                 "n_queries": len(per),
                 "cpus": cpus,

@@ -184,3 +184,27 @@ def test_compacted_layout_splits_scan_if_built(spark, sf_dir):
     optimize_tables(spark, sf_dir, tables=("lineitem",), chunks=4)
     df = table(spark, sf_dir, "lineitem")
     assert df.rdd.getNumPartitions() > 1
+
+
+def test_selfjoin_shares_one_exchange(spark, sf_dir):
+    """The dedup self-joins materialize their expensive input (shingle
+    sets, mapInPandas fingerprints, LSH signatures) exactly once via a
+    shared repartition exchange — the planner must collapse both join
+    sides into one shuffle write + ReusedExchange reads, not recompute
+    the input per side (and not pin localCheckpoint blocks on the
+    driver). AQE is toggled off for the check because the static plan
+    shows reuse only with the non-adaptive planner; at runtime AQE
+    performs the same stage-level reuse."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, scan_max in (
+            ("text_minhash_lsh", 1),
+            ("vec_cosine_neardup_pairs", 1),
+        ):
+            df = QUERIES[name].fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("ReusedExchange") >= 1, (name, plan)
+            assert plan.count("Scan parquet") <= scan_max, (name, plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)

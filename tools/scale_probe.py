@@ -7,8 +7,9 @@ tables 5x with key offsets (joins stay key-correct), per-replica word
 tags on document text (so near-dup structure does not change — replicas
 must not look like duplicates of each other), and vec_id offsets for the
 embedding corpus. Then runs the comparable headline queries through BOTH
-engines on the SAME generated files (prepared-plan methodology, identical
-to bench.py) and prints one JSON line per engine plus the ratio table.
+engines on the SAME generated files (fresh-build-per-run methodology,
+identical to bench.py — see vault_8_hive_spark/benchlib.py) and prints
+one JSON line with both engines' times plus exec and end-to-end ratios.
 
 This is measurement tooling, not part of the query surface: the driver's
 tables remain the only correctness inputs.
@@ -77,10 +78,11 @@ def build(spark, dst: str) -> None:
     for name in _REPLICATED:
         raw = spark.read.parquet(f"{SRC_SF}/{name}.parquet")
         if name == "events":
-            # materialize a true micros timestamp (the landing file's
-            # int64-nanos encoding is unreadable as a timestamp by DuckDB
-            # once rewritten by Spark)
-            raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # materialize a session-tz timestamp (whatever encoding the
+            # landing file shipped — int64 nanos or micros-NTZ)
+            from vault_8_hive_spark.catalog import normalize_events_ts
+
+            raw = normalize_events_ts(raw)
         parts = []
         for r in range(REPLICAS):
             df = raw
@@ -118,23 +120,17 @@ def main() -> None:
     if not os.path.exists(os.path.join(dst, "embeddings.parquet")):
         build(spark, dst)
 
+    from vault_8_hive_spark.benchlib import time_query
+
     qs = all_queries()
     spark_times: dict[str, float] = {}
-    prepared = {}
+    spark_compile: dict[str, float] = {}
     for name in COMPARABLE:
-        df = qs[name].fn(spark, dst)
-        df.toPandas()  # warm / compile
-        prepared[name] = df
+        qs[name].fn(spark, dst).toPandas()  # warm: JIT/codegen/footers
     for name in COMPARABLE:
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            if qs[name].rebuild_per_run:  # localCheckpoint plans: rebuild fresh
-                qs[name].fn(spark, dst).toPandas()
-            else:
-                prepared[name].toPandas()
-            runs.append(time.perf_counter() - t0)
-        spark_times[name] = round(statistics.median(runs), 4)
+        e, c = time_query(spark, qs[name], dst)
+        spark_times[name] = round(e, 4)
+        spark_compile[name] = round(c, 4)
 
     conn = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
@@ -154,8 +150,16 @@ def main() -> None:
         duck_times[name] = round(statistics.median(runs), 4)
 
     ratios = {n: round(spark_times[n] / duck_times[n], 2) for n in COMPARABLE}
+    # e2e folds Spark's per-query compile back in (DuckDB's numbers always
+    # include its ~ms planner) so the comparison is readable both ways.
+    ratios_e2e = {
+        n: round((spark_times[n] + spark_compile[n]) / duck_times[n], 2)
+        for n in COMPARABLE
+    }
     print(json.dumps({"replicas": REPLICAS, "spark": spark_times,
+                      "spark_compile": spark_compile,
                       "duckdb": duck_times, "ratio": ratios,
+                      "ratio_e2e": ratios_e2e,
                       "spark_total": round(sum(spark_times.values()), 3),
                       "duckdb_total": round(sum(duck_times.values()), 3)}))
 

@@ -92,7 +92,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # The source fingerprint is part of the memo key: a regenerated
+    # landing file must invalidate a cached handle (a compacted-copy
+    # handle would otherwise keep serving stale data — the fingerprint
+    # guard below only runs on a memo miss).
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        _src_fingerprint(sf_dir, name),
+    )
     if key in _HANDLES:
         return _HANDLES[key]
     prep(spark)  # idempotent; needed before schema resolution (nanos conf)
@@ -146,7 +155,7 @@ def optimize_tables(
         with open(os.path.join(dst, "_SRC_FINGERPRINT"), "w", encoding="utf-8") as fh:
             fh.write(fp)
         # Invalidate memoized handles that still point at the raw file.
-        key = (spark.sparkContext.applicationId, sf_dir, name)
+        key = (spark.sparkContext.applicationId, sf_dir, name, fp)
         _HANDLES.pop(key, None)
 
 

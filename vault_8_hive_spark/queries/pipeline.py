@@ -77,7 +77,7 @@ FROM cand
 WHERE bit_count(xor(fa, fb)) <= {_HAMMING_MAX}
 """,
     tags=("text", "dedup", "simhash", "lsh", "udf"),
-    rebuild_per_run=True,
+    rebuild_per_run=True,  # plan embeds a localCheckpoint
 )
 def text_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit fingerprints (the mapInPandas
@@ -94,6 +94,13 @@ def text_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = _neardup_corpus(spark, sf_dir).mapInPandas(
         _simhash_batch, schema=_SIMHASH_SCHEMA
     )
+    # localCheckpoint (not a shared repartition exchange): a mapInPandas
+    # subtree embeds a PythonUDF whose result id survives plan
+    # canonicalization, so the planner cannot collapse the two self-join
+    # sides into one ReusedExchange the way the pure-JVM dedup queries do
+    # (text_minhash_lsh, vec_cosine_neardup_pairs) — the checkpoint is
+    # what guarantees the Python stage runs exactly once. At cluster
+    # scale the same handoff is a staged fingerprint table.
     sigs = sims.select(
         "doc_id",
         "simhash_hex",

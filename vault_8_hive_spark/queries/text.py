@@ -125,7 +125,6 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
 """,
     tags=("text", "dedup", "minhash", "lsh"),
     bench=True,
-    rebuild_per_run=True,  # plan embeds localCheckpoints
 )
 def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 perms) + LSH (4 bands x 2 rows) near-duplicate pairs,
@@ -144,14 +143,14 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition before the CPU-heavy hashing: a single parquet file is
     # one input split, which would serialize all md5 work into one task.
     par = spark.sparkContext.defaultParallelism
-    # localCheckpoint (not cache): materialized once per invocation and
-    # shared by BOTH sides of the band self-join and the verification
-    # joins, without polluting the session-wide cache registry.
-    sh = (
-        _shingled(table(spark, sf_dir, "documents"))
-        .repartition(par, "doc_id")
-        .localCheckpoint(eager=False)
-    )
+    # The repartition exchange IS the shared materialization point: every
+    # consumer below (band side, b2 side, both verification rehydration
+    # sides) contains the identical exchange subtree, so the planner
+    # collapses them into ONE shuffle write + ReusedExchange reads
+    # (asserted in tests/test_plans.py). Shuffle files hold the shingled
+    # docs exactly once — the plan-cacheable handoff a localCheckpoint
+    # used to provide, without driver-pinned blocks leaking across runs.
+    sh = _shingled(table(spark, sf_dir, "documents")).repartition(par, "doc_id")
 
     def digest(s):  # 256-bit per-shingle digest
         return F.concat(F.md5(s.cast("binary")), F.md5(F.concat(F.lit("x"), s).cast("binary")))
@@ -193,9 +192,7 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
-    bands = sh.select("doc_id", F.explode(band_arr).alias("band_key")).localCheckpoint(
-        eager=False
-    )
+    bands = sh.select("doc_id", F.explode(band_arr).alias("band_key"))
     b2 = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk"))
     cand = (
         bands.join(b2, (bands.band_key == b2.bk) & (bands.doc_id < b2.doc_b))
@@ -480,16 +477,13 @@ WHERE a.doc_id < 60 AND b.doc_id < 60
   AND len(list_intersect(a.shingles, b.shingles)) > 0
 """,
     tags=("text", "dedup", "ngram"),
-    rebuild_per_run=True,
 )
 def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive pairwise n-gram (3-word shingle) Jaccard on a bounded
     slice — the exact ground truth the LSH path approximates (kept
     intentionally small: this is the O(n^2) shape LSH exists to avoid)."""
     prep(spark)
-    sh = _shingled(
-        table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
-    ).localCheckpoint(eager=False)
+    sh = _shingled(table(spark, sf_dir, "documents").where(F.col("doc_id") < 60))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     pairs = sh.crossJoin(b).where(F.col("doc_id") < F.col("doc_b"))
     inter = F.size(F.array_intersect("shingles", "sh_b"))

@@ -250,7 +250,6 @@ WHERE (list_sum(list_transform(generate_series(1, 64),
                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) >= 0.3
 """,
     tags=("vectors", "dedup", "lsh", "similarity"),
-    rebuild_per_run=True,
 )
 def vec_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: LSH-bucketed candidate
@@ -261,9 +260,12 @@ def vec_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     has true duplicates the threshold moves to ~0.95 unchanged."""
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
+    # Repartition after the signature projection: one exchange feeds both
+    # self-join sides via ReusedExchange, so the hyperplane signatures
+    # compute once (no localCheckpoint needed).
     sigs = emb.select(
         "vec_id", "embedding", lsh_signature(to_double("embedding"), PLANES).alias("bucket")
-    ).localCheckpoint(eager=False)
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
     right = sigs.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("bucket").alias("bk")
     )

@@ -60,18 +60,22 @@ def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     # the sink's temp view — otherwise every call leaks a materialized
     # result set into driver memory for the session's lifetime.
     out = spark.table(name)
-    # Guard the driver-side detach: the collect is only safe because every
-    # caller sinks an *aggregated* stream whose cardinality is bounded by
-    # its grouping keys. An unaggregated stream routed through here would
-    # flood the driver — fail loudly instead.
-    n = out.count()
-    if n > 1_000_000:
-        raise RuntimeError(
-            f"memory sink {name} holds {n} rows; run_to_memory is for "
-            "aggregated (key-bounded) streams only"
-        )
-    rows, schema = out.collect(), out.schema
-    spark.catalog.dropTempView(name)
+    try:
+        # Guard the driver-side detach: the collect is only safe because
+        # every caller sinks an *aggregated* stream whose cardinality is
+        # bounded by its grouping keys. An unaggregated stream routed
+        # through here would flood the driver — fail loudly instead.
+        n = out.count()
+        if n > 1_000_000:
+            raise RuntimeError(
+                f"memory sink {name} holds {n} rows; run_to_memory is for "
+                "aggregated (key-bounded) streams only"
+            )
+        rows, schema = out.collect(), out.schema
+    finally:
+        # Drop the sink view on BOTH paths — the failure path must not
+        # permanently pin the very result set the guard rejects.
+        spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)
 
 
