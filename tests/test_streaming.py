@@ -121,3 +121,97 @@ def test_rate_source_smoke(spark):
         assert vals == list(range(vals[0], vals[0] + len(vals)))
     finally:
         q.stop()
+
+
+def test_foreach_batch_upsert_recovers_and_never_double_applies(spark, sf_dir):
+    """Crash-recovery + exactly-once for the foreachBatch upsert sink:
+
+    1. the stream is KILLED between micro-batches; a restart on the same
+       checkpoint must resume from the committed offset (not reprocess
+       committed batches) and finish with totals equal to the batch
+       ground truth;
+    2. a batch is then REPLAYED by hand (at-least-once redelivery, the
+       failure mode foreachBatch contracts the writer to survive) — the
+       dynamic-partition-overwrite writer must rewrite its own partition,
+       leaving the compacted totals unchanged. A sink that appends on
+       replay double-counts and fails the assert."""
+    import time
+
+    from vault_8_hive_spark.catalog import normalize_events_ts
+    from vault_8_hive_spark.queries.streaming_batch import (
+        compact_user_totals,
+        partition_overwrite_upsert,
+    )
+
+    base = f"{WORK_DIR}/upsert_recovery_{uuid.uuid4().hex[:8]}"
+    src, target, ckpt = f"{base}/src", f"{base}/target", f"{base}/ckpt"
+    events = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events.repartitionByRange(4, "event_id").write.parquet(src)
+    truth = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("t"),
+        )
+        .collect()
+    }
+
+    writer = partition_overwrite_upsert(target)
+    captured: dict[int, list] = {}
+
+    def slow_capturing_upsert(batch_df, batch_id):
+        # Keep the raw batch rows so the replay below redelivers the real
+        # payload; slow down so the kill lands between micro-batches.
+        captured[int(batch_id)] = batch_df.collect()
+        writer(batch_df, batch_id)
+        time.sleep(1.5)
+
+    def start(fn):
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        # Run 1: kill after the first committed batch, mid-stream.
+        q = start(slow_capturing_upsert)
+        deadline = time.time() + 120
+        while q.isActive and not captured and time.time() < deadline:
+            time.sleep(0.1)
+        q.stop()
+        q.awaitTermination()
+        n_before_restart = len(captured)
+        assert n_before_restart >= 1, "stream never committed a batch"
+
+        # Run 2: same checkpoint; must finish the remaining batches only.
+        q = start(slow_capturing_upsert)
+        q.awaitTermination()
+        assert len(captured) >= 4 or len(set(captured)) == 4
+
+        def totals():
+            return {
+                r["user_id"]: (r["n_events"], r["total_value"])
+                for r in compact_user_totals(spark, target).collect()
+            }
+
+        got = totals()
+        assert set(got) == set(truth)
+        for u, (n, t) in truth.items():
+            assert got[u][0] == n, (u, got[u], n, t)
+            assert abs(got[u][1] - float(t)) < 1e-6
+
+        # Replay: redeliver an already-committed batch verbatim.
+        bid = min(captured)
+        replay_df = spark.createDataFrame(
+            captured[bid], spark.read.parquet(src).schema
+        )
+        writer(replay_df, bid)
+        assert totals() == got, "sink double-applied a replayed batch"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -312,6 +312,24 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = normalize_events_ts(stream)
 
+    q = (
+        stream.writeStream.foreachBatch(partition_overwrite_upsert(target))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return compact_user_totals(spark, target)
+
+
+def partition_overwrite_upsert(target: str):
+    """The idempotent foreachBatch writer stream_foreach_batch_upsert
+    sinks through, exposed for reuse (and for the crash-recovery /
+    replayed-batch test in tests/test_streaming.py): each micro-batch's
+    per-user partial aggregate lands in partition batch_id=N via dynamic
+    partition overwrite, so an at-least-once redelivery rewrites its own
+    partition instead of appending a duplicate."""
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.groupBy("user_id")
@@ -326,14 +344,11 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(target)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return upsert
 
+
+def compact_user_totals(spark: SparkSession, target: str) -> DataFrame:
+    """Serving read over the upsert target: sum the per-batch partials."""
     partials = spark.read.parquet(target)
     return partials.groupBy("user_id").agg(
         F.sum("n_events").alias("n_events"),
