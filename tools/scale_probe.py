@@ -110,8 +110,14 @@ def main() -> None:
     from vault_8_hive_spark.session import get_spark
 
     spark = get_spark(app_name="scale-probe")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Latency mode (AQE off, 8 partitions) only while inputs stay sub-GB —
+    # SCALE.md documents that mode as wrong above ~1 GB, and it shows at
+    # 25x: the static planner broadcast-builds a 1.4M-row filtered orders
+    # side in top_segment_revenue (5.2 s/run); the session's cluster
+    # posture (AQE on, partitions ~ cores) re-plans it at runtime (1.5 s).
+    if REPLICAS <= 5:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
