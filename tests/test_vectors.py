@@ -48,3 +48,19 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     brute_ids = set(brute["vec_id"])
     hit = sum(1 for v in ivf["vec_id"] if v in brute_ids)
     assert hit / len(ivf) >= 0.5, f"IVF recall too low: {hit}/{len(ivf)}"
+
+
+def test_multitable_lsh_recall_dominates_single(spark, sf_dir):
+    """The recall probe's reason to exist: multi-table LSH must buy real
+    recall over the single table, monotonically with table count, and
+    the densest configuration must clear 0.5 mean recall@10 — if a plane
+    bank change ever flattens this curve, the ANN path is silently
+    degraded and this fails."""
+    pdf = QUERIES["vec_ann_recall"].fn(spark, sf_dir).toPandas()
+    mean = pdf.groupby("method")["recall_at_10"].mean()
+    assert mean["tables_8x4"] > mean["tables_4x6"] > mean["single_8"], dict(mean)
+    assert mean["tables_8x4"] >= 0.5, dict(mean)
+    # And the recall is bought with visibly larger candidate sets — the
+    # cost side of the curve must be real too.
+    cand = pdf.groupby("method")["n_candidates"].mean()
+    assert cand["tables_8x4"] > cand["tables_4x6"] > cand["single_8"], dict(cand)

@@ -473,8 +473,11 @@ _composite(
          {"a": "vec_id", "i1": "label", "d1": "cos_sim", "i2": "rn"}),
         ("neardup_pairs", "vec_cosine_neardup_pairs",
          {"a": "vec_a", "b": "vec_b", "d1": "cos_sim"}),
+        ("recall", "vec_ann_recall",
+         {"s1": "method", "a": "qid", "i1": "n_hits", "i2": "n_candidates",
+          "d1": "recall_at_10"}),
     ],
-    tags=("vectors", "lsh", "dedup", "similarity", "composite"),
+    tags=("vectors", "lsh", "dedup", "similarity", "recall", "composite"),
 )
 
 # --- UDF surface ------------------------------------------------------------

@@ -276,6 +276,171 @@ def vec_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-table LSH plane bank (distinct seed so tables are independent of
+# the single-table PLANES above). 8 tables x 4 planes and 4 tables x 6
+# planes are carved from the same 32-plane bank.
+MT_PLANES = hyperplanes(32, DIM, seed="vault8-mt")
+
+_RECALL_VARIANTS: list[tuple[str, list[list[list[float]]]]] = [
+    ("single_8", [PLANES]),
+    ("tables_4x6", [MT_PLANES[t * 6:(t + 1) * 6] for t in range(4)]),
+    ("tables_8x4", [MT_PLANES[t * 4:(t + 1) * 4] for t in range(8)]),
+]
+
+
+def _o_sig_for(planes: list[list[float]]) -> str:
+    def plane_lit(pl: list[float]) -> str:
+        return "[" + ", ".join(str(v) for v in pl) + "]"
+
+    return " || ".join(
+        f"(CASE WHEN ROUND(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_lit(pl)})[i])), 6) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for pl in planes
+    )
+
+
+def _recall_oracle_sql() -> str:
+    variant_parts = []
+    for method, tables in _RECALL_VARIANTS:
+        buckets = "\nUNION ALL\n".join(
+            f"SELECT vec_id, {t} AS tbl, ({_o_sig_for(pl)}) AS bucket FROM embeddings"
+            for t, pl in enumerate(tables)
+        )
+        variant_parts.append(f"""
+SELECT '{method}' AS method, q.qid,
+       CAST(c.n_cand AS INT) AS n_candidates,
+       CAST(COALESCE(h.hits, 0) AS INT) AS n_hits,
+       ROUND(COALESCE(h.hits, 0) / 10.0, 6) AS recall_at_10
+FROM queries q
+JOIN (
+  SELECT qid, COUNT(*) AS n_cand FROM (
+    SELECT DISTINCT b.vec_id, qb.vec_id AS qid
+    FROM ({buckets}) b
+    JOIN ({buckets}) qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+    WHERE qb.vec_id < 20 AND b.vec_id <> qb.vec_id
+  ) GROUP BY qid
+) c ON c.qid = q.qid
+LEFT JOIN (
+  SELECT e.qid, COUNT(*) AS hits FROM exact e JOIN (
+    SELECT qid, nn_id FROM (
+      SELECT cand.qid, cand.vec_id AS nn_id,
+             ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY {_O_COS} DESC, e.vec_id) AS rn
+      FROM (
+        SELECT DISTINCT b.vec_id, qb.vec_id AS qid
+        FROM ({buckets}) b
+        JOIN ({buckets}) qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+        WHERE qb.vec_id < 20 AND b.vec_id <> qb.vec_id
+      ) cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN queries q ON q.qid = cand.qid
+    ) t WHERE rn <= 10
+  ) l ON e.qid = l.qid AND e.nn_id = l.nn_id
+  GROUP BY e.qid
+) h ON h.qid = q.qid""")
+    union = "\nUNION ALL\n".join(variant_parts)
+    return f"""
+WITH queries AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 20),
+exact AS (
+  SELECT qid, nn_id FROM (
+    SELECT q.qid, e.vec_id AS nn_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {_O_COS} DESC, e.vec_id) AS rn
+    FROM embeddings e, queries q WHERE e.vec_id <> q.qid
+  ) t WHERE rn <= 10
+)
+{union}
+"""
+
+
+@register(
+    "vec_ann_recall",
+    oracle=_recall_oracle_sql(),
+    tags=("vectors", "lsh", "recall", "quality"),
+)
+def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of LSH-bucketed ANN vs brute-force ground truth, across
+    three index configurations — the quality probe a production ANN
+    deployment runs continuously (approximate indexes decay silently as
+    the corpus drifts) and the tradeoff curve it tunes on:
+
+    - single_8: one 8-plane table — tiny candidate sets, and on this
+      near-orthogonal corpus recall@10 collapses (~0.02). The probe
+      exposing exactly that failure is its job.
+    - tables_4x6 / tables_8x4: classic multi-table LSH — L independent
+      tables, candidates = union of same-bucket sets. Fewer planes per
+      table = denser buckets = more candidates = higher recall; the
+      output reports n_candidates next to recall so the cost of the
+      recall is visible.
+
+    Scale: ground truth runs on a SAMPLED query set (20 queries
+    broadcast against one linear corpus scan), never all-pairs; the ANN
+    side is per-table bucket equi-joins (explode table signatures, join
+    on (table, bucket)) — at 100 TB the signatures are precomputed
+    columns and each probe touches L buckets. Both top-10 sets rank on
+    cosine rounded to 1e-6 with a vec_id tie-break, so recall is
+    deterministic on both engines."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        )
+    )
+    cos = F.round(cosine(to_double("embedding"), to_double("q_emb")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    exact = (
+        emb.crossJoin(queries)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("qid", F.col("vec_id").alias("nn_id"))
+    )
+
+    out = None
+    for method, tables in _RECALL_VARIANTS:
+        sig_arr = F.array(
+            *[lsh_signature(to_double("embedding"), pl) for pl in tables]
+        )
+        b = emb.select("vec_id", F.posexplode(sig_arr).alias("tbl", "bucket"))
+        qb = F.broadcast(
+            b.where(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("qid"),
+                F.col("tbl").alias("qt"),
+                F.col("bucket").alias("qbk"),
+            )
+        )
+        cand = (
+            b.join(qb, (b.tbl == qb.qt) & (b.bucket == qb.qbk) & (b.vec_id != qb.qid))
+            .select("qid", "vec_id")
+            .distinct()
+        )
+        n_cand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+        lshtop = (
+            cand.join(emb, "vec_id")
+            .join(queries, "qid")
+            .select("qid", "vec_id", cos.alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("qid", F.col("vec_id").alias("nn_id"))
+        )
+        hits = exact.join(lshtop, ["qid", "nn_id"]).groupBy("qid").agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        part = (
+            n_cand.join(hits, "qid", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "qid",
+                F.col("n_candidates").cast("int"),
+                F.coalesce("hits", F.lit(0)).cast("int").alias("n_hits"),
+                F.round(F.coalesce("hits", F.lit(0)) / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 # IVF coarse-centroid cache, keyed by corpus dir (see vec_ivf_topk).
 _IVF_INDEX: dict[str, dict[int, list[float]]] = {}
 
