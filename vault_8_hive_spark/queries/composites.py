@@ -438,8 +438,10 @@ _composite(
           "n3": "first_doc", "n4": "last_doc"}),
         ("stratified", "text_sample_stratified",
          {"k1": "doc_id", "s1": "lang", "s2": "source", "n1": "n_chars"}),
+        ("curation", "text_curation_pipeline",
+         {"s1": "stage", "n1": "n_docs", "n3": "min_doc", "n4": "max_doc"}),
     ],
-    tags=("text", "pipeline", "sampling", "composite"),
+    tags=("text", "pipeline", "sampling", "curation", "composite"),
 )
 
 # --- vectors ----------------------------------------------------------------
@@ -458,8 +460,11 @@ _composite(
          {"a": "vec_id", "i1": "label", "d1": "cos_sim", "i2": "rn"}),
         ("centroids", "vec_label_centroids",
          {"i1": "label", "n1": "n_vecs", "d1": "c1", "d2": "c2", "d3": "c3", "d4": "c4"}),
+        ("quantize_int8", "vec_quantize_int8",
+         {"i1": "label", "n1": "n_vecs", "d1": "avg_l2_err", "d2": "max_abs_err",
+          "d3": "avg_scale"}),
     ],
-    tags=("vectors", "similarity", "topk", "knn", "ivf", "composite"),
+    tags=("vectors", "similarity", "topk", "knn", "ivf", "quantization", "composite"),
 )
 
 _composite(

@@ -291,3 +291,146 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(no_email, F.lit(_RE_IP), 0)).alias("n_ips"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+# --- end-to-end corpus curation: the ops compose into ONE plan --------------
+
+
+def _curation_oracle() -> str:
+    minhash = QUERIES["text_minhash_lsh"].oracle
+    from .text import _STOPWORDS
+
+    stop = list(_STOPWORDS)
+    quality = (
+        "ROUND(0.4 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))"
+        " + 0.3 * LEAST(CAST(len(words) AS DOUBLE) / 100, 1.0)"
+        f" + 0.3 * LEAST(CAST(len(list_filter(words, t -> list_contains({stop!r}, t))) AS DOUBLE)"
+        " / len(words) * 10, 1.0), 9)"
+    )
+    en_score = (
+        f"ROUND(CAST(len(list_filter(words, t -> list_contains({stop!r}, t))) AS DOUBLE)"
+        " / len(words), 9)"
+    )
+    return f"""
+WITH RECURSIVE docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+s1 AS (SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
+d1 AS (SELECT d.* FROM docs d JOIN s1 USING (doc_id)),
+pairs AS (
+  SELECT doc_a, doc_b FROM ({minhash}) mh
+  WHERE doc_a IN (SELECT doc_id FROM s1) AND doc_b IN (SELECT doc_id FROM s1)
+),
+ee AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM ee),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT ee.s, reach.r FROM ee JOIN reach ON ee.d = reach.node
+),
+lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> cluster_id)),
+w AS (SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS words FROM d2),
+d3 AS (SELECT doc_id, lang, source FROM w
+       WHERE len(words) > 0 AND {quality} >= 0.5 AND {en_score} >= 0.05),
+d4 AS (SELECT doc_id, lang, source FROM (
+         SELECT doc_id, lang, source,
+                ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+         FROM d3) t WHERE rn <= 15)
+SELECT 'b1_ingest' AS stage, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc FROM docs
+UNION ALL SELECT 'b2_exact_dedup', COUNT(*), MIN(doc_id), MAX(doc_id) FROM d1
+UNION ALL SELECT 'b3_near_dedup', COUNT(*), MIN(doc_id), MAX(doc_id) FROM d2
+UNION ALL SELECT 'b4_quality_lang', COUNT(*), MIN(doc_id), MAX(doc_id) FROM d3
+UNION ALL SELECT 'b5_sampled', COUNT(*), MIN(doc_id), MAX(doc_id) FROM d4
+"""
+
+
+@register(
+    "text_curation_pipeline",
+    oracle=None,  # assigned below (embeds text_minhash_lsh's oracle text)
+    tags=("text", "pipeline", "dedup", "quality", "sampling", "iterative"),
+    rebuild_per_run=True,  # the components step localCheckpoints labels
+)
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: the full pre-training curation pass as
+    ONE declarative chain — ingest -> exact dedup (md5 keeper) ->
+    near-dup canonicalization (MinHash-LSH pairs -> connected
+    components, keep each cluster's min doc) -> quality + language
+    filter -> deterministic per-stratum cap — reporting doc counts and
+    id ranges per stage, the shape of every curation run's audit log.
+
+    Restricting near-dup pairs to exact-dedup survivors is lossless:
+    a dropped exact duplicate has the keeper's identical shingle set, so
+    every path through it exists through the keeper too.
+
+    Scale: each stage is the already-audited plan of its standalone
+    query (one md5 shuffle; banded LSH join, never all-pairs; Pregel
+    components; scan-speed filters; one stratum-key shuffle) — the
+    composition adds joins on doc_id only. The per-stage counts execute
+    as separate aggregates over the shared lineage; at 100 TB each stage
+    lands in a curated table and the counts are its write metrics."""
+    from ..operators.components import connected_components
+    from .text import _STOPWORDS, text_minhash_lsh
+
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    keepers = docs.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    d1 = docs.join(keepers, "doc_id")
+
+    pairs = text_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    k_a = keepers.select(F.col("doc_id").alias("doc_a"))
+    k_b = keepers.select(F.col("doc_id").alias("doc_b"))
+    pairs = pairs.join(k_a, "doc_a", "left_semi").join(k_b, "doc_b", "left_semi")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    non_canonical = labels.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    d2 = d1.join(non_canonical, "doc_id", "left_anti")
+
+    w = d2.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("words")
+    ).where(F.size("words") > 0)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    uniq_ratio = F.size(F.array_distinct("words")).cast("double") / F.size("words")
+    stop_ratio = F.size(
+        F.filter("words", lambda t: F.array_contains(stop_arr, t))
+    ).cast("double") / F.size("words")
+    quality = F.round(
+        0.4 * uniq_ratio
+        + 0.3 * F.least(F.size("words").cast("double") / 100, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 10, F.lit(1.0)),
+        9,
+    )
+    d3 = w.where((quality >= 0.5) & (F.round(stop_ratio, 9) >= 0.05)).select(
+        "doc_id", "lang", "source"
+    )
+
+    win = Window.partitionBy("lang", "source").orderBy("doc_id")
+    d4 = (
+        d3.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 15)
+        .select("doc_id", "lang", "source")
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        ).select("stage", "n_docs", "min_doc", "max_doc")
+
+    return (
+        stage("b1_ingest", docs)
+        .unionByName(stage("b2_exact_dedup", d1))
+        .unionByName(stage("b3_near_dedup", d2))
+        .unionByName(stage("b4_quality_lang", d3))
+        .unionByName(stage("b5_sampled", d4))
+    )
+
+
+QUERIES["text_curation_pipeline"] = _dc.replace(
+    QUERIES["text_curation_pipeline"], oracle=_curation_oracle()
+)

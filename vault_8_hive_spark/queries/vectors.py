@@ -170,6 +170,71 @@ def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vec_quantize_int8",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         GREATEST(list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0,
+                  1e-12) AS scale,
+         embedding
+  FROM embeddings
+),
+err AS (
+  SELECT label, scale,
+         SQRT(list_sum(list_transform(embedding,
+           x -> (CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale) * scale)
+              * (CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale) * scale)))) AS l2,
+         list_max(list_transform(embedding,
+           x -> ABS(CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) / scale) * scale))) AS mx
+  FROM q
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(l2), 6) AS avg_l2_err,
+       ROUND(MAX(mx), 6) AS max_abs_err,
+       ROUND(AVG(scale), 6) AS avg_scale
+FROM err GROUP BY label
+""",
+    tags=("vectors", "quantization", "compression"),
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    with reconstruction-error statistics — the 4x storage/bandwidth
+    compression a 100 TB vector corpus ships with (float32 -> int8 +
+    one float scale per vector), and the error report that justifies it.
+
+    Quantize: scale = max|x| / 127; q = round(x / scale) (fits int8 by
+    construction); dequant error stats per label. All whole-stage-codegen
+    higher-order expressions — no Python, no shuffle before the final
+    per-label rollup. ROUND (half away from zero) matches both engines."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    v = to_double("embedding")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0), F.lit(1e-12)
+    )
+    with_scale = emb.select("label", v.alias("v"), scale.alias("scale"))
+    dq_err = F.transform(
+        "v", lambda x: x - F.round(x / F.col("scale")) * F.col("scale")
+    )
+    err = with_scale.select(
+        "label",
+        "scale",
+        F.sqrt(
+            F.aggregate(
+                F.transform(dq_err, lambda e: e * e), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("l2"),
+        F.array_max(F.transform(dq_err, lambda e: F.abs(e))).alias("mx"),
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("l2"), 6).alias("avg_l2_err"),
+        F.round(F.max("mx"), 6).alias("max_abs_err"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+    )
+
+
+@register(
     "vec_lsh_buckets",
     oracle=f"""
 SELECT ({_O_SIG}) AS bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
