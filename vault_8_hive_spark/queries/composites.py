@@ -378,8 +378,11 @@ _composite(
          {"s1": "c_mktsegment", "n": "n_events", "d1": "total_value"}),
         ("foreach_batch", "stream_foreach_batch_upsert",
          {"k1": "user_id", "n": "n_events", "d1": "total_value"}),
+        ("stream_stream", "stream_stream_join",
+         {"k1": "user_id", "n": "n_attributed", "d1": "max_gap_s"}),
     ],
-    tags=("streaming", "stateful", "dedup", "foreachBatch", "join", "composite"),
+    tags=("streaming", "stateful", "dedup", "foreachBatch", "join",
+          "stream-stream", "composite"),
 )
 
 # --- text -------------------------------------------------------------------

@@ -354,3 +354,72 @@ def compact_user_totals(spark: SparkSession, target: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         round4(F.sum("value_dec")).alias("total_value"),
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+WITH pairs AS (
+  SELECT v.user_id, p.ts - v.ts AS gap
+  FROM events v JOIN events p
+    ON v.user_id = p.user_id
+   AND v.event_type = 'view' AND p.event_type = 'purchase'
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT user_id, COUNT(*) AS n_attributed,
+       CAST(ROUND(MAX(date_part('epoch', gap)), 0) AS DOUBLE) AS max_gap_s
+FROM pairs GROUP BY user_id
+""",
+    tags=("streaming", "stream-stream-join", "watermark", "interval"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join (view -> purchase attribution): two
+    watermarked event streams joined on user plus a time-range condition
+    (purchase within 1 hour after the view) — the canonical streaming
+    attribution/correlation shape, and the join kind where Spark's state
+    store earns its keep: each side buffers only rows younger than
+    watermark + range, so state is bounded by the time window however
+    long the streams run.
+
+    The availableNow file replay delivers all files in one micro-batch,
+    so no state eviction can race a late partner and the result equals
+    the batch interval join exactly — which is what makes the DuckDB
+    oracle applicable (same batch-duality argument as the other
+    streaming entries; the attribution pairs are aggregated per user
+    after the sink detach, bounding the driver result by user count)."""
+    prep(spark)
+    views = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    out = run_to_memory(pairs, "append")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.round(F.max("gap_us") / 1_000_000.0, 0).alias("max_gap_s"),
+    )
