@@ -192,7 +192,12 @@ def test_foreach_batch_upsert_recovers_and_never_double_applies(spark, sf_dir):
         # Run 2: same checkpoint; must finish the remaining batches only.
         q = start(slow_capturing_upsert)
         q.awaitTermination()
-        assert len(captured) >= 4 or len(set(captured)) == 4
+        # Exactly the 4 source-file batches, ids 0..3: a restart that
+        # re-processed extra batches (or invented new ids) must fail here,
+        # not just "at least 4 seen". (A batch killed mid-flight is
+        # legitimately retried under the SAME id — the dict keying
+        # absorbs that, which is the exactly-once contract under test.)
+        assert set(captured) == {0, 1, 2, 3}
 
         def totals():
             return {
@@ -213,5 +218,113 @@ def test_foreach_batch_upsert_recovers_and_never_double_applies(spark, sf_dir):
         )
         writer(replay_df, bid)
         assert totals() == got, "sink double-applied a replayed batch"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_left_outer_interval_join_null_extends_only_after_watermark(spark):
+    """Stream-stream LEFT OUTER interval join eviction timing: an
+    unmatched left row may be null-extended ONLY once the watermark has
+    passed the end of its match interval (view_ts + 1h) — before that a
+    matching purchase could still arrive, so emitting early would be
+    wrong, and never emitting would lose the row.
+
+    Three-batch fixture (maxFilesPerTrigger=1, watermark delay 30 min):
+      file 1: view A(u1)@00:00 + purchase(u1)@00:10  -> matched pair
+              view B(u2)@00:00                        -> silent
+              view C(u3)@02:00                        -> silent, late-open
+      file 2: flush view+purchase (u -1) @ +10 days
+    The hard guarantee is NEVER-EARLY + exactly-once-eventually: batch 0
+    runs with the epoch watermark, so no null row may appear there; C's
+    interval (ends 03:00) is still open under batch 1's watermark (01:30
+    = file 1's max 02:00 - 0:30), so C may not appear before batch 2.
+    Eviction is allowed to LAG the watermark (measured on Spark 4.1: B's
+    interval closed at 01:00 < the 01:30 watermark yet B emits in batch
+    2, one batch later than the earliest correct point) — lateness is
+    conservative and safe; earliness would be a wrong answer, and that is
+    what these asserts make impossible."""
+    import datetime
+    import os
+    import time
+
+    base = f"{WORK_DIR}/outer_timing_{uuid.uuid4().hex[:8]}"
+    land, ckpt = f"{base}/land", f"{base}/ckpt"
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    file1 = [
+        (1, t0, 1, "view"),
+        (2, t0 + 10 * m, 1, "purchase"),
+        (3, t0, 2, "view"),
+        (4, t0 + 120 * m, 3, "view"),
+    ]
+    file2 = [(5, t0 + datetime.timedelta(days=10), -1, "view"),
+             (6, t0 + datetime.timedelta(days=10), -1, "purchase")]
+    spark.createDataFrame(file1, schema).coalesce(1).write.mode("append").parquet(land)
+    time.sleep(0.05)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(land)
+
+    src_schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "30 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+        "leftOuter",
+    )
+    emitted: dict[int, list] = {}
+
+    def capture(batch_df, batch_id):
+        emitted[int(batch_id)] = [
+            (r["v_user"], r["purchase_ts"] is not None) for r in batch_df.collect()
+        ]
+
+    q = (
+        pairs.writeStream.foreachBatch(capture)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        # Batch 0 (epoch watermark): only the matched pair — no
+        # null-extension may happen while every interval is still open.
+        assert emitted.get(0) == [(1, True)], emitted
+        # Null rows, keyed by the batch they surfaced in (the flush
+        # sentinel's own matched pair is ignored).
+        null_batches = {
+            u: b
+            for b, rows in emitted.items()
+            for (u, matched) in rows
+            if not matched and u > 0
+        }
+        # Exactly one null row each for B and C, never a duplicate.
+        n_nulls = sum(
+            1 for rows in emitted.values() for (u, m) in rows if not m and u > 0
+        )
+        assert set(null_batches) == {2, 3} and n_nulls == 2, emitted
+        # Never early: B's interval closes under batch 1's watermark, so
+        # batch 1 is its earliest correct batch; C's interval outlives
+        # every data batch, so nothing before the final no-data batch may
+        # carry it.
+        assert null_batches[2] >= 1, emitted
+        assert null_batches[3] >= 2, emitted
     finally:
         shutil.rmtree(base, ignore_errors=True)

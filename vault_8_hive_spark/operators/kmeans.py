@@ -28,9 +28,14 @@ def _dist2(vec_col, centroid: list[float]):
 
 
 def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
-    """Add `cluster` (argmin centroid index) and `dist2` columns."""
+    """Add `cluster` (argmin centroid index) and `dist2` columns.
+
+    Distances are rounded to 1e-6 BEFORE the argmin/tie-break (matching
+    the module-wide numeric discipline and the unrolled-CTE oracle): a
+    near-tie in centroid distances must not flip an assignment between
+    engines on float accumulation-order drift."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dists = F.array(*[_dist2(v, c) for c in centroids])
+    dists = F.array(*[F.round(_dist2(v, c), 6) for c in centroids])
     return df.withColumn(
         "dist2", F.array_min(dists)
     ).withColumn("cluster", F.array_position(dists, F.col("dist2")).cast("int") - 1)

@@ -144,11 +144,13 @@ _composite(
     schema=[("grp", "string"), ("n1", "bigint"), ("n2", "bigint"),
             ("d1", "double"), ("d2", "double"), ("d3", "double"), ("d4", "double")],
     branches=[
-        # Sketch estimates ride as accuracy-window bands and the one-pass
-        # moments as 1e-6 roundings (see the fine registrations), so the
-        # whole composite is hash-checkable — no no_oracle debt left.
+        # Sketch estimates ride as self-verifying clamps (estimate
+        # collapses to the exact value when within its accuracy margin —
+        # see the fine registrations) and the one-pass moments as 1e-6
+        # roundings, so the whole composite is hash-checkable.
         ("approx", "agg_approx",
-         {"grp": "l_returnflag", "n1": "parts_bucket", "n2": "median_bucket"}),
+         {"grp": "l_returnflag", "n1": "exact_parts", "n2": "verified_parts",
+          "d1": "exact_median", "d2": "verified_median"}),
         ("moments_builtin", "agg_moments_builtin",
          {"grp": "l_returnflag", "d1": "stddev_qty", "d2": "var_qty",
           "d3": "covar_qty_price", "d4": "corr_qty_price"}),
@@ -380,9 +382,12 @@ _composite(
          {"k1": "user_id", "n": "n_events", "d1": "total_value"}),
         ("stream_stream", "stream_stream_join",
          {"k1": "user_id", "n": "n_attributed", "d1": "max_gap_s"}),
+        ("stream_stream_outer", "stream_stream_left_outer",
+         {"k1": "user_id", "s1": _cat("n_view_pairs", "n_attributed"),
+          "n": "n_silent", "d1": "max_gap_s"}),
     ],
     tags=("streaming", "stateful", "dedup", "foreachBatch", "join",
-          "stream-stream", "composite"),
+          "stream-stream", "outer", "composite"),
 )
 
 # --- text -------------------------------------------------------------------

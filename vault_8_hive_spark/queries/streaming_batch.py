@@ -356,6 +356,51 @@ def compact_user_totals(spark: SparkSession, target: str) -> DataFrame:
     )
 
 
+def stream_partial_agg(
+    stream_df: DataFrame,
+    partial_agg,
+    sf_dir: str,
+    name: str,
+) -> DataFrame:
+    """Drive an UNAGGREGATED stream to completion through a foreachBatch
+    sink that aggregates each micro-batch EXECUTOR-SIDE before anything
+    persists: the sink holds per-batch partial aggregates (bounded by the
+    grouping keys), never raw joined/exploded rows — the pattern for
+    sinking a stream whose per-batch row count is unbounded (a
+    stream-stream join can emit quadratically many pairs per hot key).
+    Partials land under partition batch_id=N via dynamic partition
+    overwrite (same idempotency contract as partition_overwrite_upsert:
+    an at-least-once redelivery rewrites its own partition). Returns the
+    partials as a batch DataFrame for the caller's final merge."""
+    import shutil
+
+    from .formats import _work
+
+    target = _work(sf_dir, name)
+    ckpt = target + "_ckpt"
+    for d in (target, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            partial_agg(batch_df)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(target)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.read.parquet(target)
+
+
 @register(
     "stream_stream_join",
     oracle="""
@@ -384,9 +429,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The availableNow file replay delivers all files in one micro-batch,
     so no state eviction can race a late partner and the result equals
     the batch interval join exactly — which is what makes the DuckDB
-    oracle applicable (same batch-duality argument as the other
-    streaming entries; the attribution pairs are aggregated per user
-    after the sink detach, bounding the driver result by user count)."""
+    oracle applicable. The pair stream (quadratic per hot user within
+    the window — unbounded per batch) is sunk through stream_partial_agg,
+    so every micro-batch is reduced to per-user partials executor-side
+    and no unaggregated pair set ever reaches the driver."""
     prep(spark)
     views = (
         stream_events(spark, sf_dir)
@@ -418,8 +464,155 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"),
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     )
-    out = run_to_memory(pairs, "append")
-    return out.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_attributed"),
-        F.round(F.max("gap_us") / 1_000_000.0, 0).alias("max_gap_s"),
+    partials = stream_partial_agg(
+        pairs,
+        lambda b: b.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("pn"), F.max("gap_us").alias("pm")
+        ),
+        sf_dir,
+        "ss_join_partials",
+    )
+    return partials.groupBy("user_id").agg(
+        F.sum("pn").alias("n_attributed"),
+        F.round(F.max("pm") / 1_000_000.0, 0).alias("max_gap_s"),
+    )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT v.user_id, v.view_id, p.purchase_id,
+         p.purchase_ts - v.view_ts AS gap
+  FROM v LEFT JOIN p
+    ON v.user_id = p.p_user
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       COUNT(*) AS n_view_pairs,
+       COUNT(purchase_id) AS n_attributed,
+       COUNT(*) - COUNT(purchase_id) AS n_silent,
+       CAST(ROUND(MAX(date_part('epoch', gap)), 0) AS DOUBLE) AS max_gap_s
+FROM pairs GROUP BY user_id
+""",
+    tags=("streaming", "stream-stream-join", "outer", "watermark", "interval"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — "views with NO purchase
+    within the hour" (the fleet dual: who went silent?). The subtle part
+    is WHEN the null-extended row can be emitted: an unmatched view may
+    only leave the state store after the watermark passes the end of its
+    match interval (view_ts + 1h), because until then a matching purchase
+    could still arrive. tests/test_streaming.py asserts that timing
+    batch-by-batch.
+
+    Because the watermark is min(maxEventTime) - delay over BOTH inputs,
+    a plain end-of-file replay would leave the last ~90 minutes of
+    unmatched views sitting in state forever (nothing ever advances the
+    watermark past their interval end). The landing therefore appends one
+    far-future FLUSH event per side (sentinel user_id -1, excluded from
+    the result) — the streaming analog of closing the books: the final
+    no-data micro-batch then evicts and null-extends every remaining real
+    view, making the result equal the batch LEFT JOIN dual exactly, which
+    is what the DuckDB oracle checks.
+
+    Scale: the unbounded pair stream is reduced to per-user partials
+    executor-side (stream_partial_agg) — state stays watermark-bounded,
+    the sink stays key-bounded."""
+    import shutil
+
+    from ..catalog import normalize_events_ts
+    from .formats import _work
+
+    prep(spark)
+    land = _work(sf_dir, "ss_outer_landing")
+    marker = os.path.join(land, "_FLUSHED")
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    current = False
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            current = fh.read() == fingerprint
+    except OSError:
+        pass
+    if not current:
+        shutil.rmtree(land, ignore_errors=True)
+        ev = normalize_events_ts(spark.read.parquet(src))
+        ev.write.mode("overwrite").parquet(land)
+        mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        import datetime
+
+        flush_ts = mx + datetime.timedelta(days=10)
+        flush = spark.createDataFrame(
+            [
+                (-1, flush_ts, -1, "view", 0.0, "{}"),
+                (-2, flush_ts, -1, "purchase", 0.0, "{}"),
+            ],
+            spark.read.parquet(land).schema,
+        )
+        flush.coalesce(1).write.mode("append").parquet(land)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write(fingerprint)
+
+    schema = spark.read.parquet(land).schema
+    stream = spark.readStream.schema(schema).parquet(land)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    partials = stream_partial_agg(
+        pairs,
+        lambda b: b.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.count("purchase_id").alias("pa"),
+            F.max("gap_us").alias("pm"),
+        ),
+        sf_dir,
+        "ss_outer_partials",
+    )
+    return (
+        partials.where(F.col("user_id") >= 0)  # drop the flush sentinel
+        .groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_view_pairs"),
+            F.sum("pa").alias("n_attributed"),
+            (F.sum("pn") - F.sum("pa")).alias("n_silent"),
+            F.round(F.max("pm") / 1_000_000.0, 0).alias("max_gap_s"),
+        )
     )

@@ -646,7 +646,9 @@ def _kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:
     relational algebra: unroll the loop into a CTE chain (assign =
     per-(vector, centroid) squared-distance group-sum + argmin via
     row_number ordered (dist2, cluster) — the same lowest-index tie-break
-    as array_position; update = per-(cluster, pos) mean with COALESCE
+    as array_position, with dist2 rounded to 1e-6 on BOTH engines before
+    the argmin so accumulation-order drift can't flip a near-tie
+    assignment; update = per-(cluster, pos) mean with COALESCE
     keeping an empty cluster's old centroid, mirroring
     operators/kmeans.py). This graduates the "iterative" row from
     rows-only to a full hash-checked oracle — measured hash-exact at
@@ -667,7 +669,8 @@ c0 AS (SELECT s.cluster, v.pos, v.val FROM seeds s JOIN v USING (vec_id))"""
   SELECT vec_id, cluster, dist2,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
   FROM (
-    SELECT v.vec_id, c.cluster, SUM((v.val - c.val) * (v.val - c.val)) AS dist2
+    SELECT v.vec_id, c.cluster,
+           ROUND(SUM((v.val - c.val) * (v.val - c.val)), 6) AS dist2
     FROM v JOIN {cent} c USING (pos)
     GROUP BY v.vec_id, c.cluster
   )
