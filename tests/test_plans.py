@@ -208,3 +208,22 @@ def test_selfjoin_shares_one_exchange(spark, sf_dir):
             assert plan.count("Scan parquet") <= scan_max, (name, plan)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_two_phase_distinct_plan_shape(spark, sf_dir):
+    """agg_salted_skew's skew mitigation is the manual two-phase distinct
+    (the pattern the skew probe measured at 1.8x, BASELINE.md §3e): the
+    first exchange must partition on the COMPOSITE (status, custkey) —
+    spreading a hot status across every partition — and only the deduped
+    set may re-exchange on status alone; both phases must stay
+    map-side partial-aggregated, with no planner Expand rewrite."""
+    import re
+
+    plan = formatted_plan(QUERIES["agg_salted_skew"].fn(spark, sf_dir))
+    comp = re.search(r"hashpartitioning\(o_orderstatus#\d+, o_custkey#\d+", plan)
+    fin = re.search(r"hashpartitioning\(o_orderstatus#\d+, \d+\)", plan)
+    assert comp, plan
+    assert fin, plan
+    assert comp.start() < fin.start(), "composite exchange must come first"
+    assert "partial_count" in plan, plan
+    assert "Expand" not in plan, plan
