@@ -609,20 +609,22 @@ def sql_text_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_TEXT_SUBQ)
 
 
-# --- multimodal (deterministic fake codecs -> VALUES oracle) ----------------
+# --- multimodal (real stdlib codecs -> codec-independent VALUES oracle) -----
 
 
 def _mm_expected_rows() -> list[tuple]:
-    """Replay of the deterministic fake-codec arithmetic
-    (operators/multimodal.py) in plain python, embedded as the oracle's
-    VALUES relation — graduates the three stub queries from rows-only to
-    hash-checked (the same oracle pattern domain_* uses)."""
-    import hashlib
-    import struct
+    """Independent recompute of every multimodal output from the fixture
+    spec + content functions alone (queries/multimodal.py helpers — no
+    PNG/WAV decode anywhere in the recompute), embedded as the oracle's
+    VALUES relation: the driver hash checks the REAL codec round trip."""
     from collections import defaultdict
 
-    from ..operators.multimodal import HEADER_FMT, HEADER_LEN, MAGIC, encode_media
-    from .multimodal import _fixture_specs
+    from .multimodal import (
+        _expected_features,
+        _expected_frames,
+        _expected_thumbs,
+        _fixture_specs,
+    )
 
     rows: list[tuple] = []
     agg: dict[tuple, list[int]] = defaultdict(lambda: [0, 0])
@@ -632,22 +634,12 @@ def _mm_expected_rows() -> list[tuple]:
         a[1] += nf
     for (kind, w), (n, tf) in sorted(agg.items()):
         rows.append(("metadata", None, kind, w, None, n, tf))
-    for (mid, kind, w, h, c, fps, nf) in _fixture_specs():
-        blob = encode_media(mid, kind, w, h, c, fps, nf)
-        feats = [
-            int.from_bytes(hashlib.md5(blob[HEADER_LEN:] + bytes([i])).digest()[:2], "big")
-            / 65535.0
-            for i in range(16)
-        ]
-        head = ",".join(f"{v:.4f}" for v in feats[:4])
-        rows.append(("features", mid, head, 16, None, None, None))
-        new_h = max(1, int(h * (64 / w)))
-        thumb = struct.pack(HEADER_FMT, MAGIC, 64, new_h, c, fps, nf) + hashlib.sha256(blob).digest()
-        rows.append(("resize", mid, thumb.hex(), 64, new_h, None, None))
-        if kind == "video":
-            for idx in range(0, nf, 10):
-                frame = hashlib.md5(blob[:HEADER_LEN] + idx.to_bytes(4, "big")).digest()
-                rows.append(("frame", mid, frame.hex(), idx, None, None, None))
+    for (mid, kind, n_units, sum_val, peak) in _expected_features():
+        rows.append(("features", mid, kind, peak, None, sum_val, n_units))
+    for (mid, w, new_h, _thumb_hex, px_md5) in _expected_thumbs():
+        rows.append(("resize", mid, px_md5, w, new_h, None, None))
+    for (mid, idx, px_md5) in _expected_frames():
+        rows.append(("frame", mid, px_md5, idx, None, None, None))
     return rows
 
 
@@ -675,11 +667,12 @@ def _mm_values_sql() -> str:
     tags=("multimodal", "udf", "composite"),
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four multimodal operators in one driver entry: metadata rollup,
-    feature extraction, resize (thumb as lowercase hex so both engines
-    hash the same value), frame sampling. The codecs are deterministic
-    fakes (operators/multimodal.py stub boundary), which is exactly what
-    makes the VALUES oracle possible."""
+    """All four multimodal operators in one driver entry: metadata
+    rollup, decoded-content feature stats, real PNG thumbnailing, video
+    frame sampling — the codecs are real stdlib implementations
+    (operators/png.py, wave), and the VALUES oracle recomputes every row
+    from the content functions without the codec, so the hash verifies
+    the decode path itself."""
     from ..session import prep
 
     prep(spark)
@@ -689,17 +682,17 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_media AS BIGINT) AS n1", "CAST(total_frames AS BIGINT) AS n2",
     )
     feats = QUERIES["multimodal_features"].fn(spark, sf_dir).selectExpr(
-        "'features' AS variant", "media_id", "feat_head AS s1",
-        "CAST(feat_dim AS INT) AS i1", "CAST(NULL AS INT) AS i2",
-        "CAST(NULL AS BIGINT) AS n1", "CAST(NULL AS BIGINT) AS n2",
+        "'features' AS variant", "media_id", "kind AS s1",
+        "CAST(peak AS INT) AS i1", "CAST(NULL AS INT) AS i2",
+        "CAST(sum_val AS BIGINT) AS n1", "CAST(n_units AS BIGINT) AS n2",
     )
     thumbs = QUERIES["multimodal_resize"].fn(spark, sf_dir).selectExpr(
-        "'resize' AS variant", "media_id", "lower(hex(thumb)) AS s1",
+        "'resize' AS variant", "media_id", "px_md5 AS s1",
         "CAST(width AS INT) AS i1", "CAST(height AS INT) AS i2",
         "CAST(NULL AS BIGINT) AS n1", "CAST(NULL AS BIGINT) AS n2",
     )
     frames = QUERIES["multimodal_frame_sample"].fn(spark, sf_dir).selectExpr(
-        "'frame' AS variant", "media_id", "lower(hex(frame)) AS s1",
+        "'frame' AS variant", "media_id", "px_md5 AS s1",
         "CAST(frame_idx AS INT) AS i1", "CAST(NULL AS INT) AS i2",
         "CAST(NULL AS BIGINT) AS n1", "CAST(NULL AS BIGINT) AS n2",
     )
