@@ -95,6 +95,35 @@ def main() -> None:
         compile_s[name] = round(c, 4)
 
     total = round(sum(per.values()), 4)
+
+    # Same-day DuckDB numbers measured INSIDE the artifact (same files,
+    # same warm-plus-median-of-3 treatment as tools/scale_probe.py), so
+    # the ratio-vs-baseline is computable from this JSON alone instead of
+    # cross-referencing BASELINE.md prose.
+    import statistics
+
+    import duckdb
+
+    conn = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        conn.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    duck: dict[str, float] = {}
+    for name, q in bench_set.items():
+        if not q.oracle:
+            continue
+        conn.execute(q.oracle).df()  # warm
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            conn.execute(q.oracle).df()
+            runs.append(time.perf_counter() - t0)
+        duck[name] = round(statistics.median(runs), 4)
+    ratio = {n: round(per[n] / duck[n], 2) for n in duck if duck[n] > 0}
+    duck_total = round(sum(duck.values()), 4)
+
     print(
         json.dumps(
             {
@@ -103,6 +132,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per,
                 "compile": compile_s,
+                "duckdb": duck,
+                "ratio": ratio,
+                "duckdb_total": duck_total,
+                "ratio_total": round(total / duck_total, 3) if duck_total else None,
                 "sf": sf,
                 "n_queries": len(per),
                 "cpus": cpus,

@@ -37,11 +37,27 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def lit_vec(values: list[float]) -> Column:
-    # One ArrayType Literal node (not 64 scalar literals under an array
-    # constructor): plans that embed many vector literals — IVF centroid
-    # tables, k-means centroid matrices, LSH plane banks — analyze and
-    # codegen ~10x faster with flat literals.
-    return F.lit([float(v) for v in values])
+    # Built by PARSING one SQL array literal, not by F.lit(list):
+    # PySpark's lit() marshals nested lists element-by-element over py4j
+    # (~1 ms per element — 0.7 s for a 10x64 centroid matrix, measured;
+    # it was the slowest "compile" in BENCH_r03), while one expr() string
+    # is a single round trip (4 ms). repr() round-trips doubles exactly,
+    # and the 'D' suffix pins the SQL literal type to DOUBLE, so the
+    # resulting Literal node is identical.
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in values) + ")")
+
+
+def lit_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal via one parsed expression (see
+    lit_vec for why not F.lit)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
 
 
 def hyperplanes(n_planes: int, dim: int, seed: str = "vault8") -> list[list[float]]:

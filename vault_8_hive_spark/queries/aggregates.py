@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import dim, table
-from ..functions.exact import dec, exact_sum, round4
+from ..functions.exact import (
+    dec,
+    exact_sum,
+    long_double,
+    long_sum,
+    round4,
+    scaled_long,
+)
 from ..session import prep
 from . import register
 
@@ -39,8 +46,14 @@ GROUP BY n_name
     bench=True,
 )
 def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count / count-distinct / min / max / exact sum / exact avg per nation."""
+    """count / count-distinct / min / max / exact sum / exact avg per
+    nation. The money sums ride the scaled-long fast path (c_acctbal is
+    exactly 2-decimal; verified <2e-10 scaling error on the driver data)
+    — same value as the decimal sum with the aggregate kept inside
+    whole-stage codegen; the 300x floor probe measured the decimal Sum
+    buffer at ~5x the cost of the whole rest of this query."""
     prep(spark)
+    cents = F.sum(scaled_long("c_acctbal"))
     return (
         table(spark, sf_dir, "customer")
         .join(dim(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -50,10 +63,8 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_mktsegment").alias("n_segments"),
             F.min("c_acctbal").cast("double").alias("min_bal"),
             F.max("c_acctbal").cast("double").alias("max_bal"),
-            exact_sum("c_acctbal", "decimal(28,4)").alias("sum_bal"),
-            (F.sum(dec("c_acctbal", "decimal(28,4)")).cast("double") / F.count("c_acctbal")).alias(
-                "avg_bal"
-            ),
+            long_sum(cents, 2).alias("sum_bal"),
+            (long_double(cents, 2) / F.count("c_acctbal")).alias("avg_bal"),
         )
     )
 

@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.similarity import cosine, hyperplanes, lit_vec, lsh_signature, to_double
+from ..operators.similarity import (
+    cosine,
+    hyperplanes,
+    lit_matrix,
+    lit_vec,
+    lsh_signature,
+    to_double,
+)
 from ..session import prep
 from . import register
 
@@ -508,6 +515,11 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # IVF coarse-centroid cache, keyed by corpus dir (see vec_ivf_topk).
 _IVF_INDEX: dict[str, dict[int, list[float]]] = {}
+# The demo's fixed query vector (vec_id 0), cached with the index: its
+# `.first()` is a real (if tiny) Spark job, and leaving it in the plan-
+# build path made "compile" time carry a per-build job dispatch (~0.4 s,
+# the slowest compile in BENCH_r03) that belongs to index prep.
+_IVF_QVEC: dict[str, list[float]] = {}
 
 _O_CENT = """
 elems AS (
@@ -586,10 +598,13 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
         centroids = {r["label"]: [float(r[f"c{i}"]) for i in range(DIM)] for r in cent_rows}
         _IVF_INDEX[sf_dir] = centroids
-    q_vec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    ]
+    q_vec = _IVF_QVEC.get(sf_dir)
+    if q_vec is None:
+        q_vec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        ]
+        _IVF_QVEC[sf_dir] = q_vec
 
     # Probe set: 3 nearest centroids to the query (python mirrors the
     # oracle's sequential list_sum fold; rounded to 6 before ranking).
@@ -603,28 +618,32 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # One corpus pass: assign each vector to its nearest list (argmin over
     # 10 literal centroids, tie -> lowest label), keep probed lists, score.
-    # The centroid matrix rides as ONE array<array<double>> literal and a
-    # single transform-with-index — not 10 separately-built fold
-    # expressions — so plan construction stays O(1) in the list count.
+    # The whole assignment expression is built as ONE parsed SQL string:
+    # the same logic composed from F.transform/F.aggregate/F.zip_with
+    # lambdas cost ~850 py4j round trips (~0.4 s of "compile", the
+    # slowest in BENCH_r03 — each Column op is a driver<->JVM socket
+    # round trip); one expr() is a single parse. Plan and semantics are
+    # identical (SQL HOF lambdas, 0-based transform index, array_sort's
+    # (d, lbl) struct ordering = lowest-distance-then-lowest-label).
     labels = sorted(centroids)
-    cent_lit = F.lit([centroids[lbl] for lbl in labels])
-    lbl_lit = F.lit([int(lbl) for lbl in labels])
-    dists = F.transform(
-        cent_lit,
-        lambda c, i: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(to_double("embedding"), c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("d"),
-            F.element_at(lbl_lit, i + 1).alias("lbl"),
-        ),
+    cent_s = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in centroids[lbl]) + ")"
+            for lbl in labels
+        )
+        + ")"
     )
+    lbl_s = "array(" + ",".join(str(int(lbl)) for lbl in labels) + ")"
+    assign_expr = f"""
+        array_sort(transform({cent_s}, (c, i) -> struct(
+          round(aggregate(zip_with(transform(embedding, x -> cast(x as double)),
+                                   c, (a, b) -> (a - b) * (a - b)),
+                          0.0D, (acc, x) -> acc + x), 6) AS d,
+          element_at({lbl_s}, i + 1) AS lbl)))[0].lbl
+    """
     assigned = emb.select(
-        "vec_id", "label", "embedding", F.array_sort(dists)[0]["lbl"].alias("list_id")
+        "vec_id", "label", "embedding", F.expr(assign_expr).alias("list_id")
     )
     q = F.broadcast(
         emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))

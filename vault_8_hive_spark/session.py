@@ -40,7 +40,10 @@ def get_spark(app_name: str = "vault-8-hive-spark", cpus: int | None = None) -> 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for bench hygiene; SPARK_GRAFT_UI=1 turns it on for the
+        # stage-timing probe (tools/stage_probe.py reads the REST API).
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false")
     )
     return builder.getOrCreate()
 
