@@ -269,10 +269,14 @@ _composite(
          {"id1": "event_id", "txt": _cat("keys_sorted", "type_val", "map_size")}),
         ("json", "scalar_json",
          {"id1": "event_id", "txt": _cat("k_val", "reencoded")}),
+        ("variant", "scalar_variant",
+         {"id1": "event_id",
+          "txt": _cat("vtype", "vuid", "vk", "tag0", "vmissing",
+                      "x_is_null", "vschema")}),
         ("unpivot", "unpivot_part_metrics",
          {"id1": "p_partkey", "txt": "metric", "d1": "value"}),
     ],
-    tags=("scalar", "array", "map", "json", "unpivot", "composite"),
+    tags=("scalar", "array", "map", "json", "variant", "unpivot", "composite"),
 )
 
 # --- windows ----------------------------------------------------------------
@@ -331,8 +335,13 @@ _composite(
         ("q4", "priority_late_ship",
          {"metric": "'late_' || o_orderpriority",
           "value": "CAST(order_count AS DOUBLE)", "n": "order_count"}),
+        ("q13", "order_count_distribution",
+         {"metric": "'orders_' || CAST(c_count AS STRING)",
+          "value": "CAST(custdist AS DOUBLE)", "n": "custdist"}),
+        ("q22", "dormant_rich_customers",
+         {"metric": "'dormant_' || n_name", "value": "total_bal", "n": "n_cust"}),
     ],
-    tags=("scan", "filter", "agg", "semi", "composite"),
+    tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )
 
 # --- events -----------------------------------------------------------------

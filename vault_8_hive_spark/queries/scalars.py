@@ -311,3 +311,65 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reencoded"
         ),
     )
+
+
+@register(
+    "scalar_variant",
+    oracle="""
+SELECT event_id,
+       event_type                                        AS vtype,
+       user_id                                           AS vuid,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS vk,
+       event_id % 7                                      AS tag0,
+       CAST(NULL AS INT)                                 AS vmissing,
+       (CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0) AS x_is_null,
+       'OBJECT<meta: OBJECT<type: STRING, uid: BIGINT>, p: OBJECT<k: BIGINT>, tags: ARRAY<BIGINT>>' AS vschema
+FROM events
+WHERE event_id <= 1000
+""",
+    tags=("scalar", "variant", "json", "semi-structured"),
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json -> VariantType
+    column -> typed variant_get extraction, try_variant_get on a missing
+    path (NULL, no error), is_variant_null distinguishing JSON null from
+    absent, and schema_of_variant reporting the per-row inferred shape.
+
+    Variant is Spark's open-format answer to schemaless JSON columns: the
+    binary encoding is columnar-shreddable, so at 100 TB repeated paths
+    ($.meta.type here) read like ordinary columns instead of re-parsing
+    text per row. The envelope JSON is built with format_string from
+    typed columns (deterministic bytes), then round-tripped through a
+    real parse — the oracle recomputes every extraction relationally from
+    the base columns, so a parse/extract defect cannot hash-clean.
+    schema_of_variant's spelling is asserted as a literal in the oracle:
+    a Spark-side inference change breaks the hash loudly rather than
+    silently.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") <= 1000)
+    doc = F.format_string(
+        '{"meta":{"type":"%s","uid":%d},"p":%s,"tags":[%d,%d]}',
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("props"),
+        F.col("event_id") % 7,
+        F.col("user_id") % 5,
+    )
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    nullable_doc = F.when(k % 3 == 0, F.lit('{"x":null}')).otherwise(
+        F.format_string('{"x":%d}', k)
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+        F.variant_get(v, "$.meta.uid", "bigint").alias("vuid"),
+        F.variant_get(v, "$.p.k", "bigint").alias("vk"),
+        F.variant_get(v, "$.tags[0]", "bigint").alias("tag0"),
+        F.try_variant_get(v, "$.missing.path", "int").alias("vmissing"),
+        F.is_variant_null(
+            F.variant_get(F.parse_json(nullable_doc), "$.x", "variant")
+        ).alias("x_is_null"),
+        F.schema_of_variant(v).alias("vschema"),
+    )

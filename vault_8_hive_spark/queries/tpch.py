@@ -461,3 +461,114 @@ def sql_api_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     register_views(spark, sf_dir)
     return spark.sql(_SQL_API_TEXT)
+
+
+@register(
+    "order_count_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("scan", "join", "outer", "agg", "sort"),
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed exactly N non-urgent orders, zeros included.
+
+    The semantic trap Q13 exists to test: the priority exclusion rides
+    the JOIN CONDITION, not a WHERE — a customer whose orders are all
+    urgent must survive as a c_count=0 row (a WHERE would delete them
+    after null-extension). Scale: one shuffle on custkey for the outer
+    join + first aggregate; the distribution re-agg shuffles ~100
+    distinct counts — negligible. The left join cannot broadcast the
+    customer (preserved) side, but AQE can broadcast filtered orders if
+    small; at 100 TB both sides hash-shuffle on custkey, the right
+    posture for fact-fact.
+    """
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "dormant_rich_customers",
+    oracle="""
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name,
+       COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM customer CROSS JOIN pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("scan", "filter", "anti", "subquery", "agg", "sort"),
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers with no recent
+    orders (none since 2000-01-01), rolled up per nation — the "global
+    sales opportunity" shape: uncorrelated scalar subquery threshold +
+    anti join + final agg.
+
+    Numeric discipline: the above-average test is `bal * n > sum` in
+    exact DECIMAL arithmetic (multiply, never divide) — decimal division
+    scale rules differ between engines, and a double AVG would make the
+    threshold float-summation-order dependent; the multiply form is
+    bit-exact on both. Scale: the 1-row (sum, n) aggregate broadcasts;
+    the anti join on custkey is one shuffle against filtered orders
+    (date predicate pushed to the scan); nation is broadcast.
+    """
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    pos = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(dec("c_acctbal", "decimal(18,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    recent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .where(dec("c_acctbal", "decimal(18,2)") * F.col("n") > F.col("s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(dec("c_acctbal", "decimal(18,2)")), 2).cast("double").alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
