@@ -365,8 +365,8 @@ _composite(
 
 _composite(
     "stream_windowed",
-    schema=[("k1", "bigint"), ("ts1", "timestamp"), ("ts2", "timestamp"),
-            ("n", "bigint"), ("d1", "double")],
+    schema=[("k1", "bigint"), ("s1", "string"), ("ts1", "timestamp"),
+            ("ts2", "timestamp"), ("n", "bigint"), ("d1", "double")],
     branches=[
         ("tumbling", "stream_tumbling_counts",
          {"ts1": "window_start", "n": "n_events", "d1": "total_value"}),
@@ -374,8 +374,10 @@ _composite(
          {"k1": "user_id", "ts1": "session_start", "ts2": "session_end", "n": "n_events"}),
         ("late_drop", "stream_late_data_drop",
          {"ts1": "window_start", "n": "n_events"}),
+        ("pyds_source", "stream_pyds_source", {"s1": "os_name", "n": "n"}),
     ],
-    tags=("streaming", "window-time", "session-window", "watermark", "composite"),
+    tags=("streaming", "window-time", "session-window", "watermark",
+          "python-datasource", "composite"),
 )
 
 _composite(
@@ -541,8 +543,11 @@ _composite(
         ("os_rollup", "domain_os_rollup",
          {"os_name": "os_name", "n_beacons": "n_beacons",
           "total_uptime": "total_uptime", "avg_uptime": "avg_uptime"}),
+        ("pyds_scan", "domain_pyds_scan",
+         {"beacon_id": "shard", "os_name": "os_name", "parse_ok": "parse_ok",
+          "n_beacons": "n", "total_uptime": "total_uptime"}),
     ],
-    tags=("domain", "codec", "udf", "agg", "composite"),
+    tags=("domain", "codec", "udf", "agg", "python-datasource", "composite"),
 )
 
 _composite(

@@ -308,3 +308,171 @@ def stream_beacon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recv_ts"),
     ).withWatermark("recv_ts", "30 minutes")
     return run_to_memory(bronze, "append")
+
+
+# --- Python DataSource API (custom `hive_beacons` format) -------------------
+
+
+def _pyds_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Framed datagram shard files (sources/pyds.py wire format),
+    good + corrupt records, built once per fixture generation."""
+    from ..sources.beacons import bad_fixture_blobs, encode_fixture_blob
+    from ..sources.pyds import write_datagram_shards
+    from .formats import _work
+
+    path = _work(sf_dir, "pyds_landing")
+    if not _built_with_tag(path):
+        os.makedirs(path, exist_ok=True)
+        recs = [
+            (r["beacon_id"], encode_fixture_blob(r)) for r in _RECORDS
+        ] + bad_fixture_blobs()
+        write_datagram_shards(path, recs)
+        _stamp_tag(path)
+    return path
+
+
+def _pyds_batch_expected() -> list[tuple]:
+    """Expected (shard, os_name, parse_ok, n, total_uptime) for shard < 6,
+    computed from the encoder's input — the source+decode chain must
+    reproduce it exactly."""
+    from ..sources.beacons import _BAD_ID_BASE, bad_fixture_blobs
+    from ..sources.pyds import shard_of
+
+    agg: dict[tuple, list] = {}
+    for r in _RECORDS:
+        s = shard_of(r["beacon_id"])
+        if s >= 6:
+            continue
+        key = (s, OS_NAMES[r["os"]], "true")
+        cur = agg.setdefault(key, [0, 0])
+        cur[0] += 1
+        cur[1] += r["uptime_s"]
+    for bid, _ in bad_fixture_blobs():
+        s = shard_of(bid)
+        if s >= 6:
+            continue
+        cur = agg.setdefault((s, None, "false"), [0, None])
+        cur[0] += 1
+    return [(s, osn, ok, n, tot) for (s, osn, ok), (n, tot) in sorted(
+        agg.items(), key=lambda kv: (kv[0][0], kv[0][1] or "", kv[0][2])
+    )]
+
+
+_PYDS_BATCH_COLS = ["shard", "os_name", "parse_ok", "n", "total_uptime"]
+
+
+@register(
+    "domain_pyds_scan",
+    oracle=(
+        "SELECT CAST(shard AS INT) AS shard, os_name, parse_ok, "
+        "CAST(n AS BIGINT) AS n, CAST(total_uptime AS BIGINT) AS total_uptime "
+        f"FROM {_values(_pyds_batch_expected(), _PYDS_BATCH_COLS)}"
+    ),
+    tags=("domain", "source", "python-datasource", "pushdown", "codec"),
+)
+def domain_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 pyspark.sql.datasource): the
+    `hive_beacons` batch format reads framed datagram shard files as
+    (shard, beacon_id, blob) with one InputPartition per shard file, the
+    `shard < 6` predicate handled in the source's pushFilters (two whole
+    files are never opened — the Python answer to partition pruning),
+    then the standard from_hive_beacon decode and a per-shard/OS rollup.
+    Corrupt datagrams surface as parse_ok='false' groups, never task
+    failures. The oracle is the encoder's input re-aggregated in Python:
+    transport framing, pruning, decode, or rollup defects all break the
+    hash.
+
+    Scale: the landing list is the only driver-side state; shard files
+    read in parallel on executors; at 100 TB this source is thousands of
+    shards behind the same three-column contract.
+    """
+    from ..sources.beacons import from_hive_beacon
+    from ..sources.pyds import register_datasource
+
+    prep(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_datasource(spark)
+    path = _pyds_landing(spark, sf_dir)
+    raw = (
+        spark.read.format("hive_beacons")
+        .option("path", path)
+        .load()
+        .where(F.col("shard") < 6)
+    )
+    decoded = from_hive_beacon(raw.select("beacon_id", "blob")).join(
+        raw.select("beacon_id", "shard"), "beacon_id"
+    )
+    return (
+        decoded.groupBy("shard", "os_name", "parse_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("uptime_s").alias("total_uptime"),
+        )
+    )
+
+
+def _pyds_stream_expected() -> list[tuple]:
+    agg: dict[str, int] = {}
+    for r in _RECORDS:
+        agg[OS_NAMES[r["os"]]] = agg.get(OS_NAMES[r["os"]], 0) + 1
+    return sorted(agg.items())
+
+
+@register(
+    "stream_pyds_source",
+    oracle=(
+        "SELECT os_name, CAST(n AS BIGINT) AS n "
+        f"FROM {_values(_pyds_stream_expected(), ['os_name', 'n'])}"
+    ),
+    tags=("streaming", "source", "python-datasource", "codec"),
+)
+def stream_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same custom format as a STREAMING source: the
+    SimpleDataSourceStreamReader serves one datagram shard per
+    micro-batch ({"shard": k} offsets, replayable for checkpoint
+    recovery), so the 202-datagram landing drains over 8 incremental
+    batches into a complete-mode per-OS rollup; corrupt datagrams are
+    filtered by parse_ok after decode. The final table must equal the
+    batch rollup of the same landing — micro-batch slicing cannot
+    change a complete-mode aggregate once the source is caught up.
+    """
+    import time
+    import uuid
+
+    from ..sources.beacons import from_hive_beacon
+    from ..sources.pyds import register_datasource
+
+    prep(spark)
+    register_datasource(spark)
+    path = _pyds_landing(spark, sf_dir)
+    stream = spark.readStream.format("hive_beacons").option("path", path).load()
+    agg = (
+        from_hive_beacon(stream.select("beacon_id", "blob"))
+        .where(F.col("parse_ok") == "true")
+        .groupBy("os_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pyds_ck_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    expected_total = len(_RECORDS)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            got = spark.table(name).agg(F.sum("n")).collect()[0][0]
+        except Exception:
+            got = None
+        if got == expected_total:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
