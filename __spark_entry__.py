@@ -17,6 +17,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from vault_8_hive_spark.queries import driver_queries  # noqa: E402
 
+# Export the protobuf-shim PYTHONPATH at import time: if the caller
+# creates its JVM after importing this module, transformWithState workers
+# inherit it and the v2 engine runs for real; on an already-running JVM
+# the operator's documented v1 fallback keeps results identical.
+try:  # noqa: SIM105
+    from vault_8_hive_spark.compat.protobuf_alias import ensure_tws_env  # noqa: E402
+
+    ensure_tws_env()
+except Exception:
+    pass
+
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FLAGSHIP = "top_segment_revenue"
 

@@ -328,3 +328,67 @@ def test_left_outer_interval_join_null_extends_only_after_watermark(spark):
         assert null_batches[3] >= 2, emitted
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_transform_with_state_runs_v2_engine(spark, sf_dir):
+    """The TWS (state v2) path must actually run in our harness — no
+    silent fallback — and agree exactly with the v1 operator's result."""
+    from vault_8_hive_spark.catalog import normalize_events_ts
+    from vault_8_hive_spark.queries.streaming_batch import _events_split4
+    from vault_8_hive_spark.streaming.tws import transform_user_stats
+
+    src = _events_split4(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return normalize_events_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    tws_df, engine = transform_user_stats(spark, stream(), allow_fallback=False)
+    assert engine == "tws"
+    tws_rows = {r.user_id: tuple(r) for r in tws_df.collect()}
+
+    # force the v1 path by running the fallback operator directly
+    from vault_8_hive_spark.streaming.tws import (
+        OUT_SCHEMA,
+        _V1_STATE,
+        _finalize,
+        _run_update_stream,
+        _v1_stats,
+    )
+
+    v1_out = stream().groupBy("user_id").applyInPandasWithState(
+        _v1_stats,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=_V1_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    v1_rows = {
+        r.user_id: tuple(r) for r in _finalize(_run_update_stream(v1_out)).collect()
+    }
+    assert tws_rows == v1_rows
+    # multi-batch statefulness really happened: users span multiple files
+    assert len(tws_rows) > 10
+
+
+def test_transform_with_state_fallback_engine(spark, sf_dir, monkeypatch):
+    """When the TWS env is unavailable the operator must degrade to the
+    v1 engine (same schema/result), not fail."""
+    import vault_8_hive_spark.compat.protobuf_alias as pa
+    from vault_8_hive_spark.catalog import normalize_events_ts
+    from vault_8_hive_spark.queries.streaming_batch import _events_split4
+    from vault_8_hive_spark.streaming.tws import transform_user_stats
+
+    monkeypatch.setattr(pa, "ensure_tws_env", lambda: False)
+    src = _events_split4(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    df, engine = transform_user_stats(spark, stream)
+    assert engine == "v1"
+    assert df.count() > 10

@@ -396,9 +396,13 @@ _composite(
         ("stream_stream_outer", "stream_stream_left_outer",
          {"k1": "user_id", "s1": _cat("n_view_pairs", "n_attributed"),
           "n": "n_silent", "d1": "max_gap_s"}),
+        ("transform_with_state", "stream_transform_with_state",
+         {"k1": "user_id",
+          "s1": _cat("n_types", "top_type", "n_ids", "min_id", "max_id"),
+          "n": "n_events", "d1": "total_value"}),
     ],
     tags=("streaming", "stateful", "dedup", "foreachBatch", "join",
-          "stream-stream", "outer", "composite"),
+          "stream-stream", "outer", "transformWithState", "composite"),
 )
 
 # --- text -------------------------------------------------------------------

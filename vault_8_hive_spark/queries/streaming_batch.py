@@ -165,6 +165,23 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATE_BASE = 1709251200  # 2024-03-01 00:00:00 UTC
 
 
+def _events_split4(spark: SparkSession, sf_dir: str) -> str:
+    """events.parquet range-split into 4 files — with maxFilesPerTrigger=1
+    each file becomes one micro-batch, so multi-batch state handling is
+    actually exercised (a single-file source would collapse to one batch)."""
+    from .formats import _work
+
+    src = _work(sf_dir, "events_split4")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartitionByRange(4, "event_id")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    return src
+
+
 def _late_fixture() -> tuple[list[tuple[int, int]], list[tuple[int, int]], list[tuple]]:
     """(phase-1 rows, phase-2 rows, expected emitted windows).
 
@@ -291,14 +308,7 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .formats import _work
 
     prep(spark)
-    src = _work(sf_dir, "events_split4")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .repartitionByRange(4, "event_id")
-            .write.mode("overwrite")
-            .parquet(src)
-        )
+    src = _events_split4(spark, sf_dir)
     target = _work(sf_dir, "user_totals_incremental")
     ckpt = target + "_ckpt"
     for d in (target, ckpt):
@@ -615,4 +625,73 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("pn") - F.sum("pa")).alias("n_silent"),
             F.round(F.max("pm") / 1_000_000.0, 0).alias("max_gap_s"),
         )
+    )
+
+
+@register(
+    "stream_transform_with_state",
+    oracle="""
+WITH tc AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+top AS (
+  SELECT user_id, event_type AS top_type
+  FROM (SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type) AS rn
+        FROM tc) r
+  WHERE rn = 1
+),
+base AS (
+  SELECT user_id,
+         COUNT(*)                                        AS n_events,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT))      AS cents,
+         COUNT(DISTINCT event_type)                      AS n_types,
+         COUNT(*)                                        AS n_ids,
+         MIN(event_id)                                   AS min_id,
+         MAX(event_id)                                   AS max_id
+  FROM events GROUP BY user_id
+)
+SELECT b.user_id, n_events,
+       CAST(cents AS DOUBLE) / 100.0 AS total_value,
+       n_types, top_type, n_ids, min_id, max_id
+FROM base b JOIN top USING (user_id)
+""",
+    tags=("streaming", "stateful", "transformWithState", "rocksdb"),
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming v2 (transformWithStateInPandas): the
+    4-file event stream drains one file per micro-batch through a
+    StatefulProcessor holding ValueState (n + integer-cent totals),
+    MapState (per-event-type counters, point updates), and ListState
+    (event-id log) per user on the RocksDB state store; update-mode
+    emissions are finalized to the last snapshot per user, which must
+    equal the batch dual exactly (every emitted stat is batch-slicing
+    invariant; money rides integer cents until the final projection).
+
+    See streaming/tws.py for the operator, the 100 TB state-store
+    posture, and the documented applyInPandasWithState fallback for
+    environments whose JVM predates the protobuf shim (identical result,
+    engine flag in the module; our pytest pins the 'tws' path).
+    """
+    from ..catalog import normalize_events_ts
+    from ..streaming.tws import transform_user_stats
+
+    prep(spark)
+    src = _events_split4(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    final, _engine = transform_user_stats(spark, stream)
+    return final.select(
+        "user_id",
+        "n_events",
+        (F.col("total_cents") / F.lit(100.0)).alias("total_value"),
+        "n_types",
+        "top_type",
+        "n_ids",
+        "min_id",
+        "max_id",
     )

@@ -29,6 +29,12 @@ def get_spark(app_name: str = "vault-8-hive-spark", cpus: int | None = None) -> 
     ~2-3x total executor cores (and AQE coalesces down after the fact).
     """
     n = cpus or _cpus()
+    # Export the protobuf-shim PYTHONPATH BEFORE the JVM launches so
+    # transformWithStateInPandas workers inherit it (no-op if the machine
+    # lacks the on-disk SDK protobuf; see compat/protobuf_alias.py).
+    from .compat.protobuf_alias import ensure_tws_env
+
+    ensure_tws_env()
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)

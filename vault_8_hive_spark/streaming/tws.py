@@ -1,0 +1,227 @@
+"""Arbitrary stateful streaming v2: transformWithStateInPandas.
+
+Spark 4's successor to applyInPandasWithState (the operator behind
+streaming/ops.stateful_user_stats): a StatefulProcessor owning typed,
+independently-evolvable state primitives — ValueState (running totals),
+MapState (per-event-type counters, point-updatable without rewriting the
+whole state row), ListState (append-only id log) — backed by the RocksDB
+state store, which is what makes per-key state practical at 100 TB:
+updates hit only the touched keys/columns instead of rewriting a packed
+state row per key per batch, and state snapshots/changelogs ship to the
+checkpoint incrementally.
+
+Numeric discipline: money totals accumulate as integer cents (exact,
+order/batch-slicing independent); the float conversion happens once in
+the finalization projection. Every emitted column is slicing-invariant
+(counts, mins/maxes, cent sums), so the multi-batch streaming result is
+hash-identical to the batch dual however the files slice into batches.
+
+Env note: the TWS python worker needs google.protobuf (state-server
+protocol). compat/protobuf_alias provides it from the machine's Cloud
+SDK copy via PYTHONPATH — which must be exported BEFORE the JVM starts
+to reach worker subprocesses. On a pre-existing JVM without it, run()
+falls back to the v1 operator computing the identical result (engine
+flag reports which path ran; the pytest pins 'tws' in our own harness).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_cents bigint, n_types bigint, "
+    "top_type string, n_ids bigint, min_id bigint, max_id bigint"
+)
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _batch_cents(pdf: pd.DataFrame) -> int:
+    # per-row round to int64 cents, then exact integer sum
+    return int(pdf["value"].mul(100).round().astype("int64").sum())
+
+
+def _make_processor():
+    """Build the StatefulProcessor class lazily: importing
+    pyspark.sql.streaming pulls the protobuf-backed state client, which
+    only resolves after compat installs the alias."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class UserActivityStats(StatefulProcessor):
+        def init(self, handle):
+            self.totals = handle.getValueState("totals", "n bigint, cents bigint")
+            self.types = handle.getMapState("types", "t string", "c bigint")
+            self.ids = handle.getListState("ids", "id bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self.totals.get() if self.totals.exists() else (0, 0)
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                cents += _batch_cents(pdf)
+                for t, c in pdf["event_type"].value_counts().items():
+                    cur = (
+                        self.types.getValue((t,))
+                        if self.types.containsKey((t,))
+                        else None
+                    )
+                    base = cur[0] if cur is not None else 0
+                    self.types.updateValue((t,), (base + int(c),))
+                self.ids.appendList([(int(i),) for i in pdf["event_id"]])
+            self.totals.update((n, cents))
+            items = [(k[0], v[0]) for k, v in self.types.iterator()]
+            ids = [r[0] for r in self.ids.get()]
+            top_type = sorted(items, key=lambda kv: (-kv[1], kv[0]))[0][0]
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        n,
+                        cents,
+                        len(items),
+                        top_type,
+                        len(ids),
+                        min(ids),
+                        max(ids),
+                    )
+                ],
+                columns=[
+                    "user_id",
+                    "n_events",
+                    "total_cents",
+                    "n_types",
+                    "top_type",
+                    "n_ids",
+                    "min_id",
+                    "max_id",
+                ],
+            )
+
+        def close(self):
+            pass
+
+    return UserActivityStats()
+
+
+# --- v1 fallback (applyInPandasWithState; no protobuf dependency) ----------
+
+_V1_STATE = (
+    "n bigint, cents bigint, types string, n_ids bigint, min_id bigint, "
+    "max_id bigint"
+)
+
+
+def _v1_stats(key, pdf_iter, state):
+    import json
+
+    if state.exists:
+        n, cents, types_json, n_ids, min_id, max_id = state.get
+        types = dict(json.loads(types_json))
+    else:
+        n, cents, types, n_ids, min_id, max_id = 0, 0, {}, 0, None, None
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        cents += _batch_cents(pdf)
+        for t, c in pdf["event_type"].value_counts().items():
+            types[t] = types.get(t, 0) + int(c)
+        n_ids += len(pdf)
+        lo, hi = int(pdf["event_id"].min()), int(pdf["event_id"].max())
+        min_id = lo if min_id is None else min(min_id, lo)
+        max_id = hi if max_id is None else max(max_id, hi)
+    state.update((n, cents, json.dumps(types, sort_keys=True), n_ids, min_id, max_id))
+    top_type = sorted(types.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    yield pd.DataFrame(
+        [(key[0], n, cents, len(types), top_type, n_ids, min_id, max_id)],
+        columns=[
+            "user_id",
+            "n_events",
+            "total_cents",
+            "n_types",
+            "top_type",
+            "n_ids",
+            "min_id",
+            "max_id",
+        ],
+    )
+
+
+def _finalize(emissions: DataFrame) -> DataFrame:
+    """Update-mode emissions -> final snapshot per user: n_events grows
+    strictly per emission of a key, so max_by picks the last state."""
+    cols = ["n_events", "total_cents", "n_types", "top_type", "n_ids", "min_id", "max_id"]
+    return (
+        emissions.groupBy("user_id")
+        .agg(F.max_by(F.struct(*cols), "n_events").alias("s"))
+        .select("user_id", "s.*")
+    )
+
+
+def _run_update_stream(out: DataFrame) -> DataFrame:
+    spark = out.sparkSession
+    name = f"tws_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tws_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(name)
+    rows, schema = emissions.collect(), emissions.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
+
+
+def transform_user_stats(
+    spark: SparkSession, events: DataFrame, allow_fallback: bool = True
+) -> tuple[DataFrame, str]:
+    """Run the per-user activity-stats operator over an event stream.
+    Returns (final per-user snapshot, engine) with engine 'tws' when the
+    v2 operator ran, 'v1' when the applyInPandasWithState fallback did."""
+    from ..compat.protobuf_alias import ensure_tws_env
+
+    grouped = events.groupBy("user_id")
+    if ensure_tws_env():
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+        try:
+            out = grouped.transformWithStateInPandas(
+                _make_processor(),
+                outputStructType=OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+            return _finalize(_run_update_stream(out)), "tws"
+        except Exception:
+            if not allow_fallback:
+                raise
+            # pre-existing JVM without the protobuf PYTHONPATH: workers
+            # can't speak the state protocol — use the v1 operator
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    elif not allow_fallback:
+        raise RuntimeError("TWS environment unavailable and fallback disabled")
+    out = grouped.applyInPandasWithState(
+        _v1_stats,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=_V1_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return _finalize(_run_update_stream(out)), "v1"
