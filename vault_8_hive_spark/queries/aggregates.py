@@ -400,7 +400,7 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_sketch_merge",
+    "agg_sketch_hll",
     # Same self-verifying clamp as agg_approx (no fixed-width bucket, so
     # no boundary to straddle after a testdata regen): the sketch path
     # (per-flag DataSketches HLL partials + union rollup) is compared
@@ -418,7 +418,7 @@ GROUP BY ROLLUP (l_returnflag)
 """,
     tags=("agg", "approx", "sketch"),
 )
-def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL): build
     per-group partial sketches, then UNION them into a rollup estimate —
     the two-level pattern a 100 TB pipeline actually uses (store compact
@@ -539,4 +539,192 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_cust"),
         F.sum("pn").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_sketch_theta",
+    # Same self-verifying clamp as agg_sketch_hll. Theta sketches add what
+    # HLL cannot: SET ALGEBRA on the sketches themselves — union,
+    # intersection, and A-minus-B estimated from two compact sketches
+    # without touching raw data. At these cardinalities (<4096 retained
+    # hashes) the theta sketch is coupon-exact (measured: zero drift at
+    # sf0.01); the 5% margin exists for scale factors past the exact
+    # region.
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+SELECT 'urgent' AS metric, (SELECT COUNT(*) FROM a) AS exact_n, (SELECT COUNT(*) FROM a) AS verified_n
+UNION ALL
+SELECT 'low', (SELECT COUNT(*) FROM b), (SELECT COUNT(*) FROM b)
+UNION ALL
+SELECT 'union', (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b) u),
+                (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b) u)
+UNION ALL
+SELECT 'intersect', (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) i),
+                    (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) i)
+UNION ALL
+SELECT 'diff', (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) d),
+               (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) d)
+""",
+    tags=("agg", "approx", "sketch", "set-algebra"),
+)
+def agg_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (DataSketches) with sketch-level set algebra: the
+    urgent-priority and low-priority customer sets are sketched once
+    each, then customers-in-either (union), customers-in-both
+    (intersection), and urgent-but-never-low (difference) are estimated
+    FROM THE SKETCHES — the audience-overlap / retention shape. At 100 TB
+    you persist one small sketch per segment/day and answer any overlap
+    question later without a rescan; HLL can only union. Each estimate is
+    clamped to the exact set-op count when within margin (hash-stable
+    self-verification, no bucket edges)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.theta_sketch_agg("o_custkey").alias("a")
+    )
+    b = o.where(F.col("o_orderpriority") == "5-LOW").agg(
+        F.theta_sketch_agg("o_custkey").alias("b")
+    )
+    ests = a.crossJoin(b).select(
+        F.theta_sketch_estimate("a").alias("urgent"),
+        F.theta_sketch_estimate("b").alias("low"),
+        F.theta_sketch_estimate(F.theta_union("a", "b")).alias("union"),
+        F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias("intersect"),
+        F.theta_sketch_estimate(F.theta_difference("a", "b")).alias("diff"),
+    )
+    est_long = ests.unpivot([], ["urgent", "low", "union", "intersect", "diff"],
+                            "metric", "est")
+    ua = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    ub = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey").distinct()
+    exact = (
+        ua.agg(F.count(F.lit(1)).alias("exact_n")).select(F.lit("urgent").alias("metric"), "exact_n")
+        .unionByName(ub.agg(F.count(F.lit(1)).alias("exact_n")).select(F.lit("low").alias("metric"), "exact_n"))
+        .unionByName(ua.union(ub).distinct().agg(F.count(F.lit(1)).alias("exact_n")).select(F.lit("union").alias("metric"), "exact_n"))
+        .unionByName(ua.intersect(ub).agg(F.count(F.lit(1)).alias("exact_n")).select(F.lit("intersect").alias("metric"), "exact_n"))
+        .unionByName(ua.subtract(ub).agg(F.count(F.lit(1)).alias("exact_n")).select(F.lit("diff").alias("metric"), "exact_n"))
+    )
+    margin = F.greatest(F.ceil(F.col("exact_n") * 0.05), F.lit(2))
+    return est_long.join(F.broadcast(exact), "metric").select(
+        "metric",
+        "exact_n",
+        F.when(F.abs(F.col("est") - F.col("exact_n")) <= margin, F.col("exact_n"))
+        .otherwise(F.col("est").cast("bigint")).alias("verified_n"),
+    )
+
+
+@register(
+    "agg_sketch_kll",
+    # KLL is a RANDOMIZED sketch: its estimates jitter run to run (~0.3%
+    # observed, max 0.8% across repeated sf0.001/sf0.01 runs), so the raw
+    # estimate can never be hash-checked directly. The clamp absorbs the
+    # randomness: drift stays far inside the 4% margin (5x the worst
+    # observation; KLL k=200 guarantees ~1.65% rank error at 99%
+    # confidence), so the verified column always collapses to the exact
+    # percentile and the hash is stable across runs AND testdata regens.
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS exact_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS verified_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS verified_p95
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag)
+""",
+    tags=("agg", "approx", "sketch", "percentile"),
+)
+def agg_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (DataSketches KLL): per-flag sketches
+    of l_extendedprice answer p50/p95 per group, and the all-flags row
+    merges the per-group sketches (kll_sketch_merge) instead of
+    rescanning — the distributed-percentile pattern at 100 TB: store one
+    ~KB sketch per partition, merge for any rollup, never sort raw data.
+    Estimates are clamped to the exact interpolated percentile when
+    within the rank-error margin (see oracle comment on the randomized
+    clamp)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    per = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double(price).alias("sk"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
+    )
+    flags = per.select(
+        "l_returnflag",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("a50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("a95"),
+        "e50",
+        "e95",
+    )
+    # kll_sketch_merge_double is a BINARY scalar merge (not an agg):
+    # collect the per-flag sketches into an array and fold them — the
+    # same pairwise merge a tree-reduction over partition sketches does.
+    merged = (
+        per.agg(F.array_agg("sk").alias("arr"))
+        .select(
+            F.expr(
+                "aggregate(slice(arr, 2, size(arr) - 1), arr[0], "
+                "(acc, x) -> kll_sketch_merge_double(acc, x))"
+            ).alias("m")
+        )
+        .crossJoin(
+            li.agg(
+                F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+                F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
+            )
+        )
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            F.kll_sketch_get_quantile_double("m", F.lit(0.5)).alias("a50"),
+            F.kll_sketch_get_quantile_double("m", F.lit(0.95)).alias("a95"),
+            "e50",
+            "e95",
+        )
+    )
+
+    def clamp(est, exact):
+        return (
+            F.when(F.abs(F.col(est) - F.col(exact)) <= F.col(exact) * 0.04,
+                   F.round(F.col(exact), 4))
+            .otherwise(F.round(F.col(est), 4))
+        )
+
+    return flags.unionByName(merged).select(
+        "l_returnflag",
+        F.round("e50", 4).alias("exact_p50"),
+        clamp("a50", "e50").alias("verified_p50"),
+        F.round("e95", 4).alias("exact_p95"),
+        clamp("a95", "e95").alias("verified_p95"),
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    tags=("agg", "listagg", "string"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg WITHIN GROUP (ORDER BY) — the SQL:2016 ordered string
+    aggregation (Spark 4 builtin): nations per region as a deterministic
+    sorted CSV. The explicit WITHIN GROUP order is what makes a string
+    aggregate hash-checkable at all (unordered listagg is
+    partition-order-dependent)."""
+    prep(spark)
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
     )

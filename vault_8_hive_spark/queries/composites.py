@@ -120,8 +120,32 @@ _composite(
          {"grp": "n_name", "collected": "suppliers", "n": "n_supp"}),
         ("set_sorted", "agg_collect_set",
          {"grp": "c_mktsegment", "collected": "priorities"}),
+        ("listagg_ordered", "agg_listagg",
+         {"grp": "r_name", "collected": "nations", "n": "n_nations"}),
     ],
-    tags=("agg", "collect", "composite"),
+    tags=("agg", "collect", "listagg", "composite"),
+)
+
+_composite(
+    "agg_sketch_merge",
+    # One driver entry for the full mergeable-sketch family: HLL distinct
+    # (union-only), theta distinct (union/intersection/difference set
+    # algebra), KLL quantiles (mergeable percentiles). Every branch uses
+    # the self-verifying clamp, so a sketch out of contract breaks the
+    # driver hash loudly.
+    schema=[("grp", "string"), ("exact_n", "bigint"), ("verified_n", "bigint"),
+            ("exact_v", "double"), ("verified_v", "double"),
+            ("exact_v2", "double"), ("verified_v2", "double")],
+    branches=[
+        ("hll_union", "agg_sketch_hll",
+         {"grp": "l_returnflag", "exact_n": "exact_supp", "verified_n": "verified_supp"}),
+        ("theta_set_algebra", "agg_sketch_theta",
+         {"grp": "metric", "exact_n": "exact_n", "verified_n": "verified_n"}),
+        ("kll_quantiles", "agg_sketch_kll",
+         {"grp": "l_returnflag", "exact_v": "exact_p50", "verified_v": "verified_p50",
+          "exact_v2": "exact_p95", "verified_v2": "verified_p95"}),
+    ],
+    tags=("agg", "approx", "sketch", "set-algebra", "percentile", "composite"),
 )
 
 _composite(
@@ -605,6 +629,15 @@ SELECT 'corr_scalar_subquery' AS variant, CAST(c_custkey AS STRING) AS k,
 FROM customer c
 WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
                    WHERE c2.c_mktsegment = c.c_mktsegment)
+UNION ALL
+SELECT 'lateral_topk' AS variant,
+       CAST(c.c_custkey AS STRING) || '_' || CAST(o.o_orderkey AS STRING) AS k,
+       CAST(o.o_orderkey AS BIGINT) AS n, CAST(o.o_totalprice AS DOUBLE) AS v
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_custkey <= 500
 """
 
 
@@ -615,10 +648,12 @@ WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
 )
 def sql_text_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-text API surface, driver edition: one ANSI string — a
-    HAVING aggregate plus a correlated scalar subquery branch — runs
-    through spark.sql() over registered views AND verbatim through the
-    DuckDB oracle (sql_api_text / subquery_correlated_scalar are the
-    fine-grained pytest twins)."""
+    HAVING aggregate, a correlated scalar subquery, and a LATERAL
+    correlated derived table (per-customer top-2 orders; Spark plans it
+    as a ranked window under the hood, DuckDB as a dependent join — same
+    rows) — runs through spark.sql() over registered views AND verbatim
+    through the DuckDB oracle (sql_api_text / subquery_correlated_scalar
+    / sql_lateral_topk are the fine-grained pytest twins)."""
     from ..catalog import register_views
     from ..session import prep
 

@@ -572,3 +572,32 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+_SQL_LATERAL = """
+SELECT c.c_custkey, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_custkey <= 500
+"""
+
+
+@register(
+    "sql_lateral_topk",
+    oracle=_SQL_LATERAL,
+    tags=("sql-api", "lateral", "join", "topk"),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (SQL:1999 lateral join, Spark 4
+    SQL): each customer's top-2 orders by value via a correlated
+    ORDER BY ... LIMIT subquery — the identical ANSI string runs on both
+    engines. Spark decorrelates the lateral into a ranked window over a
+    single orders scan (no per-row re-execution), which is exactly the
+    plan you want at 100 TB; DuckDB executes it as a dependent join."""
+    from ..catalog import register_views
+
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL)
