@@ -227,3 +227,16 @@ def test_two_phase_distinct_plan_shape(spark, sf_dir):
     assert comp.start() < fin.start(), "composite exchange must come first"
     assert "partial_count" in plan, plan
     assert "Expand" not in plan, plan
+
+
+def test_lateral_decorrelates_to_window_topk(spark, sf_dir):
+    """The LATERAL ORDER BY..LIMIT derived table must decorrelate into a
+    ranked-window + join plan (one orders scan, WindowGroupLimit top-k
+    pushdown, correlated predicate pushed into the scan) — NOT a
+    nested-loop re-execution per outer row."""
+    from vault_8_hive_spark.queries import all_queries
+
+    df = all_queries()["sql_lateral_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan

@@ -392,3 +392,18 @@ def test_transform_with_state_fallback_engine(spark, sf_dir, monkeypatch):
     df, engine = transform_user_stats(spark, stream)
     assert engine == "v1"
     assert df.count() > 10
+
+
+def test_state_metadata_reader(spark, sf_dir):
+    """state-metadata names the stateful operator and its batch range;
+    the statestore rows must equal the batch aggregate (the registered
+    query checks values — here we pin the metadata surface)."""
+    from vault_8_hive_spark.queries import all_queries
+    from vault_8_hive_spark.queries.formats import _work
+
+    all_queries()["stream_state_introspect"].fn(spark, sf_dir).count()
+    ck = _work(sf_dir, "state_introspect_ckpt")
+    md = spark.read.format("state-metadata").load(ck).collect()
+    assert len(md) == 1
+    assert md[0].operatorName == "stateStoreSave"
+    assert md[0].minBatchId == 0 and md[0].maxBatchId >= 0

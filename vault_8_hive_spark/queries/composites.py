@@ -424,6 +424,9 @@ _composite(
          {"k1": "user_id",
           "s1": _cat("n_types", "top_type", "n_ids", "min_id", "max_id"),
           "n": "n_events", "d1": "total_value"}),
+        ("state_introspect", "stream_state_introspect",
+         {"k1": "user_id", "n": "n_events",
+          "d1": "CAST(total_cents AS DOUBLE)"}),
     ],
     tags=("streaming", "stateful", "dedup", "foreachBatch", "join",
           "stream-stream", "outer", "transformWithState", "composite"),

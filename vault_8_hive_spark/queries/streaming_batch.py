@@ -695,3 +695,59 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_id",
         "max_id",
     )
+
+
+@register(
+    "stream_state_introspect",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS total_cents
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "statestore", "introspection"),
+)
+def stream_state_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state introspection (Spark 4 state data source): run a
+    per-user streaming aggregation to a checkpoint, then read the
+    operator's STATE STORE back as a DataFrame —
+    spark.read.format("statestore").load(ckpt) — and verify the live
+    state equals the batch aggregate. This is the debugging/ops surface
+    a 100 TB streaming deployment needs: inspect (or audit, or backfill
+    from) the exact per-key state a running query holds, without
+    touching the query. partition_id is projected away (it encodes
+    hash-partition layout, not data); money rides integer cents so the
+    state values are order-exact.
+    """
+    import shutil
+
+    from .formats import _work
+
+    prep(spark)
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    ck = _work(sf_dir, "state_introspect_ckpt")
+    shutil.rmtree(ck, ignore_errors=True)
+    name = f"ss_introspect_{os.getpid()}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.catalog.dropTempView(name)
+    state = spark.read.format("statestore").load(ck)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").alias("total_cents"),
+    )
