@@ -88,3 +88,59 @@ def test_stream_reader_offsets_replayable(landing):
     replay = list(r.readBetweenOffsets({"shard": 2}, {"shard": 5}))
     expect = [bid for bid, _ in recs if shard_of(bid) in (2, 3, 4)]
     assert sorted(b for (_, b, _) in replay) == sorted(expect)
+
+
+def test_batch_writer_two_phase_commit(spark, tmp_path):
+    """Temp files are invisible to the reader until the driver commits;
+    the published names are deterministic task-ordered shard files."""
+    import os
+
+    from vault_8_hive_spark.sources.pyds import (
+        BeaconDatagramWriter,
+        DatagramCommit,
+    )
+
+    d = str(tmp_path / "sink")
+    w = BeaconDatagramWriter({"path": d}, overwrite=True)
+
+    class Row(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    m1 = w.write(iter([Row(beacon_id=1, blob=b"aa"), Row(beacon_id=2, blob=b"bb")]))
+    m2 = w.write(iter([]))  # empty task: no published file
+    assert isinstance(m1, DatagramCommit) and m1.n == 2 and m2.n == 0
+    # nothing visible pre-commit
+    assert [f for f in os.listdir(d) if not f.startswith(".tmp-")] == []
+    w.commit([m1, m2])
+    assert sorted(os.listdir(d)) == ["shard_0000.dat"]
+
+    # abort path: temps removed, nothing published
+    w2 = BeaconDatagramWriter({"path": d}, overwrite=False)
+    m3 = w2.write(iter([Row(beacon_id=3, blob=b"cc")]))
+    w2.abort([m3])
+    assert sorted(os.listdir(d)) == ["shard_0000.dat"]
+
+
+def test_stream_writer_batch_replay_idempotent(tmp_path):
+    """Re-committing the same batch id rewrites its namespace instead of
+    appending duplicates (at-least-once replay safety)."""
+    import os
+
+    from vault_8_hive_spark.sources.pyds import BeaconDatagramStreamWriter
+
+    d = str(tmp_path / "ssink")
+
+    class Row(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    w = BeaconDatagramStreamWriter({"path": d})
+    w.commit([w.write(iter([Row(beacon_id=1, blob=b"x")])),
+              w.write(iter([Row(beacon_id=2, blob=b"y")]))], batchId=7)
+    first = sorted(os.listdir(d))
+    assert first == ["shard_000007_00.dat", "shard_000007_01.dat"]
+    # replay batch 7 with one task this time: old namespace cleared
+    w.commit([w.write(iter([Row(beacon_id=1, blob=b"x"),
+                            Row(beacon_id=2, blob=b"y")]))], batchId=7)
+    assert sorted(os.listdir(d)) == ["shard_000007_00.dat"]

@@ -342,8 +342,11 @@ _composite(
         ("partitioned_parquet", "sink_partitioned_parquet",
          {"k1": "CAST(order_year AS STRING)", "k2": "o_orderstatus",
           "n": "n_orders", "d1": "total"}),
+        ("pyds_writer", "io_pyds_writer",
+         {"k1": "os_name", "n": "n", "d1": "CAST(n_blob_ok AS DOUBLE)"}),
     ],
-    tags=("scan", "sink", "csv", "json", "orc", "partition-pruning", "composite"),
+    tags=("scan", "sink", "csv", "json", "orc", "partition-pruning",
+          "python-datasource", "composite"),
 )
 
 # --- tpch single-row / small metrics ---------------------------------------
@@ -399,6 +402,8 @@ _composite(
         ("late_drop", "stream_late_data_drop",
          {"ts1": "window_start", "n": "n_events"}),
         ("pyds_source", "stream_pyds_source", {"s1": "os_name", "n": "n"}),
+        ("pyds_sink", "stream_pyds_sink",
+         {"s1": "'sink_' || os_name", "n": "n"}),
     ],
     tags=("streaming", "window-time", "session-window", "watermark",
           "python-datasource", "composite"),
@@ -547,8 +552,11 @@ _composite(
          {"k1": "l_orderkey", "k2": "l_linenumber", "d1": "charge"}),
         ("grouped_map", "udf_grouped_map_topk",
          {"k1": "c_custkey", "s1": "c_mktsegment", "d1": "c_acctbal"}),
+        ("table_function", "udf_table_function",
+         {"k1": "doc_id", "k2": "pos", "s1": "word",
+          "d1": "CAST(n_chars AS DOUBLE)"}),
     ],
-    tags=("udf", "scalar", "pandas", "grouped-map", "composite"),
+    tags=("udf", "scalar", "pandas", "grouped-map", "udtf", "composite"),
 )
 
 # --- domain -----------------------------------------------------------------

@@ -476,3 +476,118 @@ def stream_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination()
     return spark.table(name)
+
+
+def _pyds_os_expected() -> list[tuple]:
+    """(os_name, n, n_blob_ok) — writer round trips must be byte-exact."""
+    return [(osn, n, n) for osn, n in _pyds_stream_expected()]
+
+
+@register(
+    "io_pyds_writer",
+    oracle=(
+        "SELECT os_name, CAST(n AS BIGINT) AS n, "
+        "CAST(n_blob_ok AS BIGINT) AS n_blob_ok "
+        f"FROM {_values(_pyds_os_expected(), ['os_name', 'n', 'n_blob_ok'])}"
+    ),
+    tags=("sink", "source", "python-datasource", "commit-protocol"),
+)
+def io_pyds_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (two-phase commit): the fixture
+    blobs are written through df.write.format('hive_beacons') — each
+    task frames rows into a hidden temp file, the driver's commit()
+    atomically publishes them (abort() removes them, so a half-failed
+    write is never readable) — then read back through the matching
+    source, decoded, and byte-compared (md5) against the originals.
+    n_blob_ok must equal n per OS: the transport is byte-exact both
+    directions. Scale: tasks write independently, the driver touches
+    only commit messages — the same O(tasks) commit protocol any
+    object-store sink uses.
+    """
+    import shutil
+
+    from ..sources.beacons import fixture_blobs_df, from_hive_beacon
+    from ..sources.pyds import register_datasource
+    from .formats import _work
+
+    prep(spark)
+    register_datasource(spark)
+    sink = _work(sf_dir, "pyds_sink_batch")
+    shutil.rmtree(sink, ignore_errors=True)
+    orig = fixture_blobs_df(spark).repartition(4)
+    orig.write.format("hive_beacons").mode("overwrite").option("path", sink).save()
+    back = spark.read.format("hive_beacons").option("path", sink).load()
+    decoded = from_hive_beacon(back.select("beacon_id", "blob"))
+    matched = (
+        back.select("beacon_id", F.md5("blob").alias("m_back"))
+        .join(orig.select("beacon_id", F.md5("blob").alias("m_orig")), "beacon_id")
+        .select(
+            "beacon_id",
+            (F.col("m_back") == F.col("m_orig")).cast("int").alias("ok"),
+        )
+    )
+    return (
+        decoded.select("beacon_id", "os_name")
+        .join(matched, "beacon_id")
+        .groupBy("os_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ok").alias("n_blob_ok"))
+    )
+
+
+@register(
+    "stream_pyds_sink",
+    oracle=(
+        "SELECT os_name, CAST(n AS BIGINT) AS n "
+        f"FROM {_values(_pyds_stream_expected(), ['os_name', 'n'])}"
+    ),
+    tags=("streaming", "sink", "python-datasource", "commit-protocol"),
+)
+def stream_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource STREAMING sink: the 4-file blob stream
+    drains through writeStream.format('hive_beacons') with a per-batch
+    two-phase commit whose target names embed the batch id — commit()
+    clears the batch's namespace before publishing, so an at-least-once
+    replay rewrites its own files instead of duplicating datagrams
+    (the idempotency contract of the foreachBatch upsert, expressed as
+    a reusable sink). The sunk landing read back through the batch
+    source must reproduce the per-OS census exactly.
+    """
+    import shutil
+
+    from ..sources.beacons import from_hive_beacon
+    from ..sources.pyds import register_datasource
+    from .formats import _work
+
+    prep(spark)
+    register_datasource(spark)
+    src = _work(sf_dir, "beacon_stream")
+    if not _built_with_tag(src):
+        # same landing stream_beacon_ingest builds; build if absent
+        from ..queries import QUERIES
+
+        QUERIES["stream_beacon_ingest"].fn(spark, sf_dir)
+    sink = _work(sf_dir, "pyds_sink_stream")
+    ck = sink + "_ckpt"
+    for d in (sink, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    blob_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(blob_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.lit(0).alias("shard"), "beacon_id", "blob")
+    )
+    q = (
+        stream.writeStream.format("hive_beacons")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.format("hive_beacons").option("path", sink).load()
+    return (
+        from_hive_beacon(back.select("beacon_id", "blob"))
+        .groupBy("os_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

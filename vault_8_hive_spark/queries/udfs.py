@@ -102,3 +102,59 @@ def udf_grouped_map_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .applyInPandas(top2, schema="c_mktsegment string, c_custkey bigint, c_acctbal double")
     )
+
+
+@register(
+    "udf_table_function",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id < 60
+)
+SELECT doc_id, pos, word, CAST(length(word) AS INT) AS n_chars FROM w
+UNION ALL
+SELECT doc_id, -1 AS pos, NULL AS word, CAST(SUM(length(word)) AS INT) AS n_chars
+FROM w GROUP BY doc_id
+""",
+    tags=("udf", "udtf", "table-function"),
+)
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, Spark 3.5+/4 surface):
+    a word tokenizer invoked with a TABLE(...) argument PARTITION BY
+    doc_id — eval() yields one (pos, word, n_chars) row per token and
+    terminate() flushes a per-document summary row (pos = -1, total
+    chars), exercising the per-partition lifecycle the scalar UDF
+    surface can't express. Arrow-batched like any pandas-boundary op;
+    the oracle rebuilds both the token rows (string_split WITH
+    ordinality) and the summary rows relationally.
+    """
+    from pyspark.sql.functions import udtf
+
+    prep(spark)
+
+    @udtf(returnType="doc_id bigint, pos int, word string, n_chars int")
+    class WordStats:
+        def __init__(self):
+            self._doc = None
+            self._chars = 0
+
+        def eval(self, row):
+            self._doc = row.doc_id
+            for i, w in enumerate((row.text or "").split(" ")):
+                self._chars += len(w)
+                yield (row.doc_id, i, w, len(w))
+
+        def terminate(self):
+            if self._doc is not None:
+                yield (self._doc, -1, None, self._chars)
+
+    spark.udtf.register("word_stats_udtf", WordStats)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT s.* FROM word_stats_udtf("
+        "TABLE(SELECT doc_id, text FROM udtf_docs WHERE doc_id < 60) "
+        "PARTITION BY doc_id) s"
+    )

@@ -46,6 +46,9 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 _MAGIC = b"HDG1"
@@ -68,16 +71,11 @@ def write_datagram_shards(path: str, records: list[tuple[int, bytes]]) -> None:
     for bid, blob in records:
         by_shard[shard_of(bid)].append((bid, blob))
     for shard, recs in by_shard.items():
-        with open(_shard_path(path, shard), "wb") as fh:
-            fh.write(_MAGIC)
-            for bid, blob in recs:
-                fh.write(struct.pack("<IQ", len(blob), bid))
-                fh.write(blob)
+        _write_frames(_shard_path(path, shard), recs)
 
 
-def read_shard(path: str, shard: int) -> Iterator[tuple[int, int, bytes]]:
-    """Yield (shard, beacon_id, blob) from one framed shard file."""
-    fname = _shard_path(path, shard)
+def read_datagram_file(fname: str, shard: int) -> Iterator[tuple[int, int, bytes]]:
+    """Yield (shard, beacon_id, blob) from one framed datagram file."""
     with open(fname, "rb") as fh:
         if fh.read(4) != _MAGIC:
             raise ValueError(f"bad datagram shard magic in {fname}")
@@ -89,12 +87,32 @@ def read_shard(path: str, shard: int) -> Iterator[tuple[int, int, bytes]]:
             yield (shard, bid, fh.read(n))
 
 
-def _landing_shards(path: str) -> list[int]:
-    return sorted(
-        int(f[len("shard_") : -len(".dat")])
-        for f in os.listdir(path)
+def read_shard(path: str, shard: int) -> Iterator[tuple[int, int, bytes]]:
+    yield from read_datagram_file(_shard_path(path, shard), shard)
+
+
+def _landing_files(path: str) -> list[str]:
+    """Sorted datagram files; the `shard` column is a file's position in
+    this listing (transport provenance, not data), so writer-produced
+    names (shard_<batch>_<task>.dat) and fixture names (shard_NNNN.dat)
+    both work."""
+    return [
+        os.path.join(path, f)
+        for f in sorted(os.listdir(path))
         if f.startswith("shard_") and f.endswith(".dat")
-    )
+    ]
+
+
+def _write_frames(fname: str, rows) -> int:
+    n = 0
+    with open(fname, "wb") as fh:
+        fh.write(_MAGIC)
+        for bid, blob in rows:
+            payload = bytes(blob)
+            fh.write(struct.pack("<IQ", len(payload), int(bid)))
+            fh.write(payload)
+            n += 1
+    return n
 
 
 class DatagramPartition(InputPartition):
@@ -108,7 +126,8 @@ class BeaconDatagramReader(DataSourceReader):
 
     def __init__(self, options):
         self.path = options["path"]
-        self.shards = _landing_shards(self.path)
+        self.files = _landing_files(self.path)
+        self.shards = list(range(len(self.files)))
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
@@ -137,10 +156,10 @@ class BeaconDatagramReader(DataSourceReader):
                 yield f  # Spark evaluates what the source didn't absorb
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [DatagramPartition(self.path, s) for s in self.shards]
+        return [DatagramPartition(self.files[s], s) for s in self.shards]
 
     def read(self, partition: DatagramPartition) -> Iterator[tuple]:
-        yield from read_shard(partition.path, partition.shard)
+        yield from read_datagram_file(partition.path, partition.shard)
 
 
 class BeaconDatagramStreamReader(SimpleDataSourceStreamReader):
@@ -148,7 +167,8 @@ class BeaconDatagramStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options):
         self.path = options["path"]
-        self.n_shards = len(_landing_shards(self.path))
+        self.files = _landing_files(self.path)
+        self.n_shards = len(self.files)
 
     def initialOffset(self) -> dict:
         return {"shard": 0}
@@ -161,11 +181,96 @@ class BeaconDatagramStreamReader(SimpleDataSourceStreamReader):
         # returned iterator for offset replay, and one shard is bounded
         # (the 100 TB path would use DataSourceStreamReader with
         # per-partition reads instead of the driver-side simple reader).
-        return iter(list(read_shard(self.path, shard))), {"shard": shard + 1}
+        return iter(list(read_datagram_file(self.files[shard], shard))), {"shard": shard + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         for shard in range(start["shard"], end["shard"]):
-            yield from read_shard(self.path, shard)
+            yield from read_datagram_file(self.files[shard], shard)
+
+
+class DatagramCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, n: int):
+        self.tmp = tmp
+        self.n = n
+
+
+class BeaconDatagramWriter(DataSourceWriter):
+    """Batch writer with a real two-phase commit: each task frames its
+    rows into a hidden temp file and returns it as the commit message;
+    only the DRIVER's commit() publishes them under reader-visible
+    shard_NNNN.dat names (task order, empty tasks dropped), and abort()
+    removes the temps — a half-failed write is never readable."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> DatagramCommit:
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{_uuid.uuid4().hex}.dat")
+        n = _write_frames(tmp, ((r["beacon_id"], r["blob"]) for r in iterator))
+        return DatagramCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in _landing_files(self.path):
+                os.remove(f)
+        i = 0
+        for m in messages:
+            if m.n:
+                os.replace(m.tmp, os.path.join(self.path, f"shard_{i:04d}.dat"))
+                i += 1
+            else:
+                os.remove(m.tmp)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp)
+            except OSError:
+                pass
+
+
+class BeaconDatagramStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: per-micro-batch two-phase commit. Target names
+    embed the batch id (shard_<batch>_<task>.dat) and commit() clears
+    that batch's namespace before publishing, so an at-least-once replay
+    of a batch rewrites its own files instead of duplicating datagrams —
+    idempotent by construction, same contract as the foreachBatch
+    partition-overwrite sink."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator) -> DatagramCommit:
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{_uuid.uuid4().hex}.dat")
+        n = _write_frames(tmp, ((r["beacon_id"], r["blob"]) for r in iterator))
+        return DatagramCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        prefix = f"shard_{batchId:06d}_"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix) and f.endswith(".dat"):
+                os.remove(os.path.join(self.path, f))
+        i = 0
+        for m in messages:
+            if m.n:
+                os.replace(m.tmp, os.path.join(self.path, f"{prefix}{i:02d}.dat"))
+                i += 1
+            else:
+                os.remove(m.tmp)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp)
+            except OSError:
+                pass
 
 
 class BeaconDatagramDataSource(DataSource):
@@ -179,10 +284,19 @@ class BeaconDatagramDataSource(DataSource):
     def reader(self, schema) -> BeaconDatagramReader:
         return BeaconDatagramReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> BeaconDatagramWriter:
+        return BeaconDatagramWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> BeaconDatagramStreamWriter:
+        return BeaconDatagramStreamWriter(self.options)
+
     def simpleStreamReader(self, schema) -> BeaconDatagramStreamReader:
         return BeaconDatagramStreamReader(self.options)
 
 
 def register_datasource(spark) -> None:
-    """Idempotent registration of the hive_beacons format."""
+    """Idempotent registration of the hive_beacons format (and the
+    runtime conf its pushFilters implementation requires)."""
+    if spark.conf.get("spark.sql.python.filterPushdown.enabled", "false") != "true":
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(BeaconDatagramDataSource)
