@@ -407,3 +407,111 @@ def test_state_metadata_reader(spark, sf_dir):
     assert len(md) == 1
     assert md[0].operatorName == "stateStoreSave"
     assert md[0].minBatchId == 0 and md[0].maxBatchId >= 0
+
+
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    """Event-time TIMERS on the v2 state API — the 'gone silent' detector
+    (the analytic dual of the reference implant's self-delete countdown):
+    each user's timer re-arms at last_seen + 1h; when the WATERMARK
+    passes a timer, handleExpiredTimer emits the silence row. Asserts
+    both the emitted silence times and that a user whose timer the
+    watermark never reached is NOT flagged."""
+    import pandas as pd
+
+    from vault_8_hive_spark.compat.protobuf_alias import ensure_tws_env
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor
+
+    assert ensure_tws_env()
+    base = 1_700_000_000_000  # ms
+    hour = 3_600_000
+
+    def ev(uid, off_ms):
+        return (uid, (base + off_ms) // 1000)
+
+    f1 = [ev(1, 0), ev(1, 10 * 60_000), ev(2, 0)]
+    f2 = [ev(1, 50 * 60_000), ev(99, 3 * hour)]
+    src = str(tmp_path / "timer_src")
+    for i, rows in enumerate([f1, f2]):
+        spark.createDataFrame(rows, "user_id long, ts_s long").coalesce(1) \
+            .write.mode("append" if i else "overwrite").parquet(src)
+
+    class SilenceDetector(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.last = handle.getValueState("last", "ts_ms bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = 0
+            for pdf in rows:
+                if len(pdf):
+                    mx = max(mx, int(pdf["ts_ms"].max()))
+            prev = self.last.get()[0] if self.last.exists() else None
+            if prev is not None and mx > prev:
+                self.handle.deleteTimer(prev + hour)
+            if mx:
+                cur = max(mx, prev or 0)
+                self.last.update((cur,))
+                self.handle.registerTimer(cur + hour)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame(
+                {"user_id": [key[0]],
+                 "silent_at_ms": [expiredTimerInfo.getExpiryTimeInMs()]}
+            )
+
+        def close(self):
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, ts_s long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select(
+                "user_id",
+                F.timestamp_seconds("ts_s").alias("ts"),
+                (F.col("ts_s") * 1000).alias("ts_ms"),
+            )
+            .withWatermark("ts", "10 minutes")
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            SilenceDetector(),
+            outputStructType="user_id bigint, silent_at_ms bigint",
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+        import tempfile
+
+        name = "tws_timers"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="twst_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r.user_id: r.silent_at_ms for r in spark.table(name).collect()}
+        spark.catalog.dropTempView(name)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    # user 2 went silent 1h after its only event; user 1 1h after its
+    # last (t0+50min) event; user 99 drove the watermark and is silent
+    # only past it -> no row.
+    assert got == {2: base + hour, 1: base + 50 * 60_000 + hour}

@@ -326,6 +326,7 @@ SELECT event_id,
        'OBJECT<meta: OBJECT<type: STRING, uid: BIGINT>, p: OBJECT<k: BIGINT>, tags: ARRAY<BIGINT>>' AS vschema
 FROM events
 WHERE event_id <= 1000
+  AND regexp_matches(props, '^\{"k": -?[0-9]+\}$')
 """,
     tags=("scalar", "variant", "json", "semi-structured"),
 )
@@ -347,7 +348,14 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently.
     """
     prep(spark)
-    ev = table(spark, sf_dir, "events").where(F.col("event_id") <= 1000)
+    # The props-shape guard makes the vschema literal (and the embedded
+    # `"p":%s` splice) immune to a future testdata regen adding other
+    # props shapes: only rows provably of the simple {"k": N} form are
+    # selected, identically on both engines.
+    ev = table(spark, sf_dir, "events").where(
+        (F.col("event_id") <= 1000)
+        & F.col("props").rlike('^\\{"k": -?[0-9]+\\}$')
+    )
     doc = F.format_string(
         '{"meta":{"type":"%s","uid":%d},"p":%s,"tags":[%d,%d]}',
         F.col("event_type"),

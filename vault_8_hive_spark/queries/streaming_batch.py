@@ -646,7 +646,7 @@ top AS (
 base AS (
   SELECT user_id,
          COUNT(*)                                        AS n_events,
-         SUM(CAST(ROUND(value * 100, 0) AS BIGINT))      AS cents,
+         SUM(CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT)) AS cents,
          COUNT(DISTINCT event_type)                      AS n_types,
          COUNT(*)                                        AS n_ids,
          MIN(event_id)                                   AS min_id,
@@ -702,7 +702,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS total_cents
+       SUM(CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT)) AS total_cents
 FROM events
 GROUP BY user_id
 """,
@@ -727,7 +727,9 @@ def stream_state_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     ev = stream_events(spark, sf_dir).select(
         "user_id",
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.round(F.col("value").cast("decimal(18,4)") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
     )
     agg = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")

@@ -45,8 +45,13 @@ _ROCKSDB = (
 
 
 def _batch_cents(pdf: pd.DataFrame) -> int:
-    # per-row round to int64 cents, then exact integer sum
-    return int(pdf["value"].mul(100).round().astype("int64").sum())
+    # per-row HALF_UP to int64 cents (floor(x*100 + 0.5) — matching both
+    # engines' DECIMAL ROUND, unlike pandas' banker's rounding), then
+    # exact integer sum. Robust to any value precision, not just the
+    # current 2-decimal testdata.
+    import numpy as np
+
+    return int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
 
 
 def _make_processor():
