@@ -59,6 +59,7 @@ _MODULES = (
     "multimodal",
     "ingest",
     "pipeline",
+    "pandas_api",
     "composites",  # must import last: composites wrap the fine registrations
 )
 

@@ -367,6 +367,9 @@ _composite(
           "value": "CAST(custdist AS DOUBLE)", "n": "custdist"}),
         ("q22", "dormant_rich_customers",
          {"metric": "'dormant_' || n_name", "value": "total_bal", "n": "n_cust"}),
+        ("pandas_api", "api_pandas_on_spark",
+         {"metric": "'ps_' || c_mktsegment",
+          "value": "CAST(bal_cents AS DOUBLE) / 100.0", "n": "n_cust"}),
     ],
     tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )
@@ -555,6 +558,9 @@ _composite(
         ("table_function", "udf_table_function",
          {"k1": "doc_id", "k2": "pos", "s1": "word",
           "d1": "CAST(n_chars AS DOUBLE)"}),
+        ("arrow_batches", "udf_arrow_batches",
+         {"k1": "l_orderkey", "k2": "n_rows",
+          "d1": "CAST(price_cents AS DOUBLE)"}),
     ],
     tags=("udf", "scalar", "pandas", "grouped-map", "udtf", "composite"),
 )

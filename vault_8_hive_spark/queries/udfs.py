@@ -158,3 +158,53 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TABLE(SELECT doc_id, text FROM udtf_docs WHERE doc_id < 60) "
         "PARTITION BY doc_id) s"
     )
+
+
+@register(
+    "udf_arrow_batches",
+    oracle="""
+SELECT l_orderkey,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_orderkey <= 500
+GROUP BY l_orderkey
+""",
+    tags=("udf", "arrow", "mapInArrow"),
+)
+def udf_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy batch surface below pandas UDFs: the
+    transform receives raw pyarrow RecordBatches (no pandas conversion
+    at all) and emits cent-exact per-row projections computed with
+    pyarrow.compute kernels; a normal JVM aggregation finishes the job.
+    This is the boundary to hand-rolled columnar code (tokenizers,
+    codecs) where even the pandas layer is measurable overhead. Money
+    rides HALF_UP integer cents so the Python boundary adds no float
+    drift."""
+    prep(spark)
+
+    def cents_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            price = batch.column("l_extendedprice")
+            cents = pc.cast(
+                pc.floor(
+                    pc.add(pc.multiply(pc.cast(price, pa.float64()), 100.0), 0.5)
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), cents],
+                names=["l_orderkey", "cents"],
+            )
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 500)
+    projected = li.select("l_orderkey", "l_extendedprice").mapInArrow(
+        cents_batches, "l_orderkey bigint, cents bigint"
+    )
+    return projected.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("price_cents"),
+    )
