@@ -60,6 +60,7 @@ _MODULES = (
     "ingest",
     "pipeline",
     "pandas_api",
+    "graph",
     "composites",  # must import last: composites wrap the fine registrations
 )
 

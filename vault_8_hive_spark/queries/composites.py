@@ -370,6 +370,9 @@ _composite(
         ("pandas_api", "api_pandas_on_spark",
          {"metric": "'ps_' || c_mktsegment",
           "value": "CAST(bal_cents AS DOUBLE) / 100.0", "n": "n_cust"}),
+        ("pagerank", "graph_pagerank",
+         {"metric": "'pr_' || CAST(node AS STRING)", "value": "rank",
+          "n": "node"}),
     ],
     tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )
@@ -387,8 +390,14 @@ _composite(
          {"ts1": "window_start", "n": "n_events"}),
         ("funnel", "events_funnel",
          {"i1": "stage", "s1": "name", "n": "n_users"}),
+        ("gapfill_locf", "events_gapfill_locf",
+         {"ts1": "hour", "i1": "CAST(user_id AS INT)",
+          "n": "n_events", "d1": "locf_value"}),
+        ("cohort_retention", "events_cohort_retention",
+         {"ts1": "cohort_week", "i1": "week_offset",
+          "n": "n_active", "d1": "retention"}),
     ],
-    tags=("events", "window-time", "funnel", "composite"),
+    tags=("events", "window-time", "funnel", "gapfill", "cohort", "composite"),
 )
 
 # --- streaming --------------------------------------------------------------

@@ -231,3 +231,146 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(2, "view>click", c))
         .unionByName(stage(3, "view>click>purchase", p))
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM ev GROUP BY user_id),
+spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+ranked AS (SELECT user_id, date_trunc('hour', ts) AS hour, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM ev),
+hourly AS (SELECT user_id, hour, MAX(rn) AS n, MAX(CASE WHEN rn = 1 THEN value END) AS last_v
+           FROM ranked GROUP BY user_id, hour)
+SELECT s.user_id, s.hour, COALESCE(h.n, 0) AS n_events,
+       last_value(h.last_v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+""",
+    tags=("events", "timeseries", "gapfill", "resample"),
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (LOCF): densify each user's event
+    history to a complete hourly spine (sequence + explode — the
+    generate_series Spark spells natively) and carry the last observation
+    forward across empty hours with last(ignorenulls) over an ordered
+    window. The "sensor reading at every tick" shape (the reference's
+    fleet uptime counters are exactly this: beacons arrive irregularly,
+    liveness dashboards want a dense grid).
+
+    Determinism: the per-hour representative value is picked by a full
+    (ts DESC, event_id DESC) ranking — never arg_max on a tied key.
+    Scale: the spine explodes ~hours-per-user rows (bounded by time
+    range, not events); both the rank and the LOCF window partition by
+    user_id — one shuffle, no global window. Values pass through
+    untouched (no float arithmetic), so the hash is exact."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    hour = F.date_trunc("hour", F.col("ts"))
+    spine = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "hour").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    hourly = (
+        ev.select("user_id", hour.alias("hour"), "ts", "event_id", "value")
+        .withColumn("rn", rn)
+        .groupBy("user_id", "hour")
+        .agg(
+            F.max("rn").alias("n"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("last_v"),
+        )
+    )
+    locf = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("last_v", ignorenulls=True).over(locf).alias("locf_value"),
+        )
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+cohort_size AS (
+  SELECT cohort_week, COUNT(*) AS n_cohort FROM first_seen GROUP BY cohort_week
+)
+SELECT f.cohort_week,
+       CAST((date_part('epoch', a.week) - date_part('epoch', f.cohort_week)) / 604800 AS INT) AS week_offset,
+       COUNT(*) AS n_active,
+       CAST(COUNT(*) AS DOUBLE) / s.n_cohort AS retention
+FROM first_seen f
+JOIN activity a USING (user_id)
+JOIN cohort_size s ON f.cohort_week = s.cohort_week
+GROUP BY f.cohort_week, week_offset, s.n_cohort
+""",
+    tags=("events", "cohort", "retention", "agg"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    bucketed by first-seen week, then for each (cohort, weeks-since)
+    cell the count and share of the cohort still active. The week
+    offset is computed as an exact epoch difference of week-truncated
+    timestamps (both engines truncate to Monday), and the retention
+    share is a single double division — both hash-exact.
+
+    Scale: first_seen and activity are two aggregations over the same
+    user_id shuffle; the matrix itself is tiny (weeks x offsets). At
+    100 TB the DISTINCT (user, week) pre-aggregation is the load-bearing
+    step — it collapses the fact table before any join."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    offset = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("int")
+    return (
+        first_seen.join(activity, "user_id")
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .groupBy("cohort_week", offset.alias("week_offset"), "n_cohort")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+        )
+    )
