@@ -240,3 +240,14 @@ def test_lateral_decorrelates_to_window_topk(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
+    """The year-partitioned fact scan must carry a dynamicpruning#
+    subquery in its PartitionFilters — runtime pruning from the joined
+    dim, not a static literal."""
+    from vault_8_hive_spark.queries import all_queries
+
+    df = all_queries()["join_dynamic_partition_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()

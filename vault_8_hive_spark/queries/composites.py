@@ -344,6 +344,9 @@ _composite(
           "n": "n_orders", "d1": "total"}),
         ("pyds_writer", "io_pyds_writer",
          {"k1": "os_name", "n": "n", "d1": "CAST(n_blob_ok AS DOUBLE)"}),
+        ("dpp", "join_dynamic_partition_pruning",
+         {"k1": "CAST(order_year AS STRING)", "k2": "o_orderstatus",
+          "n": "n_orders", "d1": "total"}),
     ],
     tags=("scan", "sink", "csv", "json", "orc", "partition-pruning",
           "python-datasource", "composite"),

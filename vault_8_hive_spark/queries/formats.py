@@ -165,3 +165,60 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS total
+FROM orders
+WHERE year(o_orderdate) IN (
+  SELECT DISTINCT year(l_shipdate) FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY order_year, o_orderstatus
+""",
+    tags=("scan", "join", "partition-pruning", "dpp"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the year-partitioned orders layout is
+    joined to a dim derived at RUNTIME (distinct ship-years of a
+    filtered lineitem scan) — no literal ever touches the fact side, yet
+    Spark injects a dynamicpruning# subquery into the fact scan's
+    PartitionFilters, so only the joined years' directories are read
+    (asserted in tests/test_plans.py). At 100 TB this is THE mechanism
+    that makes star joins over date-partitioned facts affordable: the
+    dim filter prunes fact partitions before any fact byte is read,
+    with no pipeline-author involvement."""
+    prep(spark)
+    path = _work(sf_dir, "orders_by_year")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "orders")
+            .withColumn("order_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    dim = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(F.year("l_shipdate").alias("yr"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.order_year == dim.yr)
+        .groupBy("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4)
+            .cast("double")
+            .alias("total"),
+        )
+    )
