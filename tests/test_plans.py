@@ -251,3 +251,56 @@ def test_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
     df = all_queries()["join_dynamic_partition_pruning"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both bucketed scans must feed the sort-merge join directly: the
+    layout IS the distribution, so no Exchange may appear below the join
+    (the only exchange allowed is the final segment aggregation's)."""
+    df = QUERIES["join_bucketed_smj"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    join_pos = plan.index("SortMergeJoin")
+    assert "Exchange" not in plan[join_pos:], (
+        "exchange below the bucketed join:\n" + plan
+    )
+
+
+def test_bucket_pruning_on_key_equality(spark, sf_dir):
+    """An equality predicate on the bucket key must prune to one bucket
+    (SelectedBucketsCount: 1 out of 8) — file-level skipping from the
+    layout, before any row is read."""
+    from vault_8_hive_spark.catalog import bucketed_table
+
+    from pyspark.sql import functions as F
+
+    o = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    # The aggregation keyed on the bucket column makes the scan consume
+    # the layout's distribution (a bare filter lets the planner fall back
+    # to a non-bucketed scan, and pruning rides the bucketed scan).
+    df = (
+        o.where(o.o_custkey == 421)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """The runtime Bloom filter built from the filtered orders side must
+    probe inside the lineitem side's filter, upstream of the join."""
+    df = QUERIES["join_bloom_runtime_filter"].fn(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    # Logical: the optimizer injected BloomFilterMightContain over a
+    # bloom_filter_agg aggregate subquery on the creation side.
+    opt = qe.optimizedPlan().toString()
+    assert "might_contain" in opt, opt
+    assert "bloom_filter_agg" in opt, opt
+    # Physical: the probe sits in the lineitem side's Filter (renders as
+    # might_contain(Subquery ...)), upstream of the join's exchange.
+    df.collect()
+    plan = qe.executedPlan().toString()
+    assert "might_contain" in plan, plan

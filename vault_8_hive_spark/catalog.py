@@ -159,6 +159,69 @@ def optimize_tables(
         _HANDLES.pop(key, None)
 
 
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """A hash-bucketed, per-bucket-sorted copy of a landing table,
+    registered in the session catalog so joins/aggregations on `key` read
+    the layout's distribution and skip their shuffle entirely.
+
+    This is SCALE.md's bucketing posture made executable: at 100 TB the
+    fact tables are written once, bucketed by their join key, and every
+    subsequent key-join or key-agg against them is exchange-free (the
+    ingest pays one shuffle; every query after that pays zero). Bucket
+    files are written once per (sf, table, key) and fingerprint-guarded
+    like the compaction copies; a later session re-attaches the existing
+    files with a CREATE TABLE ... CLUSTERED BY DDL instead of rewriting
+    (bucket identity is carried in the file names, so registration is
+    metadata-only). Bucket count is fixed at write time — on a cluster
+    you size it to target-file-size at the table's full volume, not to
+    the core count of any one reader.
+    """
+    from .session import prep
+
+    prep(spark)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    tbl = f"{name}_by_{key}_{buckets}_{sf_tag}".replace(".", "_").replace("-", "_")
+    path = os.path.join(WORK_DIR, sf_tag, "bucket", f"{name}_by_{key}_{buckets}")
+    tag = os.path.join(path, "_SRC_FINGERPRINT")
+    fp = _src_fingerprint(sf_dir, name)
+    current = False
+    try:
+        with open(tag, encoding="utf-8") as fh:
+            current = fh.read() == fp
+    except OSError:
+        current = False
+    if not current:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+        with open(tag, "w", encoding="utf-8") as fh:
+            fh.write(fp)
+    elif not spark.catalog.tableExists(tbl):
+        # Files are current but this session's (in-memory) catalog has
+        # never seen them: attach metadata-only. Spark reads the bucket id
+        # from each file's _NNNNN name suffix, so no data moves.
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return spark.table(tbl)
+
+
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A dimension table wrapped in a broadcast hint (skips the shuffle)."""
     return F.broadcast(table(spark, sf_dir, name))

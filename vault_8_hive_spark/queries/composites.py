@@ -144,8 +144,11 @@ _composite(
         ("kll_quantiles", "agg_sketch_kll",
          {"grp": "l_returnflag", "exact_v": "exact_p50", "verified_v": "verified_p50",
           "exact_v2": "exact_p95", "verified_v2": "verified_p95"}),
+        ("cms_heavy_hitters", "agg_cms_heavy_hitters",
+         {"grp": "suppkey", "exact_n": "exact_n", "verified_n": "cms_est"}),
     ],
-    tags=("agg", "approx", "sketch", "set-algebra", "percentile", "composite"),
+    tags=("agg", "approx", "sketch", "set-algebra", "percentile",
+          "heavy-hitters", "composite"),
 )
 
 _composite(
@@ -198,6 +201,11 @@ _composite(
          {"k1": "s_suppkey", "k2": "n_nationkey", "s1": "s_name", "s2": "n_name"}),
         ("full", "join_full_outer",
          {"k1": "c_custkey", "k2": "o_orderkey", "d1": "c_acctbal", "d2": "o_totalprice"}),
+        ("bucketed_smj", "join_bucketed_smj",
+         {"k1": "n_orders", "k2": "n_customers", "s1": "c_mktsegment",
+          "d1": "revenue"}),
+        ("bloom_pruned", "join_bloom_runtime_filter",
+         {"k1": "n_lines", "s1": "l_returnflag", "d1": "price_sum"}),
     ],
     tags=("join", "composite"),
 )
@@ -224,8 +232,12 @@ _composite(
         ("interval", "join_interval_events",
          {"s1": "CAST(window_id AS STRING)", "n": "n_events",
           "d1": "CAST(n_users AS DOUBLE)"}),
+        ("fuzzy_linkage", "join_fuzzy_linkage",
+         {"s1": "noun || '|' || adj_a || '|' || adj_b || '|' || CAST(same_brand AS STRING)",
+          "s2": "CAST(key_a AS STRING) || '|' || CAST(key_b AS STRING)",
+          "n": "edit_dist"}),
     ],
-    tags=("join", "nonequi", "interval", "composite"),
+    tags=("join", "nonequi", "interval", "fuzzy", "composite"),
 )
 
 # --- set ops + whole-row dedup ---------------------------------------------
@@ -376,6 +388,9 @@ _composite(
         ("pagerank", "graph_pagerank",
          {"metric": "'pr_' || CAST(node AS STRING)", "value": "rank",
           "n": "node"}),
+        ("triangles", "graph_triangles",
+         {"metric": "'tri_' || CAST(vertex AS STRING)",
+          "value": "CAST(n_triangles AS DOUBLE)", "n": "n_triangles"}),
     ],
     tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )
@@ -399,8 +414,11 @@ _composite(
         ("cohort_retention", "events_cohort_retention",
          {"ts1": "cohort_week", "i1": "week_offset",
           "n": "n_active", "d1": "retention"}),
+        ("markov", "events_markov_transitions",
+         {"s1": "prev_type || '>' || next_type", "n": "n", "d1": "p"}),
     ],
-    tags=("events", "window-time", "funnel", "gapfill", "cohort", "composite"),
+    tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
+          "composite"),
 )
 
 # --- streaming --------------------------------------------------------------
@@ -474,9 +492,11 @@ _composite(
          {"k1": "doc_id", "n1": "n_grams", "txt": _cat("fp_min", "fp_max")}),
         ("redact", "text_redact_pii",
          {"k1": "doc_id", "n1": "n_emails", "n2": "n_ips", "txt": "redacted_md5"}),
+        ("bm25", "text_bm25_search",
+         {"k1": "doc_id", "s1": "qid", "n1": "rnk", "d1": "score"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
-          "redaction", "composite"),
+          "redaction", "search", "composite"),
 )
 
 _composite(
@@ -499,8 +519,12 @@ _composite(
 _composite(
     "text_corpus_mgmt",
     schema=[("s1", "string"), ("s2", "string"), ("k1", "bigint"), ("k2", "bigint"),
-            ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint")],
+            ("n1", "bigint"), ("n2", "bigint"), ("n3", "bigint"), ("n4", "bigint"),
+            ("d1", "double")],
     branches=[
+        ("weighted_sample", "text_weighted_sample",
+         {"s1": "lang", "k1": "doc_id", "k2": "rnk", "n1": "n_chars",
+          "d1": "es_key"}),
         ("split", "text_train_test_split",
          {"s1": "split", "s2": "lang", "n1": "n_docs", "n2": "total_chars"}),
         ("pack", "text_pack_sequences",
@@ -533,6 +557,9 @@ _composite(
         ("quantize_int8", "vec_quantize_int8",
          {"i1": "label", "n1": "n_vecs", "d1": "avg_l2_err", "d2": "max_abs_err",
           "d3": "avg_scale"}),
+        ("quantized_rerank", "vec_quantized_rerank",
+         {"a": "vec_id", "i1": "label", "i2": "rn", "d1": "coarse_sim",
+          "d2": "cos_sim"}),
     ],
     tags=("vectors", "similarity", "topk", "knn", "ivf", "quantization", "composite"),
 )

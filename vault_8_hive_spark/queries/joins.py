@@ -402,3 +402,195 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     register_views(spark, sf_dir)
     return spark.sql(_CORR_SUBQ)
+
+
+@register(
+    "join_bucketed_smj",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("join", "bucketed", "layout"),
+)
+def join_bucketed_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free sort-merge join over hash-bucketed table layouts.
+
+    Both sides are written once bucketed by their join key
+    (catalog.bucketed_table: CLUSTERED BY (custkey) INTO 8 BUCKETS,
+    SORTED BY); the join then consumes the layout's distribution —
+    `Bucketed: true` on both scans and NO Exchange anywhere before the
+    join (asserted in tests/test_plans.py). The MERGE hint pins the
+    sort-merge strategy so the assertion demonstrates the co-located
+    shuffle-free join rather than a broadcast fallback.
+
+    Scale: this is the bucketing posture of SCALE.md made executable —
+    at 100 TB the ingest layer pays ONE shuffle to bucket the fact
+    tables by their dominant join key, and every later join or
+    aggregation on that key is exchange-free. The same layout also
+    serves bucket pruning: an equality predicate on the bucket key
+    reads 1/N of the files (SelectedBucketsCount, also plan-asserted).
+    """
+    from ..catalog import bucketed_table
+
+    prep(spark)
+    o = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    c = bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS price_sum
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+""",
+    tags=("join", "bloom", "runtime-filter"),
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: the selective filter on the
+    orders side is turned into a bloom_filter_agg subquery whose
+    bloom_filter_might_contain probe is pushed into the LINEITEM scan —
+    fact rows that cannot join are dropped at the scan, before the
+    join's shuffle ever sees them (plan-asserted).
+
+    At 100 TB this is the row-level companion to dynamic partition
+    pruning: DPP skips whole partitions, the Bloom filter skips the
+    surviving rows, and both derive from the dim predicate at runtime
+    with no pipeline-author involvement. The injection thresholds are
+    lowered inside a plan-then-restore window (the feature is sized for
+    multi-GB scans; the sandbox's sf dirs are MBs): the plan is forced
+    while the thresholds are active, then session conf is restored so no
+    other query's planning is perturbed.
+    """
+    prep(spark)
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # InjectRuntimeFilter only fires on probably-shuffle joins: a
+        # creation side under the broadcast threshold suppresses the
+        # bloom filter (broadcast pruning would subsume it). At sandbox
+        # scale every dim is broadcast-able, so the window also disables
+        # auto-broadcast — at 100 TB the filtered dim genuinely exceeds
+        # the threshold and the rule fires on its own. (AQE may still
+        # convert the join to broadcast at runtime from observed stats;
+        # the injected scan-side filter survives that conversion.)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(28,4)")), 4
+                )
+                .cast("double")
+                .alias("price_sum"),
+            )
+        )
+        # Materialize the physical plan NOW, while the thresholds are
+        # active: QueryExecution caches it, so the later action reuses
+        # the bloom-injected plan even after the conf rolls back.
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+@register(
+    "join_fuzzy_linkage",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_brand,
+         split_part(p_name, ' ', 1) AS adj,
+         split_part(p_name, ' ', -1) AS noun
+  FROM part WHERE p_partkey < 500
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.noun,
+       a.adj AS adj_a, b.adj AS adj_b,
+       CAST(levenshtein(a.adj, b.adj) AS INT) AS edit_dist,
+       a.p_brand = b.p_brand AS same_brand
+FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.adj, b.adj) <= 2
+""",
+    tags=("join", "fuzzy", "linkage", "entity-resolution"),
+)
+def join_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (entity resolution): candidate pairs from a
+    BLOCKING key (the name's noun), verified by edit distance on the
+    remaining token (levenshtein <= 2), never an all-pairs comparison.
+
+    This is the classic two-stage linkage shape: blocking turns the
+    O(n^2) match problem into an equi-join on a cheap deterministic key
+    (at 100 TB: one shuffle on the block key, with skewed giant blocks
+    handled like any hot join key — salt or AQE skew split), and the
+    expensive string metric runs only inside blocks. The bounded
+    p_partkey slice keeps the demonstration's block sizes honest at
+    every sf (the full-corpus path would add a second, finer blocking
+    key before scaling the verify stage)."""
+    prep(spark)
+    parts = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.element_at(F.split("p_name", " "), 1).alias("adj"),
+            F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        )
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("adj").alias("adj_b"),
+        F.col("noun").alias("noun_b"),
+    )
+    lev = F.levenshtein("adj", "adj_b")
+    return (
+        parts.join(
+            b,
+            (F.col("noun") == F.col("noun_b"))
+            & (F.col("p_partkey") < F.col("key_b")),
+        )
+        .where(lev <= 2)
+        .select(
+            F.col("p_partkey").alias("key_a"),
+            "key_b",
+            "noun",
+            F.col("adj").alias("adj_a"),
+            "adj_b",
+            lev.cast("int").alias("edit_dist"),
+            (F.col("p_brand") == F.col("brand_b")).alias("same_brand"),
+        )
+    )
