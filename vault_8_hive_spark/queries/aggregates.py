@@ -728,3 +728,118 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+_CMS_D = 4    # hash rows
+_CMS_W = 512  # counters per row
+
+
+def _cms_oracle() -> str:
+    return f"""
+WITH seeds AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i),
+pairs AS (
+  SELECT seeds.i,
+         CAST(('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || ':' || seeds.i), 1, 8))
+              AS UBIGINT) % {_CMS_W} AS bucket
+  FROM lineitem CROSS JOIN seeds
+),
+sketch AS (SELECT i, bucket, COUNT(*) AS cnt FROM pairs GROUP BY i, bucket),
+exact AS (
+  SELECT l_suppkey AS suppkey, COUNT(*) AS exact_n
+  FROM lineitem GROUP BY l_suppkey
+  ORDER BY exact_n DESC, suppkey LIMIT 10
+),
+est AS (
+  SELECT exact.suppkey, exact.exact_n, MIN(sketch.cnt) AS cms_est
+  FROM exact CROSS JOIN seeds
+  JOIN sketch ON sketch.i = seeds.i
+   AND sketch.bucket = CAST(('0x' || substr(md5(CAST(exact.suppkey AS VARCHAR) || ':' || seeds.i), 1, 8))
+                            AS UBIGINT) % {_CMS_W}
+  GROUP BY exact.suppkey, exact.exact_n
+)
+SELECT suppkey, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_n AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("agg", "sketch", "cms", "heavy-hitters"),
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation, built relationally so
+    the sketch itself is a DataFrame: 4x512 counters from
+    seeded-md5 bucket hashing, estimate = MIN over the key's 4
+    counters, checked against the exact top-10 counts (CMS guarantees
+    est >= exact; overcount is the collision error surfaced).
+
+    Mergeability is the point at 100 TB: counters ADD, so per-partition
+    (or per-day) sketches combine by summing the (i, bucket) cells —
+    exactly what Spark's partial aggregation does for the groupBy here;
+    stored per-day sketch tables roll up to any window by the same sum.
+    Fixed 4x512 cells estimate any key's frequency within
+    eps*N without holding per-key state — the frequency dual of the HLL
+    partials in agg_sketch_hll. Deterministic md5 hashing makes the
+    whole construction hash-exact across engines (no clamp needed,
+    unlike the randomized DataSketches branches)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+
+    def bucket(key: F.Column, i: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))), 1, 8),
+                16, 10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(F.col("l_suppkey"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.i", "p.bucket")
+    sketch = pairs.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "suppkey")
+        .limit(10)
+    )
+    probes = exact.select(
+        "suppkey",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        bucket(F.col("suppkey"), i).alias("bucket"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("suppkey", "exact_n", "p.i", "p.bucket")
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["i", "bucket"])
+        .groupBy("suppkey", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "suppkey",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )

@@ -374,3 +374,57 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+""",
+    tags=("events", "sequence", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous), the sequential-pattern
+    primitive behind next-action prediction and anomaly scoring
+    (a beacon fleet's analog: which command habitually follows which).
+
+    Shape: ONE shuffle on user_id for the ordered lag window (the same
+    partitioning sessionization uses), then a tiny (|types|^2) hash agg
+    and a broadcast-scale normalization window. Per-user ordering is
+    (ts, event_id) so concurrent events sequence deterministically."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
+    )

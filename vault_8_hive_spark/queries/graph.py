@@ -124,3 +124,74 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = ranks.orderBy(F.desc("rank"), "node").limit(20)
     return out
+
+
+_TRI_EDGES = """
+SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                GREATEST(a.l_partkey, b.l_partkey) AS v
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+WHERE a.l_partkey < 300 AND b.l_partkey < 300
+"""
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+WITH edges AS ({_TRI_EDGES}),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pv AS (
+  SELECT vertex, COUNT(*) AS n_triangles
+  FROM (SELECT a AS vertex FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY vertex
+)
+SELECT vertex, n_triangles
+FROM pv ORDER BY n_triangles DESC, vertex LIMIT 10
+""",
+    tags=("graph", "triangles"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts appearing in
+    the same order, bounded to partkey < 300): top-10 parts by triangle
+    participation — the clustering-structure primitive behind community
+    and spam detection.
+
+    Shape: edges are id-oriented (u < v), so each triangle is generated
+    exactly once as wedge (u<b<c) + closing-edge semi-check — the
+    standard distributed triangle algorithm (two shuffle joins on
+    vertex keys; at 100 TB the orientation would be by DEGREE, which
+    bounds wedge fan-out by sqrt(m) per vertex — id-orientation keeps
+    the demonstration deterministic and the DuckDB oracle identical).
+    Per-vertex counts are one explode + hash agg; top-10 is a bounded
+    TakeOrdered finalization."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 300)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, ["ok"])
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    tri = (
+        e1.join(e2, F.col("v") == F.col("u2"))
+        .join(e3, (F.col("u3") == F.col("u")) & (F.col("v3") == F.col("v2")))
+        .select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("v2").alias("c"))
+    )
+    pv = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return pv.orderBy(F.col("n_triangles").desc(), "vertex").limit(10)

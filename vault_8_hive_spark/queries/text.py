@@ -593,3 +593,178 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_BM25_QUERIES = (
+    ("q_join", ("join", "hash")),
+    ("q_cust", ("customer", "window", "spark")),
+    ("q_vec", ("vector", "stream")),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         SUM(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, ROUND(score, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, score
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register(
+    "text_bm25_search",
+    oracle=_bm25_oracle(),
+    tags=("text", "search", "bm25", "ranking"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text ranking (k1=1.2, b=0.75): top-5 documents per
+    query from an inverted-index join — the relational decomposition of
+    a search engine's scorer.
+
+    Shape: postings = explode(tokens) -> (doc, term, tf) — ONE shuffle
+    on (doc_id, term); document lengths reuse the same exploded pass;
+    per-term document frequencies are a tiny aggregate broadcast to the
+    probe; the query list is a literal broadcast. Scoring touches only
+    postings matching query terms (index semantics, not a corpus scan):
+    at 100 TB the postings table is the big artifact, partitioned by
+    term, and each query reads only its terms' slices. Scores are
+    rounded to 1e-6 on both engines before ranking; doc_id breaks ties.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "qid string, term string",
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    w = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(w), 6).alias("score"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 5)
+        .select("qid", "rnk", "doc_id", "score")
+    )
+
+
+@register(
+    "text_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ROUND(POWER(
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+             / 4294967296.0,
+           1.0 / n_chars), 9) AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars, es_key,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, n_chars, es_key
+FROM ranked WHERE rnk <= 5
+""",
+    tags=("text", "pipeline", "sampling", "weighted"),
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement per stratum
+    (Efraimidis-Spirakis A-ES): each document draws a deterministic
+    uniform u from its id's md5, and the top-5 per language by
+    u^(1/weight) is a weight-proportional sample without replacement
+    (here weight = n_chars: longer documents sampled preferentially,
+    the token-budget-aware corpus subsampling move).
+
+    Scale: A-ES is THE distributed weighted-sampling algorithm — the
+    key is computed row-local (no global state, no sequential RNG), and
+    top-k-per-stratum is one partial top-k per partition + one merge,
+    so a 100 TB corpus samples in a single pass. Determinism: u comes
+    from md5(doc_id), not an RNG, so any engine (and any rerun)
+    draws the same sample; keys are rounded to 1e-9 with a doc_id
+    tie-break before ranking (pow is not correctly-rounded IEEE in
+    either engine)."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + 0.5) / float(1 << 32)
+    es_key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars", es_key.alias("es_key"))
+        .withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 5)
+        .select("lang", "rnk", "doc_id", "n_chars", "es_key")
+    )

@@ -738,3 +738,99 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("dist2"), 6).alias("mean_dist2"),
     )
+
+
+_O_DQ_DOT = (
+    "ROUND(list_sum(list_transform(generate_series(1, 64), "
+    "i -> ROUND(CAST(e.embedding[i] AS DOUBLE) / e.scale) * e.scale "
+    "   * CAST(q.embedding[i] AS DOUBLE))), 6)"
+)
+
+
+@register(
+    "vec_quantized_rerank",
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id, label, embedding,
+         GREATEST(list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0,
+                  1e-12) AS scale
+  FROM embeddings WHERE vec_id <> 0
+),
+coarse AS (
+  SELECT e.vec_id, e.label, e.embedding, {_O_DQ_DOT} AS coarse_sim
+  FROM c e, q
+),
+cand AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY coarse_sim DESC, vec_id) AS crk
+  FROM coarse
+),
+exact AS (
+  SELECT e.vec_id, e.label, e.coarse_sim, {_O_COS} AS cos_sim
+  FROM (SELECT * FROM cand WHERE crk <= 50) e, q
+)
+SELECT vec_id, label, coarse_sim, cos_sim, CAST(rn AS INT) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn FROM exact
+) t WHERE rn <= 10
+""",
+    tags=("vectors", "quantization", "similarity", "topk"),
+)
+def vec_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8-dequantized dot-product candidate generation
+    (top-50) followed by exact-cosine re-ranking (top-10) — the
+    standard quantized-index + rerank architecture of a 100 TB vector
+    store (the coarse pass reads 4x-compressed vectors and a cheaper
+    score; only the candidate set ever touches full-precision floats).
+
+    Shape: one corpus scan computes the coarse score entirely in
+    whole-stage codegen (per-vector scale + dequantized dot against the
+    broadcast query); TakeOrderedAndProject keeps the candidate cut at
+    50 rows, and the exact cosine runs on those survivors only. Both
+    stages round to 1e-6 before ranking with vec_id tie-breaks, so the
+    candidate CUT itself is deterministic cross-engine (a coarse tie at
+    the boundary resolves identically in both engines)."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(
+            to_double("embedding").alias("q_emb")
+        )
+    )
+    v = to_double("embedding")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    base = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", "label", v.alias("v"), "q_emb", scale.alias("scale"))
+    )
+    dq = F.transform(
+        "v", lambda x: F.round(x / F.col("scale")) * F.col("scale")
+    )
+    coarse_sim = F.round(
+        F.aggregate(
+            F.zip_with(dq, F.col("q_emb"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    cand = (
+        base.select("vec_id", "label", "v", "q_emb", coarse_sim.alias("coarse_sim"))
+        .orderBy(F.desc("coarse_sim"), "vec_id")
+        .limit(50)
+    )
+    exact = cand.select(
+        "vec_id",
+        "label",
+        "coarse_sim",
+        F.round(cosine(F.col("v"), F.col("q_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(F.col("vec_id") % 1).orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("vec_id", "label", "coarse_sim", "cos_sim", "rn")
+    )
