@@ -391,6 +391,9 @@ _composite(
         ("triangles", "graph_triangles",
          {"metric": "'tri_' || CAST(vertex AS STRING)",
           "value": "CAST(n_triangles AS DOUBLE)", "n": "n_triangles"}),
+        ("recursive_bfs", "graph_recursive_bfs",
+         {"metric": "'bfs_' || CAST(node AS STRING)",
+          "value": "CAST(hops AS DOUBLE)", "n": "hops"}),
     ],
     tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )
@@ -416,6 +419,8 @@ _composite(
           "n": "n_active", "d1": "retention"}),
         ("markov", "events_markov_transitions",
          {"s1": "prev_type || '>' || next_type", "n": "n", "d1": "p"}),
+        ("chi_square", "events_chi_square",
+         {"s1": "event_type", "i1": "n_cells", "d1": "chi2_part"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),

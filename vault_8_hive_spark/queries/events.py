@@ -428,3 +428,75 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
     )
+
+
+@register(
+    "events_chi_square",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, CAST(floor(hour(ts) / 6.0) AS INT) AS day_quarter, COUNT(*) AS n
+  FROM events GROUP BY event_type, day_quarter
+),
+tot AS (SELECT SUM(n) AS total FROM obs),
+marg_r AS (SELECT event_type, SUM(n) AS row_n FROM obs GROUP BY event_type),
+marg_c AS (SELECT day_quarter, SUM(n) AS col_n FROM obs GROUP BY day_quarter),
+cells AS (
+  SELECT o.event_type, o.day_quarter, o.n,
+         CAST(r.row_n AS DOUBLE) * c.col_n / t.total AS expected
+  FROM obs o
+  JOIN marg_r r USING (event_type)
+  JOIN marg_c c USING (day_quarter)
+  CROSS JOIN tot t
+)
+SELECT event_type,
+       CAST(COUNT(*) AS INT) AS n_cells,
+       ROUND(SUM((n - expected) * (n - expected) / expected), 6) AS chi2_part
+FROM cells
+GROUP BY event_type
+""",
+    tags=("events", "stats", "chi-square"),
+)
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic of event type vs time-of-day
+    quarter, decomposed per event type — the contingency-table
+    hypothesis-test primitive (is behavior time-uniform?), computed as
+    pure relational algebra: observed cell counts, broadcast marginals,
+    expected = row*col/total, then sum((O-E)^2/E).
+
+    Scale: ONE aggregation over the fact table produces the |types| x 4
+    contingency table; every subsequent join is on that tiny aggregate
+    (broadcast), so the statistic costs a single shuffle regardless of
+    corpus size — the same store-marginals shape any drift monitor
+    ships. Per-type partial sums round to 1e-6 on both engines."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.floor(F.hour("ts") / 6.0).cast("int").alias("day_quarter"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    marg_r = obs.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    marg_c = obs.groupBy("day_quarter").agg(F.sum("n").alias("col_n"))
+    cells = (
+        obs.join(F.broadcast(marg_r), "event_type")
+        .join(F.broadcast(marg_c), "day_quarter")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n",
+            (F.col("row_n").cast("double") * F.col("col_n") / F.col("total")).alias(
+                "expected"
+            ),
+        )
+    )
+    return cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        F.round(
+            F.sum(
+                (F.col("n") - F.col("expected"))
+                * (F.col("n") - F.col("expected"))
+                / F.col("expected")
+            ),
+            6,
+        ).alias("chi2_part"),
+    )

@@ -195,3 +195,50 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return pv.orderBy(F.col("n_triangles").desc(), "vertex").limit(10)
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION
+  SELECT DISTINCT {_SUPP_BASE} + l_suppkey AS src, o_custkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+walk(node, hops) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < 2
+)
+SELECT node, MIN(hops) AS hops
+FROM walk
+GROUP BY node
+"""
+
+
+@register(
+    "graph_recursive_bfs",
+    oracle=_BFS_SQL,
+    tags=("graph", "recursive-cte", "sql"),
+)
+def graph_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4.1): breadth-first
+    reachability with minimum hop count from customer 1 over the
+    symmetrized trading graph, 2 expansion rounds — the transitive-
+    closure/hierarchy-walk capability, run from the IDENTICAL ANSI text
+    on both engines (like the correlated-subquery entry).
+
+    Scale: each recursion round is planned as a join of the frontier
+    against the (distinct-deduped) edge relation — the same shuffle
+    shape as the hand-built label-propagation loop in
+    operators/components.py, but driven by the engine's own fixpoint
+    operator; the hops < 2 bound is the standard guard that keeps a
+    cyclic graph's expansion finite (Spark additionally enforces a
+    recursion row limit)."""
+    from ..catalog import register_views
+
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_BFS_SQL)
