@@ -199,7 +199,17 @@ def bucketed_table(
     if not current:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
+            # repartition on the BUCKET key first: DataFrame hash
+            # partitioning and bucket-id assignment use the same
+            # pmod(murmur3) function, so each write task holds exactly
+            # one bucket and emits ONE file per bucket. That single-file
+            # property is load-bearing: a one-file bucket lets the scan
+            # report the SORTED BY ordering, so key-joins skip the Sort
+            # as well as the Exchange (multi-file buckets force a
+            # read-side sort — measured 3x slower at 15M rows,
+            # tools/bucket_probe.py).
             table(spark, sf_dir, name)
+            .repartition(buckets, F.col(key))
             .write.mode("overwrite")
             .bucketBy(buckets, key)
             .sortBy(key)

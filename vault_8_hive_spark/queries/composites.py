@@ -287,8 +287,13 @@ _composite(
          {"id1": "c_custkey", "id2": "odd_only",
           "txt": _cat("tier", "seg_or_other"),
           "d1": "capped_low", "d2": "floored"}),
+        ("profile", "scalar_profile_columns",
+         {"id1": "n_rows", "id2": "n_distinct",
+          "txt": _cat("column_name", "min_value", "max_value"),
+          "d1": "CAST(n_nulls AS DOUBLE)"}),
     ],
-    tags=("scalar", "string", "date", "math", "conditional", "composite"),
+    tags=("scalar", "string", "date", "math", "conditional", "profiling",
+          "composite"),
 )
 
 _composite(
@@ -421,6 +426,9 @@ _composite(
          {"s1": "prev_type || '>' || next_type", "n": "n", "d1": "p"}),
         ("chi_square", "events_chi_square",
          {"s1": "event_type", "i1": "n_cells", "d1": "chi2_part"}),
+        ("cdc_apply", "events_cdc_apply",
+         {"s1": "last_type", "i1": "CAST(key AS INT)", "n": "n_ops",
+          "d1": "last_value"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),

@@ -500,3 +500,72 @@ def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_part"),
     )
+
+
+@register(
+    "events_cdc_apply",
+    oracle="""
+WITH log AS (
+  SELECT user_id AS key, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         event_type, value
+  FROM events
+),
+latest AS (
+  SELECT key, op, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS n_ops
+  FROM log
+)
+SELECT key, event_type AS last_type, ROUND(value, 6) AS last_value,
+       CAST(n_ops AS BIGINT) AS n_ops
+FROM latest
+WHERE rn = 1 AND op = 'upsert'
+""",
+    tags=("events", "cdc", "upsert"),
+)
+def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log materialization: apply an ordered change log
+    (last-writer-wins upserts + delete tombstones) to produce current
+    state per key — the batch dual of the foreachBatch streaming upsert
+    sink (stream_upsert_sink), and the core of any snapshot-from-log
+    table format. Here the events stream plays the log: 'error' rows
+    are tombstones; the latest op per user decides existence and value.
+
+    Shape: one shuffle on the key for the (ts, event_id)-ordered window;
+    rn = 1 keeps the final op, tombstoned keys drop. At 100 TB this runs
+    per partition-of-keys with no global coordination, and incremental
+    compaction = the same query over (previous snapshot UNION new log
+    segment) — snapshot rows entering as older-than-log upserts."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = log.select(
+        "key",
+        "op",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("n_ops"),
+    )
+    return (
+        latest.where((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select(
+            "key",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+        )
+    )

@@ -381,3 +381,69 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x_is_null"),
         F.schema_of_variant(v).alias("vschema"),
     )
+
+
+_PROFILE_COLS = (
+    ("c_custkey", "CAST(MIN(c_custkey) AS VARCHAR)", "CAST(MAX(c_custkey) AS VARCHAR)"),
+    ("c_name", "MIN(c_name)", "MAX(c_name)"),
+    ("c_nationkey", "CAST(MIN(c_nationkey) AS VARCHAR)", "CAST(MAX(c_nationkey) AS VARCHAR)"),
+    ("c_acctbal", "CAST(ROUND(MIN(c_acctbal), 2) AS VARCHAR)", "CAST(ROUND(MAX(c_acctbal), 2) AS VARCHAR)"),
+    ("c_mktsegment", "MIN(c_mktsegment)", "MAX(c_mktsegment)"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, mn, mx in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{col}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE {col} IS NULL) AS n_nulls,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {mn} AS min_value, {mx} AS max_value
+FROM customer""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "scalar_profile_columns",
+    oracle=_profile_oracle(),
+    tags=("scalar", "profiling", "stats"),
+)
+def scalar_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling (the ANALYZE TABLE / data-quality
+    primitive): per-column row count, null count, exact distinct count,
+    and min/max, computed in ONE scan of the table — all per-column
+    aggregates ride a single wide aggregation, then unpivot to the
+    (column, stats) long form.
+
+    Scale: this is how a profiler must run at 100 TB — one pass, no
+    per-column rescans. The multiple COUNT(DISTINCT)s plan through
+    Catalyst's Expand (row multiplication by #distinct-aggs) — the
+    documented trade; a production profiler would swap exact distinct
+    for HLL partials (agg_sketch_hll) above memory budget, same shape,
+    mergeable across partitions."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    aggs = []
+    for col, _, _ in _PROFILE_COLS:
+        c = F.col(col)
+        mn, mx = F.min(c), F.max(c)
+        if col == "c_acctbal":
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__rows"),
+            F.count_if(c.isNull()).alias(f"{col}__nulls"),
+            F.countDistinct(c).alias(f"{col}__distinct"),
+            mn.cast("string").alias(f"{col}__min"),
+            mx.cast("string").alias(f"{col}__max"),
+        ]
+    wide = cust.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__rows, {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )

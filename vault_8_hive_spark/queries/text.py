@@ -614,7 +614,7 @@ WITH toks AS (
   FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
 stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 q(qid, term) AS (VALUES {vals}),
@@ -669,7 +669,11 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Doc length from the tf AGGREGATE (sum of term frequencies), not a
+    # second pass over the exploded tokens: the corpus-sized token
+    # relation is shuffled once; dl shuffles only the already-collapsed
+    # (doc, term) rows.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
