@@ -304,3 +304,18 @@ def test_bloom_filter_reaches_fact_scan(spark, sf_dir):
     df.collect()
     plan = qe.executedPlan().toString()
     assert "might_contain" in plan, plan
+
+
+def test_bucketed_layout_one_file_per_bucket(spark, sf_dir):
+    """The bucketed write must emit exactly one file per bucket (the
+    aligned-repartition contract: multi-file buckets measured 3.4x
+    slower than the shuffle join they're meant to beat)."""
+    import os
+
+    from vault_8_hive_spark.catalog import WORK_DIR, bucketed_table
+
+    bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(WORK_DIR, sf_tag, "bucket", "orders_by_o_custkey_8")
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(files) == 8, files

@@ -767,6 +767,7 @@ FROM est
     "agg_cms_heavy_hitters",
     oracle=_cms_oracle(),
     tags=("agg", "sketch", "cms", "heavy-hitters"),
+    bench=True,
 )
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy-hitter estimation, built relationally so
@@ -841,5 +842,69 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_n",
             "cms_est",
             (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+@register(
+    "agg_iqr_outliers",
+    oracle="""
+WITH fences AS (
+  SELECT c_mktsegment,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT f.c_mktsegment,
+       ROUND(f.q3 + 1.5 * (f.q3 - f.q1), 6) AS upper_fence,
+       COUNT(*) FILTER (WHERE o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)) AS n_outliers,
+       CAST(ROUND(MAX(CASE WHEN o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+                           THEN o_totalprice END), 2) AS DOUBLE) AS max_outlier
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN fences f ON f.c_mktsegment = customer.c_mktsegment
+GROUP BY f.c_mktsegment, f.q1, f.q3
+""",
+    tags=("agg", "percentile", "outliers", "anomaly"),
+)
+def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5x IQR) outlier detection per segment: exact
+    interpolated quartiles of order totals, then a second keyed pass
+    counting values above q3 + 1.5*IQR — the distribution-free anomaly
+    screen a monitoring pipeline runs per cohort.
+
+    Shape: two aggregations sharing one join lineage — the quartile agg
+    produces |segments| fence rows, broadcast back onto the joined fact
+    for the outlier count, so the expensive join lineage shuffles once
+    per pass and the fences never materialize more than a dim's worth of
+    rows. (At 100 TB the quartile pass would ride the KLL sketch
+    (agg_sketch_kll) instead of exact percentile; fences are then
+    mergeable too.)"""
+    prep(spark)
+    j = table(spark, sf_dir, "orders").join(
+        table(spark, sf_dir, "customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    fences = j.groupBy("c_mktsegment").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    out = F.col("o_totalprice") > fence
+    return (
+        j.select("c_mktsegment", "o_totalprice")
+        .join(F.broadcast(fences), "c_mktsegment")
+        .groupBy("c_mktsegment", "q1", "q3")
+        .agg(
+            F.count_if(out).alias("n_outliers"),
+            F.round(F.max(F.when(out, F.col("o_totalprice"))), 2)
+            .cast("double")
+            .alias("max_outlier"),
+        )
+        .select(
+            "c_mktsegment",
+            F.round(fence, 6).alias("upper_fence"),
+            "n_outliers",
+            "max_outlier",
         )
     )

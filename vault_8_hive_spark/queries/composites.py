@@ -108,8 +108,11 @@ _composite(
          {"grp": "l_returnflag", "n1": "n_supp", "n2": "n_part", "d1": "sum_dist_qty"}),
         ("filtered", "agg_filtered_conditional",
          {"grp": "o_orderstatus", "n1": "n_urgent", "n2": "n_big", "d1": "urgent_total"}),
+        ("iqr_outliers", "agg_iqr_outliers",
+         {"grp": "c_mktsegment", "n1": "n_outliers", "d1": "upper_fence",
+          "d2": "max_outlier"}),
     ],
-    tags=("agg", "distinct", "conditional", "composite"),
+    tags=("agg", "distinct", "conditional", "outliers", "composite"),
 )
 
 _composite(
@@ -547,6 +550,8 @@ _composite(
          {"k1": "doc_id", "s1": "lang", "s2": "source", "n1": "n_chars"}),
         ("curation", "text_curation_pipeline",
          {"s1": "stage", "n1": "n_docs", "n3": "min_doc", "n4": "max_doc"}),
+        ("token_budget", "text_token_budget",
+         {"s1": "source", "n1": "src_tokens", "n2": "alloc"}),
     ],
     tags=("text", "pipeline", "sampling", "curation", "composite"),
 )

@@ -434,3 +434,84 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_curation_pipeline"] = _dc.replace(
     QUERIES["text_curation_pipeline"], oracle=_curation_oracle()
 )
+
+
+_BUDGET = 1_000_000
+
+
+@register(
+    "text_token_budget",
+    oracle=f"""
+WITH src AS (
+  SELECT source, SUM(n_chars) AS src_tokens FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(src_tokens) AS total, COUNT(*) AS n_src FROM src),
+quota AS (
+  SELECT s.source, s.src_tokens,
+         (s.src_tokens * {_BUDGET}) // t.total AS base_alloc,
+         (s.src_tokens * {_BUDGET}) % t.total AS remainder,
+         {_BUDGET} - SUM((s.src_tokens * {_BUDGET}) // t.total) OVER () AS leftover
+  FROM src s CROSS JOIN tot t
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rnk
+  FROM quota
+)
+SELECT source, src_tokens,
+       CAST(base_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+""",
+    tags=("text", "pipeline", "sampling", "apportionment"),
+)
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment across corpus sources by the
+    largest-remainder method: each source gets floor(budget * share),
+    and the seats lost to flooring go to the largest fractional
+    remainders — the standard way a training-mix spec ('1M tokens,
+    proportional to source size') becomes exact integer per-source
+    quotas that sum to the budget.
+
+    Determinism is the point: everything is int64 arithmetic (products
+    stay under 2^63; no doubles anywhere), so any engine — or the same
+    pipeline rerun a year later — allocates identically, with ties on
+    the remainder broken by source name. Shape: one agg to |sources|
+    rows, then window arithmetic on that dim-sized set."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.sum("n_chars").alias("src_tokens"))
+    tot = src.agg(F.sum("src_tokens").alias("total"))
+    quota = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        F.expr(f"(src_tokens * {_BUDGET}) DIV total").alias("base_alloc"),
+        ((F.col("src_tokens") * _BUDGET) % F.col("total")).alias("remainder"),
+    )
+    # Non-foldable constant partition key (repo idiom, cf. vectors.py):
+    # keeps the partition spec so the 10-row global window doesn't plan
+    # as an unpartitioned WindowExec warning magnet.
+    w_all = Window.partitionBy(F.col("src_tokens") * 0)
+    ranked = quota.select(
+        "source",
+        "src_tokens",
+        "base_alloc",
+        (F.lit(_BUDGET) - F.sum("base_alloc").over(w_all)).alias("leftover"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.col("src_tokens") * 0).orderBy(
+                F.col("remainder").desc(), "source"
+            )
+        )
+        .alias("rnk"),
+    )
+    return ranked.select(
+        "source",
+        "src_tokens",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
