@@ -510,6 +510,8 @@ _composite(
          {"k1": "doc_id", "n1": "n_emails", "n2": "n_ips", "txt": "redacted_md5"}),
         ("bm25", "text_bm25_search",
          {"k1": "doc_id", "s1": "qid", "n1": "rnk", "d1": "score"}),
+        ("vocab", "text_vocab_coverage",
+         {"s1": "term", "n1": "rnk", "n2": "n", "d1": "coverage"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
           "redaction", "search", "composite"),
@@ -552,6 +554,9 @@ _composite(
          {"s1": "stage", "n1": "n_docs", "n3": "min_doc", "n4": "max_doc"}),
         ("token_budget", "text_token_budget",
          {"s1": "source", "n1": "src_tokens", "n2": "alloc"}),
+        ("decontaminate", "text_decontaminate",
+         {"k1": "eval_doc", "n1": "n_shared_shingles", "n2": "n_train_docs",
+          "n3": "first_train_doc"}),
     ],
     tags=("text", "pipeline", "sampling", "curation", "composite"),
 )

@@ -772,3 +772,151 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("lang", "rnk", "doc_id", "n_chars", "es_key")
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+freq AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+tot AS (SELECT SUM(n) AS total FROM freq),
+ranked AS (
+  SELECT term, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk,
+         SUM(n) OVER (ORDER BY n DESC, term
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM freq
+)
+SELECT CAST(rnk AS INT) AS rnk, term, n,
+       ROUND(CAST(cum_n AS DOUBLE) / tot.total, 6) AS coverage
+FROM ranked CROSS JOIN tot
+WHERE rnk <= 20
+""",
+    tags=("text", "tokenize", "vocab"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction with coverage accounting: the top-20
+    corpus terms by frequency, each with the CUMULATIVE share of all
+    token occurrences the vocabulary covers up to that rank — the
+    curve a tokenizer builder reads to size its vocab (and 1 - final
+    coverage is the OOV rate a that cutoff).
+
+    Shape: explode -> term hash-agg (one corpus shuffle, map-side
+    combined), then ranking and a running-sum frame over the
+    |vocab|-sized aggregate only. Ordering ties break by term so the
+    rank sequence is total and cross-engine stable."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    w = Window.partitionBy(F.col("n") * 0).orderBy(F.col("n").desc(), "term")
+    ranked = freq.select(
+        "term",
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_n"),
+    )
+    return (
+        ranked.where(F.col("rnk") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "term",
+            "n",
+            F.round(F.col("cum_n").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle="""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+),
+words AS (
+  SELECT doc_id, split, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM split
+),
+shingles AS (
+  SELECT doc_id, split,
+         array_to_string(ws[i:i+7], ' ') AS shingle
+  FROM words, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+),
+hits AS (
+  SELECT DISTINCT e.doc_id AS eval_doc, t.doc_id AS train_doc, e.shingle
+  FROM (SELECT DISTINCT doc_id, shingle FROM shingles WHERE split = 'eval') e
+  JOIN (SELECT DISTINCT doc_id, shingle FROM shingles WHERE split = 'train') t
+    ON e.shingle = t.shingle
+)
+SELECT eval_doc,
+       COUNT(DISTINCT shingle) AS n_shared_shingles,
+       COUNT(DISTINCT train_doc) AS n_train_docs,
+       CAST(MIN(train_doc) AS BIGINT) AS first_train_doc
+FROM hits
+GROUP BY eval_doc
+""",
+    tags=("text", "dedup", "decontamination", "pipeline"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: which held-out documents share
+    verbatim 8-gram shingles with any training document — the standard
+    benchmark-leakage screen (eval examples that appear in the training
+    corpus poison the metric). Splits are the same deterministic
+    md5(doc_id) buckets as text_train_test_split (90/10 here).
+
+    Shape: one corpus pass builds (split, doc, shingle); the
+    contamination check is an equi-join ON THE SHINGLE between the two
+    split slices — banded exactly like LSH, never doc x doc; at 100 TB
+    the shingle column is hashed to 8 bytes and the train side is the
+    big relation the eval side shuffles against (or broadcast, eval
+    sets being small by construction). Output is per-eval-doc evidence:
+    how many distinct shingles leaked and from how many train docs."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("eval").alias("split"),
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("ws"),
+    )
+    sh = split.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 7), "
+                "i -> array_join(slice(ws, i, 8), ' '))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    ev = sh.where(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    tr = sh.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    hits = ev.join(tr, "shingle")
+    return hits.groupBy("eval_doc").agg(
+        F.countDistinct("shingle").alias("n_shared_shingles"),
+        F.countDistinct("train_doc").alias("n_train_docs"),
+        F.min("train_doc").cast("bigint").alias("first_train_doc"),
+    )
