@@ -319,3 +319,16 @@ def test_bucketed_layout_one_file_per_bucket(spark, sf_dir):
     path = os.path.join(WORK_DIR, sf_tag, "bucket", "orders_by_o_custkey_8")
     files = [f for f in os.listdir(path) if f.startswith("part-")]
     assert len(files) == 8, files
+
+
+def test_cbo_reorders_join_tree(spark, sf_dir):
+    """With ANALYZE stats + CBO, the (orders x customer) x nation SQL
+    must be rewritten to build (customer x nation) first: in the
+    optimized plan the orders relation appears AFTER both small
+    relations (it becomes the probe side of the outer join)."""
+    df = QUERIES["join_cbo_reorder"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    i_orders = opt.index("orders_by_o_custkey")
+    i_cust = opt.index("customer_by_c_custkey")
+    i_nation = opt.index("nation_cbo")
+    assert i_orders > i_cust and i_orders > i_nation, opt

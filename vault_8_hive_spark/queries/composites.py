@@ -209,6 +209,8 @@ _composite(
           "d1": "revenue"}),
         ("bloom_pruned", "join_bloom_runtime_filter",
          {"k1": "n_lines", "s1": "l_returnflag", "d1": "price_sum"}),
+        ("cbo_reorder", "join_cbo_reorder",
+         {"k1": "n_orders", "s1": "n_name", "d1": "revenue"}),
     ],
     tags=("join", "composite"),
 )

@@ -594,3 +594,81 @@ def join_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_brand") == F.col("brand_b")).alias("same_brand"),
         )
     )
+
+
+@register(
+    "join_cbo_reorder",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS revenue
+FROM orders, customer, nation
+WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("join", "cbo", "optimizer", "stats"),
+)
+def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering from collected table statistics: the
+    SQL text joins (orders x customer) FIRST and nation last; ANALYZE
+    TABLE row/column stats + CBO let the optimizer rewrite it to build
+    (customer x nation) first — shrinking the big fact's build side —
+    which plan-asserts the whole CBO surface: stats collection, stats
+    propagation, and joinReorder (tests/test_plans.py).
+
+    At 100 TB this is the difference between a pipeline author hand-
+    ordering every star join and the catalog doing it: ANALYZE runs per
+    ingest (here: once per session, skipped when stats exist), and every
+    query against those tables gets size-aware join trees. CBO conf is
+    applied in a plan-then-restore window like the bloom entry, so no
+    other query's planning is perturbed."""
+    import os
+
+    from ..catalog import WORK_DIR, bucketed_table, table as load
+
+    prep(spark)
+    o = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    c = bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    otbl = f"orders_by_o_custkey_8_{sf_tag}"
+    ctbl = f"customer_by_c_custkey_8_{sf_tag}"
+    ntbl = f"nation_cbo_{sf_tag}"
+    if not spark.catalog.tableExists(ntbl):
+        path = os.path.join(WORK_DIR, sf_tag, "cbo", "nation")
+        (
+            load(spark, sf_dir, "nation")
+            .write.mode("overwrite")
+            .option("path", path)
+            .saveAsTable(ntbl)
+        )
+    for tbl in (otbl, ctbl, ntbl):
+        has_stats = (
+            spark.sql(f"DESC EXTENDED {tbl}")
+            .where("col_name = 'Statistics'")
+            .count()
+            > 0
+        )
+        if not has_stats:
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    keys = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        out = spark.sql(f"""
+SELECT n_name, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS revenue
+FROM {otbl} o, {ctbl} c, {ntbl} n
+WHERE o.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+""")
+        out._jdf.queryExecution().executedPlan()  # plan under CBO confs
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
