@@ -332,3 +332,21 @@ def test_cbo_reorders_join_tree(spark, sf_dir):
     i_cust = opt.index("customer_by_c_custkey")
     i_nation = opt.index("nation_cbo")
     assert i_orders > i_cust and i_orders > i_nation, opt
+
+
+def test_plan_window_confs_restore(spark, sf_dir):
+    """Queries that lower optimizer thresholds inside a plan-then-restore
+    window must leave the session conf exactly as they found it — a
+    leaked autoBroadcastJoinThreshold=-1 or cbo.enabled=true would
+    silently re-plan every later query in the session."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled",
+    )
+    before = {k: spark.conf.get(k, None) for k in keys}
+    QUERIES["join_bloom_runtime_filter"].fn(spark, sf_dir)
+    QUERIES["join_cbo_reorder"].fn(spark, sf_dir)
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert after == before

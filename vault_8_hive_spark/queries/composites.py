@@ -344,8 +344,10 @@ _composite(
         ("frames", "win_frames",
          {"k1": "o_custkey", "k2": "o_orderkey", "ts1": "o_orderdate",
           "d1": "running_total", "d2": "moving3_total", "d3": "trailing_90d_total"}),
+        ("rolling_distinct", "win_rolling_distinct",
+         {"ts1": "d", "k1": "dau7", "k2": "user_days7"}),
     ],
-    tags=("window", "ranking", "analytic", "frames", "composite"),
+    tags=("window", "ranking", "analytic", "frames", "distinct", "composite"),
 )
 
 # --- formats / IO -----------------------------------------------------------

@@ -207,3 +207,58 @@ def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "win_rolling_distinct",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du)
+SELECT CAST(days.d AS TIMESTAMP) AS d,
+       COUNT(DISTINCT du.user_id) AS dau7,
+       COUNT(*) AS user_days7
+FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d
+""",
+    tags=("window", "distinct", "rolling"),
+)
+def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (trailing DAU window) — the
+    windowed COUNT(DISTINCT) every activity dashboard needs and Spark's
+    window functions don't accept directly. The engine rewrite: dedupe
+    to (day, user), collapse each day to its user set, then a RANGE
+    frame over day numbers unions the trailing 7 sets
+    (size(array_distinct(flatten(collect_list)))).
+
+    Scale: the frame state is bounded by (distinct users x 7 days) per
+    row, NOT raw events — the dedupe and per-day collapse run first, so
+    the window sees |days| rows with set-valued columns. For unbounded
+    cardinalities the same query swaps the exact sets for HLL sketch
+    partials merged across the frame (agg_sketch_hll), which is the
+    100 TB posture; the exact form is the oracle-checkable dual."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    day_sets = du.groupBy("d").agg(
+        F.collect_set("user_id").alias("users"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    daynum = F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+    w = (
+        Window.partitionBy(F.col("n_users") * 0)
+        .orderBy(daynum)
+        .rangeBetween(-6, 0)
+    )
+    return day_sets.select(
+        F.col("d").cast("timestamp").alias("d"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
+        .cast("bigint")
+        .alias("dau7"),
+        F.sum("n_users").over(w).alias("user_days7"),
+    )
