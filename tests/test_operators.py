@@ -127,3 +127,37 @@ def test_asof_randomized_vs_duckdb(spark):
                 ).fetchall()
             }
             assert got == exp, (seed, strict)
+
+
+def test_asof_forward_equal_ts_semantics(spark):
+    """Forward as-of at EQUAL timestamps: non-strict must match the
+    same-instant right row; strict must skip to the next one."""
+    from vault_8_hive_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a")], "k int, t int, lbl string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0)], "k int, rt int, v double"
+    )
+    loose = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        value_cols=["v"], strict=False, direction="forward",
+    ).collect()
+    assert loose[0].v == 100.0
+    tight = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        value_cols=["v"], strict=True, direction="forward",
+    ).collect()
+    assert tight[0].v == 200.0
+
+
+def test_asof_forward_no_following_match(spark):
+    """A left row after the last right row must null-extend."""
+    from vault_8_hive_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 99, "late")], "k int, t int, lbl string")
+    right = spark.createDataFrame([(1, 10, 1.0)], "k int, rt int, v double")
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        value_cols=["v"], direction="forward",
+    ).collect()
+    assert out[0].v is None

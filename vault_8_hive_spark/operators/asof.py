@@ -31,8 +31,15 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join; returns all left columns + value_cols from right.
+    """As-of join; returns all left columns + value_cols from right.
+
+    direction="backward" (default): greatest right_time <= left_time
+    (< when strict). direction="forward": smallest right_time >=
+    left_time (> when strict) — the same union-merge with the window
+    frame mirrored (first(ignorenulls) over current..following) and the
+    equal-timestamp tag ordering inverted.
 
     Union-merge plan:
       1. project both sides to (key..., __t, __tag, payloads) with the
@@ -51,7 +58,15 @@ def asof_join(
     overlap = set(value_cols) & set(l_payload)
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
-    right_tag = 2 if strict else 0
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if direction == "forward":
+        # Forward frame sees current..following: same-ts right rows sort
+        # AFTER left (tag 2) to be visible (non-strict) or BEFORE left
+        # (tag 0) to fall outside the frame (strict).
+        right_tag = 0 if strict else 2
+    else:
+        right_tag = 2 if strict else 0
 
     # The right payload rides as ONE struct: `last(ignorenulls)` must skip
     # left-row placeholders but still deliver right rows whose individual
@@ -75,13 +90,22 @@ def asof_join(
         r_struct.alias("__r"),
     )
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__t", "__tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "forward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__t", "__tag")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("__r", ignorenulls=True)
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__t", "__tag")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("__r", ignorenulls=True)
     carried = l_proj.unionByName(r_proj).select(
-        "*", F.last("__r", ignorenulls=True).over(w).alias("__asof")
+        "*", carry.over(w).alias("__asof")
     )
     return carried.where(F.col("__tag") == 1).select(
         *on,

@@ -237,6 +237,9 @@ _composite(
         ("interval", "join_interval_events",
          {"s1": "CAST(window_id AS STRING)", "n": "n_events",
           "d1": "CAST(n_users AS DOUBLE)"}),
+        ("asof_forward", "join_asof_next_purchase",
+         {"s1": "CAST(user_id AS STRING)", "s2": "CAST(n_converted AS STRING)",
+          "n": "n_views", "d1": "avg_min_to_convert"}),
         ("fuzzy_linkage", "join_fuzzy_linkage",
          {"s1": "noun || '|' || adj_a || '|' || adj_b || '|' || CAST(same_brand AS STRING)",
           "s2": "CAST(key_a AS STRING) || '|' || CAST(key_b AS STRING)",

@@ -672,3 +672,69 @@ GROUP BY n_name
             else:
                 spark.conf.set(k, v)
     return out
+
+
+@register(
+    "join_asof_next_purchase",
+    oracle="""
+WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value
+  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts < p.ts
+)
+SELECT user_id,
+       COUNT(*) AS n_views,
+       COUNT(purchase_ts) AS n_converted,
+       ROUND(AVG(epoch(purchase_ts) - epoch(view_ts)) / 60.0, 6) AS avg_min_to_convert,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,4))), 4) AS DOUBLE) AS attributed_value
+FROM m
+GROUP BY user_id
+HAVING COUNT(purchase_ts) > 0
+""",
+    tags=("join", "asof", "forward", "attribution"),
+)
+def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py direction='forward'): each
+    view event matched to the user's nearest FOLLOWING purchase — the
+    time-to-convert attribution dual of the backward nearest-prior join
+    (and the batch mirror of the stream-stream interval join's
+    view->purchase pairing). DuckDB's native ASOF JOIN with the
+    inequality reversed is the oracle.
+
+    Same scale shape as backward: tag both sides, union, ONE shuffle on
+    user_id, first(ignorenulls) over the mirrored forward frame — no
+    per-row Python, no per-group pandas."""
+    prep(spark)
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    m = asof_join(
+        v,
+        p.withColumnRenamed("p_ts", "ts_r").withColumnRenamed("value", "p_value"),
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts_r",
+        value_cols=["ts_r", "p_value"],
+        strict=True,
+        direction="forward",
+    )
+    gap_min = (
+        F.col("ts_r").cast("double") - F.col("ts").cast("double")
+    ) / 60.0
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.count("ts_r").alias("n_converted"),
+            F.round(F.avg(gap_min), 6).alias("avg_min_to_convert"),
+            F.round(F.sum(F.col("p_value").cast("decimal(28,4)")), 4)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .where(F.col("n_converted") > 0)
+    )
