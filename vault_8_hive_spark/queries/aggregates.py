@@ -908,3 +908,77 @@ def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_outlier",
         )
     )
+
+
+@register(
+    "agg_market_basket",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+  FROM lineitem WHERE l_partkey < 300
+),
+n_baskets AS (SELECT COUNT(DISTINCT basket) AS n FROM items),
+item_n AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY item),
+pair_n AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY item_a, item_b
+)
+SELECT item_a, item_b, n_ab,
+       ROUND(CAST(n_ab AS DOUBLE) / nb.n, 6) AS support,
+       ROUND(CAST(n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+       ROUND(CAST(n_ab AS DOUBLE) * nb.n / (ia.n_item * ib.n_item), 6) AS lift
+FROM pair_n
+JOIN item_n ia ON ia.item = item_a
+JOIN item_n ib ON ib.item = item_b
+CROSS JOIN n_baskets nb
+ORDER BY n_ab DESC, item_a, item_b
+LIMIT 10
+""",
+    tags=("agg", "association", "market-basket"),
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (the 2-itemset core of
+    FP-growth): top part pairs by co-occurrence with support,
+    confidence(a->b), and lift — the classic 'bought together' measure
+    set, here 'tasked together' for a fleet's command co-occurrence.
+
+    Shape: distinct (basket, item) -> pair generation by basket
+    self-join (bounded item slice keeps per-basket fan-out honest; at
+    100 TB the standard guard is a min-support prefilter on item_n
+    before pairing), then broadcast item counts onto the tiny pair
+    aggregate. All ratios round to 1e-6; ordering is total."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 300)
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = items.agg(F.countDistinct("basket").alias("n"))
+    item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    b = items.select(F.col("basket"), F.col("item").alias("item_b"))
+    pair_n = (
+        items.join(b, ["basket"])
+        .where(F.col("item") < F.col("item_b"))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("n_item").alias("na"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("n_item").alias("nb_i"))
+    return (
+        pair_n.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n") / (F.col("na") * F.col("nb_i")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "item_a", "item_b")
+        .limit(10)
+    )

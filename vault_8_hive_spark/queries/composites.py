@@ -409,6 +409,9 @@ _composite(
         ("recursive_bfs", "graph_recursive_bfs",
          {"metric": "'bfs_' || CAST(node AS STRING)",
           "value": "CAST(hops AS DOUBLE)", "n": "hops"}),
+        ("market_basket", "agg_market_basket",
+         {"metric": "'mb_' || CAST(item_a AS STRING) || '_' || CAST(item_b AS STRING)",
+          "value": "lift", "n": "n_ab"}),
     ],
     tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )
