@@ -265,6 +265,11 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan[join_pos:], (
         "exchange below the bucketed join:\n" + plan
     )
+    # One sorted file per bucket + the scan-ordering trust window: the
+    # join consumes the layout's SORT too, not just its distribution.
+    assert "Sort " not in plan[join_pos:] and "+- Sort" not in plan[join_pos:], (
+        "sort below the bucketed join:\n" + plan
+    )
 
 
 def test_bucket_pruning_on_key_equality(spark, sf_dir):

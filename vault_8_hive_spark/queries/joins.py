@@ -433,23 +433,42 @@ def join_bucketed_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation on that key is exchange-free. The same layout also
     serves bucket pruning: an equality predicate on the bucket key
     reads 1/N of the files (SelectedBucketsCount, also plan-asserted).
-    """
+
+    The scan-side SORT is elided too: bucketed_table guarantees one
+    sorted file per bucket, so the legacy bucketedTableScan
+    outputOrdering flag (off by default because Spark can't verify
+    arbitrary writers kept buckets sorted — OUR writer does, by
+    construction) lets the scans report their SORTED BY ordering.
+    Measured at 15M rows: 0.46 s -> 0.35 s on top of the 3x exchange
+    win (tools/bucket_probe.py). Applied in a plan-then-restore window
+    so no other query's scans inherit the trust."""
     from ..catalog import bucketed_table
 
     prep(spark)
     o = bucketed_table(spark, sf_dir, "orders", "o_custkey")
     c = bucketed_table(spark, sf_dir, "customer", "c_custkey")
-    return (
-        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4)
-            .cast("double")
-            .alias("revenue"),
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        out = (
+            o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_customers"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4)
+                .cast("double")
+                .alias("revenue"),
+            )
         )
-    )
+        out._jdf.queryExecution().executedPlan()  # plan under the flag
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    return out
 
 
 @register(
