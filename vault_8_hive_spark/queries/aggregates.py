@@ -982,3 +982,47 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "item_a", "item_b")
         .limit(10)
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       ROUND(regr_slope(o_totalprice, c_acctbal), 6) AS slope,
+       ROUND(regr_intercept(o_totalprice, c_acctbal), 6) AS intercept,
+       ROUND(regr_r2(o_totalprice, c_acctbal), 6) AS r2,
+       ROUND(regr_avgx(o_totalprice, c_acctbal), 6) AS avg_x,
+       ROUND(regr_avgy(o_totalprice, c_acctbal), 6) AS avg_y
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("agg", "regression", "stats"),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 linear-regression aggregates (regr_slope / intercept /
+    r2 / avgx / avgy): does customer balance predict order size, per
+    segment — the grouped OLS-fit primitive, computed as one-pass
+    mergeable moment sums by both engines' builtins.
+
+    Scale: regression aggregates are sum/sum-of-product moments, so
+    they partial-aggregate map-side and merge associatively like any
+    sum — one shuffle on the group key regardless of rows. Cross-engine
+    note: both engines accumulate doubles in partition order; the 1e-6
+    rounding absorbs the reduction-order drift exactly as the moments
+    entries do (agg_moments_exact carries the bit-exact decimal
+    spelling of the same algebra)."""
+    prep(spark)
+    j = table(spark, sf_dir, "orders").join(
+        table(spark, sf_dir, "customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    y, x = F.col("o_totalprice"), F.col("c_acctbal")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+    )

@@ -111,6 +111,9 @@ _composite(
         ("iqr_outliers", "agg_iqr_outliers",
          {"grp": "c_mktsegment", "n1": "n_outliers", "d1": "upper_fence",
           "d2": "max_outlier"}),
+        ("regression", "agg_regression",
+         {"grp": "c_mktsegment", "n1": "n", "d1": "slope", "d2": "intercept",
+          "d3": "r2", "d4": "avg_y"}),
     ],
     tags=("agg", "distinct", "conditional", "outliers", "composite"),
 )
@@ -442,6 +445,8 @@ _composite(
         ("cdc_apply", "events_cdc_apply",
          {"s1": "last_type", "i1": "CAST(key AS INT)", "n": "n_ops",
           "d1": "last_value"}),
+        ("session_paths", "events_session_paths",
+         {"s1": "path", "n": "n_sessions"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),
@@ -522,6 +527,8 @@ _composite(
          {"k1": "doc_id", "s1": "qid", "n1": "rnk", "d1": "score"}),
         ("vocab", "text_vocab_coverage",
          {"s1": "term", "n1": "rnk", "n2": "n", "d1": "coverage"}),
+        ("feature_hash", "text_feature_hashing",
+         {"k1": "doc_id", "n1": "dim", "n2": "weight"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
           "redaction", "search", "composite"),
@@ -633,6 +640,9 @@ _composite(
         ("arrow_batches", "udf_arrow_batches",
          {"k1": "l_orderkey", "k2": "n_rows",
           "d1": "CAST(price_cents AS DOUBLE)"}),
+        ("ml_inference", "ml_score_logistic",
+         {"s1": "o_orderpriority || '|' || CAST(predicted AS STRING)",
+          "k1": "n", "d1": "avg_p"}),
     ],
     tags=("udf", "scalar", "pandas", "grouped-map", "udtf", "composite"),
 )

@@ -569,3 +569,75 @@ def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ops").cast("bigint").alias("n_ops"),
         )
     )
+
+
+@register(
+    "events_session_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM seq
+),
+paths AS (
+  SELECT user_id, sess_id,
+         array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 10
+""",
+    tags=("events", "sessionize", "paths"),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session paths: sessionize (30-minute inactivity gap, the
+    same lag->flag->cumsum shape as events_sessionize), concatenate
+    each session's ordered event types into a path string, and count
+    the most common journeys — clickstream path analysis (the fleet
+    dual: which command sequences recur within a beacon session).
+
+    Shape: ONE shuffle on user_id serves both windows; paths collapse
+    per (user, session) via a sorted struct collect (deterministic
+    order by (ts, event_id)); the path histogram is a tiny second agg
+    finished by a bounded top-k."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    seq = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = seq.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = sess.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )

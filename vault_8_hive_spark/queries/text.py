@@ -920,3 +920,58 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("train_doc").alias("n_train_docs"),
         F.min("train_doc").cast("bigint").alias("first_train_doc"),
     )
+
+
+_FH_DIMS = 16
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents WHERE doc_id < 50
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS UBIGINT) % {_FH_DIMS} AS dim,
+         CASE WHEN CAST(('0x' || substr(md5(term), 9, 1)) AS UBIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+)
+SELECT doc_id, CAST(dim AS INT) AS dim, CAST(SUM(sgn) AS BIGINT) AS weight
+FROM hashed
+GROUP BY doc_id, dim
+HAVING SUM(sgn) <> 0
+""",
+    tags=("text", "vectorize", "feature-hashing"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): vocabulary-free
+    vectorization of documents into a fixed 16-dim signed term-count
+    space — dim = md5(term) mod D, sign from a second hash bit so
+    collisions cancel in expectation (Weinberger et al.'s signed
+    variant). Output is the sparse long form (doc, dim, weight).
+
+    Why it matters at 100 TB: no vocabulary build pass, no broadcast
+    dictionary, no OOV — every worker maps tokens to dimensions
+    row-locally, so vectorization is a single stateless projection +
+    one (doc, dim) aggregation. Deterministic md5 keeps both engines
+    hash-exact (the same property the CMS sketch exploits)."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    term = F.explode(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    ).alias("term")
+    toks = docs.select("doc_id", term)
+    h = F.md5("term")
+    dim = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _FH_DIMS).cast("int")
+    sgn = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("weight"))
+        .where(F.col("weight") != 0)
+    )

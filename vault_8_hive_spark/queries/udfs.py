@@ -208,3 +208,78 @@ def udf_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").alias("price_cents"),
     )
+
+
+_LR_B0, _LR_B1, _LR_B2, _LR_B3 = -2.0, 0.000012, 0.35, 1.1
+
+
+@register(
+    "ml_score_logistic",
+    oracle=f"""
+WITH feats AS (
+  SELECT o_orderkey, o_orderpriority,
+         o_totalprice,
+         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+  FROM orders
+),
+scored AS (
+  SELECT o_orderpriority,
+         ROUND(1.0 / (1.0 + exp(-({_LR_B0} + {_LR_B1} * o_totalprice
+                                  + {_LR_B2} * n_lines + {_LR_B3} * is_urgent))), 6) AS p
+  FROM feats
+)
+SELECT o_orderpriority,
+       p >= 0.5 AS predicted,
+       COUNT(*) AS n,
+       ROUND(AVG(p), 6) AS avg_p
+FROM scored
+GROUP BY o_orderpriority, predicted
+""",
+    tags=("ml", "inference", "scoring"),
+)
+def ml_score_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference: a fixed-coefficient logistic model scored
+    over engineered features (price, line count, urgency flag) entirely
+    in whole-stage codegen — the deploy-a-trained-model-as-SQL pattern
+    (coefficients are artifacts; inference is a projection, no ML
+    runtime needed). Output: per (priority, predicted) calibration
+    counts and mean score.
+
+    Scale: scoring is stateless row-local arithmetic — it fuses into
+    whatever scan feeds it and never shuffles; the only exchange here
+    builds the per-order line-count feature (in a real feature store
+    that column is precomputed). The same shape serves any GLM or small
+    MLP inlined as nested expressions; heavier models step up to a
+    Pandas-UDF batch scorer (udf_pandas entry) only when the math
+    outgrows SQL expressions."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    nl = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    feats = orders.join(nl, "o_orderkey", "left").select(
+        "o_orderpriority",
+        F.col("o_totalprice"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "is_urgent"
+        ),
+    )
+    z = (
+        F.lit(_LR_B0)
+        + _LR_B1 * F.col("o_totalprice")
+        + _LR_B2 * F.col("n_lines")
+        + _LR_B3 * F.col("is_urgent")
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (
+        feats.select("o_orderpriority", p.alias("p"))
+        .groupBy("o_orderpriority", (F.col("p") >= 0.5).alias("predicted"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("avg_p"),
+        )
+    )
