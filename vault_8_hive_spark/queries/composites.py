@@ -377,9 +377,14 @@ _composite(
         ("dpp", "join_dynamic_partition_pruning",
          {"k1": "CAST(order_year AS STRING)", "k2": "o_orderstatus",
           "n": "n_orders", "d1": "total"}),
+        ("schema_evolution", "io_schema_evolution",
+         {"k1": "priority", "n": "n_orders", "d1": "total"}),
+        ("observed_metrics", "io_observed_metrics",
+         {"k1": "metric", "d1": "value"}),
     ],
     tags=("scan", "sink", "csv", "json", "orc", "partition-pruning",
-          "python-datasource", "composite"),
+          "python-datasource", "schema-evolution", "observability",
+          "composite"),
 )
 
 # --- tpch single-row / small metrics ---------------------------------------

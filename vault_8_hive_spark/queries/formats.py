@@ -222,3 +222,149 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("total"),
         )
     )
+
+
+@register(
+    "io_schema_evolution",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+),
+unioned AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM v1
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM v2
+)
+SELECT COALESCE(o_orderpriority, '(pre-evolution)') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS total
+FROM unioned
+GROUP BY priority
+""",
+    tags=("scan", "schema-evolution", "mergeSchema"),
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations of the same
+    table — an old layout without o_orderpriority and a new layout with
+    it — read as ONE DataFrame via mergeSchema, with the missing column
+    null-filled for old files. This is the append-only table lifecycle
+    every long-lived 100 TB dataset goes through (columns arrive;
+    history is never rewritten), and the query charges the pre-evolution
+    rows to an explicit bucket.
+
+    Footer-merge cost note: mergeSchema reads every file's footer at
+    planning time — on a million-file table the production posture is a
+    catalog-declared schema (the DDL-attach path bucketed_table uses)
+    with parquet's per-file missing-column null-fill doing the same
+    work; mergeSchema is the discovery-time tool."""
+    import os
+
+    from ..catalog import WORK_DIR, _src_fingerprint
+
+    prep(spark)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(WORK_DIR, sf_tag, "evolve", "orders")
+    orders = table(spark, sf_dir, "orders")
+    # Fingerprint-guard the derived generations: a regenerated landing
+    # file must rebuild them (same contract as catalog compaction).
+    fp = _src_fingerprint(sf_dir, "orders")
+    tag = os.path.join(base, "_SRC_FINGERPRINT")
+    current = False
+    try:
+        with open(tag, encoding="utf-8") as fh:
+            current = fh.read() == fp
+    except OSError:
+        current = False
+    if not current:
+        (
+            orders.where(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "gen1"))
+        )
+        (
+            orders.where(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "gen2"))
+        )
+        os.makedirs(base, exist_ok=True)
+        with open(tag, "w", encoding="utf-8") as fh:
+            fh.write(fp)
+    evolved = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen1"), os.path.join(base, "gen2")
+    )
+    return (
+        evolved.groupBy(
+            F.coalesce("o_orderpriority", F.lit("(pre-evolution)")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
+    "io_observed_metrics",
+    oracle="""
+SELECT 'n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+FROM lineitem WHERE l_quantity >= 10
+UNION ALL
+SELECT 'sum_qty', CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,4))), 4) AS DOUBLE)
+FROM lineitem WHERE l_quantity >= 10
+UNION ALL
+SELECT 'null_comments', CAST(COUNT(*) FILTER (WHERE l_returnflag IS NULL) AS DOUBLE)
+FROM lineitem WHERE l_quantity >= 10
+UNION ALL
+SELECT 'max_price', CAST(ROUND(MAX(l_extendedprice), 2) AS DOUBLE)
+FROM lineitem WHERE l_quantity >= 10
+""",
+    tags=("scan", "observability", "metrics"),
+)
+def io_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query observability via df.observe(): data-quality metrics (row
+    count, quantity total, null count, distinct flags) piggybacked on a
+    pass the pipeline was making ANYWAY — the audit pattern that at
+    100 TB replaces a second full scan per quality check with free
+    accumulator-style aggregates collected during the main action.
+
+    The observed pass here is the filtered scan itself; after the
+    action, Observation.get hands the driver the metric row, which this
+    entry surfaces as a (metric, value) DataFrame so the oracle can
+    recompute each metric relationally. Only the metric VALUES cross
+    the driver — the observed query's own result stays distributed."""
+    from pyspark.sql import Observation
+
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 10)
+    obs = Observation("ingest_audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(28,4)")), 4)
+        .cast("double")
+        .alias("sum_qty"),
+        F.count_if(F.col("l_returnflag").isNull()).alias("null_comments"),
+        # DISTINCT aggregates are rejected inside observed metrics
+        # (single-pass accumulator contract) — sketch metrics
+        # (approx_count_distinct) are the supported cardinality probe.
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+    # The pipeline's own action (here a count; in production the write).
+    observed.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            ("n_rows", float(m["n_rows"])),
+            ("sum_qty", float(m["sum_qty"])),
+            ("null_comments", float(m["null_comments"])),
+            ("max_price", float(m["max_price"])),
+        ],
+        "metric string, value double",
+    )
