@@ -161,3 +161,52 @@ def test_asof_forward_no_following_match(spark):
         value_cols=["v"], direction="forward",
     ).collect()
     assert out[0].v is None
+
+
+def test_asof_forward_randomized_vs_duckdb(spark):
+    """Cross-engine fuzz for the FORWARD direction: asof_join must equal
+    DuckDB's native ASOF JOIN with the inequality reversed, strict and
+    non-strict, NULL payloads included."""
+    import random
+
+    import duckdb
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 1, 1)
+        lrows = [
+            (k, base + dt.timedelta(seconds=rng.randint(0, 50_000)), f"L{k}-{i}")
+            for i, k in enumerate(rng.choices(range(6), k=60))
+        ]
+        rrows = []
+        for k in range(6):
+            times = rng.sample(range(0, 50_000), 25)
+            rrows += [
+                (
+                    k,
+                    base + dt.timedelta(seconds=s),
+                    None if rng.random() < 0.2 else round(rng.uniform(0, 100), 3),
+                )
+                for s in times
+            ]
+        left = spark.createDataFrame(lrows, "k int, t timestamp, lbl string")
+        right = spark.createDataFrame(rrows, "k int, rt timestamp, v double")
+        conn = duckdb.connect()
+        conn.register("l", left.toPandas())
+        conn.register("r", right.toPandas())
+        for strict, cmp in ((False, "<="), (True, "<")):
+            got = {
+                (row["k"], row["lbl"]): row["v"]
+                for row in asof_join(
+                    left, right, ["k"], "t", "rt", ["v"],
+                    strict=strict, direction="forward",
+                ).collect()
+            }
+            exp = {
+                (row[0], row[1]): row[2]
+                for row in conn.execute(
+                    f"SELECT l.k, l.lbl, r.v FROM l ASOF LEFT JOIN r"
+                    f" ON l.k = r.k AND l.t {cmp} r.rt"
+                ).fetchall()
+            }
+            assert got == exp, (seed, strict)

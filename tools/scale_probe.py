@@ -42,6 +42,14 @@ COMPARABLE = (
     "vec_cosine_topk",
     "win_topk_per_group",
 )
+# Override the measured set (comma-separated query names). Note: the
+# replica word-tagging (below) prefixes every document token, so queries
+# with fixed literal search terms (text_bm25_search) are NOT comparable
+# on replicated text — token-structure queries (vocab, decontaminate,
+# minhash) and non-text queries are.
+_env_set = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+if _env_set:
+    COMPARABLE = tuple(n.strip() for n in _env_set.split(",") if n.strip())
 
 # key column -> offset stride per replica (large enough to never collide)
 _KEY_OFFSETS = {
