@@ -648,6 +648,10 @@ _composite(
         ("ml_inference", "ml_score_logistic",
          {"s1": "o_orderpriority || '|' || CAST(predicted AS STRING)",
           "k1": "n", "d1": "avg_p"}),
+        ("sql_functions", "sql_udf_functions",
+         {"k1": "qtr", "k2": "n_orders", "s1": "tier", "d1": "total"}),
+        ("sql_scripting", "sql_scripting_block",
+         {"s1": "bucket", "k1": "n", "d1": "total"}),
     ],
     tags=("udf", "scalar", "pandas", "grouped-map", "udtf", "composite"),
 )

@@ -283,3 +283,90 @@ def ml_score_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("p"), 6).alias("avg_p"),
         )
     )
+
+
+@register(
+    "sql_udf_functions",
+    oracle="""
+WITH q(qtr) AS (VALUES (1), (2), (3), (4))
+SELECT q.qtr,
+       CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'small' END AS tier,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS total
+FROM orders JOIN q ON CAST(quarter(o_orderdate) AS INT) = q.qtr
+GROUP BY q.qtr, tier
+""",
+    tags=("udf", "sql-function", "tvf"),
+)
+def sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4.1): a scalar SQL UDF
+    (CREATE FUNCTION ... RETURNS STRING RETURN CASE ...) and a SQL
+    table-valued function (RETURNS TABLE ... RETURN SELECT) used in one
+    query — per-quarter order tiers where the tier label comes from the
+    scalar function and the quarter dimension from the TVF.
+
+    Why this matters vs Python UDFs: SQL functions are INLINED by the
+    analyzer into the calling plan — the tier CASE lands inside
+    whole-stage codegen with zero serialization boundary, so shared
+    business logic gets UDF ergonomics at built-in speed (the oracle is
+    literally the inlined spelling). TVFs give parameterized derived
+    tables the same way."""
+    from ..catalog import register_views
+
+    prep(spark)
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_tier(x DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN x > 300000 THEN 'big' ELSE 'small' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION quarters() "
+        "RETURNS TABLE(qtr INT) RETURN SELECT explode(sequence(1, 4))"
+    )
+    return spark.sql("""
+SELECT q.qtr, order_tier(o_totalprice) AS tier,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS total
+FROM orders JOIN quarters() q ON CAST(quarter(o_orderdate) AS INT) = q.qtr
+GROUP BY q.qtr, tier
+""")
+
+
+@register(
+    "sql_scripting_block",
+    oracle="""
+SELECT 'above_mean' AS bucket, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+""",
+    tags=("sql", "scripting"),
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN...END compound statements): a
+    procedural block DECLAREs a variable, SETs it from a query, and the
+    final SELECT uses it — the migration surface for warehouse stored
+    procedures, executed natively by the engine (no driver-side string
+    splicing; the variable is a session-scoped typed value).
+
+    The oracle is the equivalent declarative spelling (scalar subquery
+    inlined), which is also the honest scale note: scripting sequences
+    whole queries — each statement is its own distributed job — so
+    procedural style costs nothing extra per-row, only per-statement
+    scheduling."""
+    from ..catalog import register_views
+
+    prep(spark)
+    register_views(spark, sf_dir)
+    if spark.conf.get("spark.sql.scripting.enabled", "false") != "true":
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql("""
+BEGIN
+  DECLARE mean_price DOUBLE DEFAULT 0;
+  SET mean_price = (SELECT AVG(o_totalprice) FROM orders);
+  SELECT 'above_mean' AS bucket, COUNT(*) AS n,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS total
+  FROM orders
+  WHERE o_totalprice > mean_price;
+END
+""")
