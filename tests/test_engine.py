@@ -43,3 +43,37 @@ def test_exact_aggregates_invariant_under_replan(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_bucketed_table_rebuilds_on_source_regeneration(spark, tmp_path):
+    """The driver regenerates testdata every round: a derived bucketed
+    layout must detect the new source fingerprint and rebuild, never
+    serve stale rows (the same contract catalog compaction honors)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vault_8_hive_spark.catalog import bucketed_table
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    spark.range(0, 100).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 7).alias("o_custkey"),
+        F.lit(1.0).alias("o_totalprice"),
+    ).coalesce(1).write.parquet(str(src / "orders.parquet"))
+    # bucketed_table loads through catalog.table, which requires a known
+    # name — orders is one.
+    t1 = bucketed_table(spark, str(src), "orders", "o_custkey", buckets=2)
+    assert t1.count() == 100
+
+    # "regenerate" the landing file with different contents
+    shutil.rmtree(src / "orders.parquet")
+    spark.range(0, 37).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 7).alias("o_custkey"),
+        F.lit(2.0).alias("o_totalprice"),
+    ).coalesce(1).write.parquet(str(src / "orders.parquet"))
+
+    t2 = bucketed_table(spark, str(src), "orders", "o_custkey", buckets=2)
+    assert t2.count() == 37, "stale bucketed layout served after regeneration"
