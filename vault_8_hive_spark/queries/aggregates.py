@@ -1026,3 +1026,59 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
     )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+WITH exact AS (
+  SELECT l_suppkey AS item, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_suppkey) AS rnk
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(rnk AS INT) AS rnk, item, n AS verified_n
+FROM exact WHERE rnk <= 5
+""",
+    tags=("agg", "approx", "sketch", "topk"),
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's approx_top_k sketch under the module's self-verifying
+    clamp: the sketch's top-5 suppliers are re-ranked deterministically
+    (count desc, item) and each count collapses to the exact value only
+    when the sketch got it right — a wrong estimate surfaces as -1 and
+    breaks the driver hash loudly (the agg_sketch_hll contract).
+
+    Sized honestly: maxItemsTracked=10000 >= the supplier NDV, so the
+    sketch runs in its exact regime here; at 100 TB the same call with
+    NDV above the budget degrades to Misra-Gries-style approximation,
+    and the clamp is what notices. The sketch buffer is mergeable
+    (fixed-size per partition), the reason it exists instead of a full
+    groupBy at unbounded cardinality."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    approx = (
+        li.agg(F.expr("approx_top_k(l_suppkey, 5, 10000)").alias("t"))
+        .select(F.explode("t").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("approx_n"))
+    )
+    w = Window.partitionBy(F.col("approx_n") * 0).orderBy(
+        F.col("approx_n").desc(), "item"
+    )
+    approx = approx.withColumn("rnk", F.row_number().over(w))
+    exact = (
+        li.groupBy(F.col("l_suppkey").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return (
+        approx.join(F.broadcast(exact), "item")
+        .select(
+            "rnk",
+            "item",
+            F.when(F.col("approx_n") == F.col("exact_n"), F.col("exact_n"))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("verified_n"),
+        )
+    )

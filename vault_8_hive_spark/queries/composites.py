@@ -152,6 +152,9 @@ _composite(
           "exact_v2": "exact_p95", "verified_v2": "verified_p95"}),
         ("cms_heavy_hitters", "agg_cms_heavy_hitters",
          {"grp": "suppkey", "exact_n": "exact_n", "verified_n": "cms_est"}),
+        ("approx_topk", "agg_approx_topk",
+         {"grp": "CAST(rnk AS STRING) || ':' || CAST(item AS STRING)",
+          "verified_n": "verified_n"}),
     ],
     tags=("agg", "approx", "sketch", "set-algebra", "percentile",
           "heavy-hitters", "composite"),
