@@ -355,6 +355,8 @@ _composite(
           "d1": "running_total", "d2": "moving3_total", "d3": "trailing_90d_total"}),
         ("rolling_distinct", "win_rolling_distinct",
          {"ts1": "d", "k1": "dau7", "k2": "user_days7"}),
+        ("rolling_distinct_hll", "win_rolling_distinct_hll",
+         {"ts1": "d", "k1": "dau7", "k2": "verified_hll7"}),
     ],
     tags=("window", "ranking", "analytic", "frames", "distinct", "composite"),
 )

@@ -262,3 +262,64 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dau7"),
         F.sum("n_users").over(w).alias("user_days7"),
     )
+
+
+@register(
+    "win_rolling_distinct_hll",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du)
+SELECT CAST(days.d AS TIMESTAMP) AS d,
+       COUNT(DISTINCT du.user_id) AS dau7,
+       COUNT(DISTINCT du.user_id) AS verified_hll7
+FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d
+""",
+    tags=("window", "distinct", "rolling", "sketch"),
+)
+def win_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB spelling of win_rolling_distinct: per-day HLL sketch
+    PARTIALS merged across the 7-day RANGE frame (hll_union_agg as a
+    window function) instead of exact user sets — frame state becomes a
+    few KB per day regardless of user cardinality. Both spellings run
+    in this one plan; the sketch estimate collapses to the exact count
+    when within the sketch's accuracy envelope (lgK=14, rsd ~0.8%) and
+    surfaces -1 otherwise, so the driver hash stays stable AND an
+    out-of-contract sketch fails loudly (the module-standard clamp).
+
+    This is the store-partials pattern crossed with window frames: the
+    same per-day sketch table that serves daily rollups serves ANY
+    trailing window by frame-union, no raw re-scan."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    day = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.collect_set("user_id").alias("users"),
+    )
+    daynum = F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+    w = (
+        Window.partitionBy(F.length(F.col("d").cast("string")) * 0)
+        .orderBy(daynum)
+        .rangeBetween(-6, 0)
+    )
+    merged = day.select(
+        "d",
+        F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
+        .cast("bigint")
+        .alias("dau7"),
+        F.expr("hll_union_agg(sk, true)").over(w).alias("m7"),
+    )
+    est = F.expr("hll_sketch_estimate(m7)")
+    margin = F.greatest(F.lit(3.0), F.col("dau7") * 0.02)
+    return merged.select(
+        F.col("d").cast("timestamp").alias("d"),
+        "dau7",
+        F.when(F.abs(est - F.col("dau7")) <= margin, F.col("dau7"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("verified_hll7"),
+    )
