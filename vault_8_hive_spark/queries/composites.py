@@ -457,6 +457,10 @@ _composite(
           "d1": "last_value"}),
         ("session_paths", "events_session_paths",
          {"s1": "path", "n": "n_sessions"}),
+        ("ohlc", "events_ohlc",
+         {"ts1": "day", "n": "n", "d1": "close"}),
+        ("twap", "events_twap",
+         {"s1": "event_type", "n": "n_intervals", "d1": "twap"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),

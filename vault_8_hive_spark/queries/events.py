@@ -641,3 +641,99 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n,
+       ROUND(first(value ORDER BY ts, event_id), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(last(value ORDER BY ts, event_id), 6) AS close
+FROM events WHERE event_type = 'purchase'
+GROUP BY day
+""",
+    tags=("events", "timeseries", "ohlc"),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (candlesticks): per-day open/high/low/close of
+    the purchase value stream via min_by/max_by over a total event
+    order — the canonical time-series bar aggregation, as ONE hash
+    aggregate (no window, no sort of the raw stream).
+
+    The open/close ride min_by/max_by on a collision-free composite
+    order key (epoch-micros * 2^20 + event_id, exact in int64), so
+    'first by time' is deterministic even for same-microsecond events —
+    the same total-order discipline every LIMIT in this repo carries.
+    Scale: partial min/max/min_by/max_by merge associatively; one
+    shuffle on the day bucket."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    # exact int64 composite order key: (micros since 2020) * 2^14 +
+    # event_id mod 2^14 — fits int64 for ~17 millennia of micros while
+    # still breaking same-microsecond ties deterministically.
+    rel = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lit("2020-01-01 00:00:00").cast("timestamp")
+    )
+    okey = rel * F.lit(16384) + F.col("event_id") % F.lit(16384)
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min_by("value", okey), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", okey), 6).alias("close"),
+        )
+    )
+
+
+@register(
+    "events_twap",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, value,
+         epoch(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+           - epoch(ts) AS held_s
+  FROM events
+)
+SELECT event_type,
+       COUNT(held_s) AS n_intervals,
+       ROUND(SUM(value * held_s) / SUM(held_s), 6) AS twap,
+       ROUND(AVG(value), 6) AS naive_avg
+FROM seq WHERE held_s IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("events", "timeseries", "twap"),
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) over irregular samples: each value
+    holds until the next sample (LOCF weighting via lead), so sparse
+    periods don't get diluted by dense ones — shown against the naive
+    row-average it corrects. The irregular-time-series dual of the
+    gap-fill entry.
+
+    Shape: one shuffle on the series key for the lead window, then a
+    plain weighted-sum aggregate; weights are microsecond-exact
+    fractional seconds computed identically by both engines, and the
+    1e-6 rounding on the final ratio absorbs summation-order drift."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    held = (
+        F.lead(F.col("ts").cast("double")).over(w) - F.col("ts").cast("double")
+    )
+    seq = ev.select("event_type", "value", held.alias("held_s")).where(
+        F.col("held_s").isNotNull()
+    )
+    return seq.groupBy("event_type").agg(
+        F.count("held_s").alias("n_intervals"),
+        F.round(
+            F.sum(F.col("value") * F.col("held_s")) / F.sum("held_s"), 6
+        ).alias("twap"),
+        F.round(F.avg("value"), 6).alias("naive_avg"),
+    )
