@@ -561,8 +561,12 @@ _composite(
          {"a": "doc_a", "b": "doc_b", "i1": "hamming"}),
         ("clusters", "text_dedup_clusters",
          {"a": "doc_id", "b": "cluster_id", "i1": "cluster_size"}),
+        ("containment", "text_containment",
+         {"a": "doc_a", "b": "doc_b", "i1": "CAST(n_shared AS INT)",
+          "d1": "contain_a_in_b"}),
     ],
-    tags=("text", "dedup", "ngram", "simhash", "iterative", "composite"),
+    tags=("text", "dedup", "ngram", "simhash", "containment", "iterative",
+          "composite"),
 )
 
 _composite(

@@ -975,3 +975,54 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").alias("weight"))
         .where(F.col("weight") != 0)
     )
+
+
+@register(
+    "text_containment",
+    oracle=f"""
+WITH {_O_SHINGLES}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_shared,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             len(a.shingles), 9) AS contain_a_in_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+             len(b.shingles), 9) AS contain_b_in_a
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE a.doc_id < 60 AND b.doc_id < 60
+  AND len(list_intersect(a.shingles, b.shingles)) > 0
+  AND len(a.shingles) > 0 AND len(b.shingles) > 0
+""",
+    tags=("text", "dedup", "containment"),
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| (and the reverse) — the
+    metric that catches SUBSET duplication Jaccard misses: a short
+    document quoted inside a long one scores near-zero Jaccard but
+    containment ~1, which is why decontamination standards
+    (benchmark-in-training detection) key on containment, not symmetric
+    similarity.
+
+    Same bounded ground-truth shape as text_ngram_jaccard (the O(n^2)
+    pairs the banded LSH path exists to avoid); at corpus scale the
+    candidate pairs come from text_decontaminate's shingle equi-join
+    and containment is computed on candidates only."""
+    prep(spark)
+    sh = _shingled(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    ).where(F.size("shingles") > 0)
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    pairs = sh.crossJoin(b).where(F.col("doc_id") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("shingles", "sh_b"))
+    return pairs.where(inter > 0).select(
+        F.col("doc_id").alias("doc_a"),
+        "doc_b",
+        inter.cast("bigint").alias("n_shared"),
+        F.round(inter.cast("double") / F.size("shingles"), 9).alias(
+            "contain_a_in_b"
+        ),
+        F.round(inter.cast("double") / F.size("sh_b"), 9).alias(
+            "contain_b_in_a"
+        ),
+    )
