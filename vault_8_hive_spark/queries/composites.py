@@ -461,6 +461,8 @@ _composite(
          {"ts1": "day", "n": "n", "d1": "close"}),
         ("twap", "events_twap",
          {"s1": "event_type", "n": "n_intervals", "d1": "twap"}),
+        ("ewma", "events_ewma",
+         {"ts1": "day", "d1": "ewma"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),

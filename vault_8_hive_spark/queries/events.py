@@ -737,3 +737,60 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         F.round(F.avg("value"), 6).alias("naive_avg"),
     )
+
+
+@register(
+    "events_ewma",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn,
+         ROUND(SUM(value), 6) AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY day, dn
+)
+SELECT day, revenue,
+       ROUND(
+         SUM(revenue * POWER(0.8, -dn)) OVER (ORDER BY dn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / SUM(POWER(0.8, -dn)) OVER (ORDER BY dn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ewma
+FROM daily
+""",
+    tags=("events", "timeseries", "ewma"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha decay 0.8/day) of
+    daily purchase revenue — the trend-smoothing primitive — computed
+    WITHOUT recursion: ewma_d = sum(v_i * a^(d-i)) / sum(a^(d-i))
+    factorizes into two running sums of v_i * a^(-i) and a^(-i), so a
+    sequential-looking statistic becomes two ordinary window frames.
+
+    Numeric honesty: a^(-i) grows with series length (0.8^-31 ~ 1000 at
+    a month — fine; ~1e10 at 100 days), so the production form resets
+    the factorization per bounded epoch (or carries log-domain sums);
+    both engines compute the identical expression here and the 1e-6
+    rounding absorbs pow's last-ulp variance."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "dn"
+        ),
+    ).agg(F.round(F.sum("value"), 6).alias("revenue"))
+    w = (
+        Window.partitionBy(F.col("dn") * 0)
+        .orderBy("dn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inv = F.pow(F.lit(0.8), -F.col("dn"))
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(
+            F.sum(F.col("revenue") * inv).over(w) / F.sum(inv).over(w), 6
+        ).alias("ewma"),
+    )
