@@ -305,6 +305,9 @@ _composite(
          {"id1": "n_rows", "id2": "n_distinct",
           "txt": _cat("column_name", "min_value", "max_value"),
           "d1": "CAST(n_nulls AS DOUBLE)"}),
+        ("benford", "scalar_benford_digits",
+         {"id1": "d", "id2": "n", "d1": "observed_p", "d2": "benford_p",
+          "d3": "deviation"}),
     ],
     tags=("scalar", "string", "date", "math", "conditional", "profiling",
           "composite"),

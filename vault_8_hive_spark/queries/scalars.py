@@ -447,3 +447,57 @@ def scalar_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+@register(
+    "scalar_benford_digits",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT SUM(n) AS total FROM obs)
+SELECT obs.d,
+       obs.n,
+       ROUND(CAST(obs.n AS DOUBLE) / tot.total, 6) AS observed_p,
+       ROUND(log10(1.0 + 1.0 / obs.d), 6) AS benford_p,
+       ROUND(CAST(obs.n AS DOUBLE) / tot.total - log10(1.0 + 1.0 / obs.d), 6)
+         AS deviation
+FROM obs CROSS JOIN tot
+""",
+    tags=("scalar", "quality", "benford"),
+)
+def scalar_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screening of order totals: observed
+    leading-digit frequencies against the log10(1 + 1/d) expectation —
+    the classic forensic data-quality test for fabricated or truncated
+    numeric columns (a synthetic-uniform column like this one deviates
+    loudly, which is exactly the point of running the screen).
+
+    Shape: leading digit is a pure projection (int truncation +
+    substring — no float formatting ambiguity), the distribution is a
+    9-row aggregate, and the expectation is computed, not stored. At
+    100 TB this is a free column-profiler add-on (one scan, mergeable
+    counts)."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    # explicit floor: DuckDB's double->bigint cast ROUNDS while Spark's
+    # truncates — the same boundary trap events_chi_square documents.
+    d = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(p, 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(p - benford, 6).alias("deviation"),
+        )
+    )
