@@ -1082,3 +1082,140 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verified_n"),
         )
     )
+
+
+@register(
+    "agg_entropy_mi",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS x, date_part('hour', ts) AS y, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+n AS (SELECT SUM(c) AS n FROM cells),
+px AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+py AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+hx AS (SELECT -SUM((cx / n.n) * log2(cx / n.n)) AS h FROM px, n),
+hy AS (SELECT -SUM((cy / n.n) * log2(cy / n.n)) AS h FROM py, n),
+hxy AS (SELECT -SUM((c / n.n) * log2(c / n.n)) AS h FROM cells, n)
+SELECT ROUND(hx.h, 6) AS entropy_type,
+       ROUND(hy.h, 6) AS entropy_hour,
+       ROUND(hxy.h, 6) AS entropy_joint,
+       ROUND(hx.h + hy.h - hxy.h, 6) AS mutual_info,
+       ROUND((hx.h + hy.h - hxy.h) / LEAST(hx.h, hy.h), 6) AS norm_mi
+FROM hx, hy, hxy
+""",
+    tags=("aggregate", "entropy", "information"),
+)
+def agg_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy and mutual information between two categorical
+    columns (event type x hour-of-day) — the information-theoretic
+    dependence screen a feature-selection / data-audit pass runs over a
+    training corpus: MI ~ 0 says the columns are independent, normalized
+    MI near 1 flags a leaked/derived column that should be dropped.
+
+    Plan shape: ONE groupBy over the (x, y) cell grid — everything else
+    (marginals, three entropies, MI) is computed from that tiny cell
+    table with broadcast scalar aggregates, so the data is scanned and
+    shuffled exactly once however large the fact table. Terms are summed
+    over <=200 cells and rounded to 1e-6, absorbing cross-engine
+    float-order drift."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"), F.hour("ts").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # Total count rides as a broadcast 1-row cross, not a global window:
+    # the cell grid is tiny but the shape stays shuffle-free at any size.
+    cells = cells.crossJoin(F.broadcast(cells.agg(F.sum("c").alias("n"))))
+    p = F.col("c") / F.col("n")
+    hxy = cells.agg((-F.sum(p * F.log2(p))).alias("h"))
+    px = cells.groupBy("x", "n").agg(F.sum("c").alias("cx"))
+    hx = px.agg(
+        (-F.sum((F.col("cx") / F.col("n")) * F.log2(F.col("cx") / F.col("n")))).alias("h")
+    )
+    py = cells.groupBy("y", "n").agg(F.sum("c").alias("cy"))
+    hy = py.agg(
+        (-F.sum((F.col("cy") / F.col("n")) * F.log2(F.col("cy") / F.col("n")))).alias("h")
+    )
+    return (
+        hx.alias("hx")
+        .crossJoin(hy.alias("hy"))
+        .crossJoin(hxy.alias("hxy"))
+        .select(
+            F.round(F.col("hx.h"), 6).alias("entropy_type"),
+            F.round(F.col("hy.h"), 6).alias("entropy_hour"),
+            F.round(F.col("hxy.h"), 6).alias("entropy_joint"),
+            F.round(F.col("hx.h") + F.col("hy.h") - F.col("hxy.h"), 6).alias(
+                "mutual_info"
+            ),
+            F.round(
+                (F.col("hx.h") + F.col("hy.h") - F.col("hxy.h"))
+                / F.least(F.col("hx.h"), F.col("hy.h")),
+                6,
+            ).alias("norm_mi"),
+        )
+    )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY event_type
+),
+a AS (SELECT * FROM g WHERE event_type = 'view'),
+b AS (SELECT * FROM g WHERE event_type = 'purchase')
+SELECT CAST(a.n AS BIGINT) AS n_view,
+       CAST(b.n AS BIGINT) AS n_purchase,
+       ROUND(a.m - b.m, 6) AS mean_diff,
+       ROUND((a.m - b.m) / SQRT(a.v / a.n + b.v / b.n), 6) AS t_stat,
+       ROUND(POWER(a.v / a.n + b.v / b.n, 2)
+             / (POWER(a.v / a.n, 2) / (a.n - 1) + POWER(b.v / b.n, 2) / (b.n - 1)),
+             6) AS welch_dof
+FROM a, b
+""",
+    tags=("aggregate", "statistics", "hypothesis-test"),
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (view vs purchase
+    event values): the A/B-comparison statistic an experimentation or
+    data-drift monitor computes per metric. Reports the t statistic and
+    the Welch-Satterthwaite degrees of freedom; significance lookup is a
+    driver-side constant-time step (the distributed work is the moment
+    aggregation, which is what this query exercises).
+
+    Plan shape: one filtered scan -> one 2-group aggregate (count, mean,
+    sample variance, all map-side partial) -> a scalar cross of the two
+    single-row groups. Rounded to 1e-6: the group sizes are ~1k at
+    sf0.01 and the statistic is O(1) arithmetic on six aggregates, well
+    inside the rounding tolerance on both engines."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.where(F.col("event_type") == "view").alias("a")
+    b = g.where(F.col("event_type") == "purchase").alias("b")
+    se2 = F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+    return a.crossJoin(b).select(
+        F.col("a.n").cast("bigint").alias("n_view"),
+        F.col("b.n").cast("bigint").alias("n_purchase"),
+        F.round(F.col("a.m") - F.col("b.m"), 6).alias("mean_diff"),
+        F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("a.v") / F.col("a.n"), 2) / (F.col("a.n") - 1)
+                + F.pow(F.col("b.v") / F.col("b.n"), 2) / (F.col("b.n") - 1)
+            ),
+            6,
+        ).alias("welch_dof"),
+    )

@@ -794,3 +794,60 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("revenue") * inv).over(w) / F.sum(inv).over(w), 6
         ).alias("ewma"),
     )
+
+
+@register(
+    "events_autocorr",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT k.k AS lag_days, d.total,
+         lag(d.total, k.k) OVER (PARTITION BY k.k ORDER BY d.d) AS prev
+  FROM daily d CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) k
+)
+SELECT CAST(lag_days AS INT) AS lag_days,
+       CAST(COUNT(prev) AS BIGINT) AS n_pairs,
+       ROUND(corr(total, prev), 6) AS autocorr
+FROM lagged
+GROUP BY lag_days
+""",
+    tags=("events", "time-series", "autocorrelation"),
+)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1..7) of the daily event-value series:
+    the seasonality screen a time-series audit runs before choosing a
+    forecast window — a spike at lag 7 says weekly cycle, slow decay
+    says trend. Daily totals ride the exact decimal sum so the series
+    itself is bit-identical across engines; the Pearson correlation over
+    <=30 points is then rounded to 1e-6.
+
+    Plan shape: the fact scan reduces to one row per day (map-side
+    partial, one shuffle); the 7-lag fan-out and correlation run on that
+    tiny series — at 100 TB the expensive part stays the single daily
+    rollup, and the per-lag windows partition on lag_days so the series
+    is never processed on one task per lag sequentially."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        long_sum(F.sum(scaled_long("value")), 2).alias("total")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_days"))
+    # lag(total, k) needs a literal offset per k in Spark, so the k-step
+    # lag is a date self-join instead (d - lag_days = d_prev), which also
+    # keeps all 7 lags in one shuffle-free pass over the tiny series.
+    lagged = daily.crossJoin(F.broadcast(lags)).join(
+        daily.select(F.col("d").alias("d_prev"), F.col("total").alias("prev")),
+        F.expr("date_sub(d, lag_days) = d_prev"),
+        "left",
+    )
+    return (
+        lagged.groupBy("lag_days")
+        .agg(
+            F.count("prev").cast("bigint").alias("n_pairs"),
+            F.round(F.corr("total", "prev"), 6).alias("autocorr"),
+        )
+    )

@@ -242,3 +242,110 @@ def graph_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     register_views(spark, sf_dir)
     return spark.sql(_BFS_SQL)
+
+
+def _lpa_oracle() -> str:
+    edges = f"""
+SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+UNION
+SELECT DISTINCT {_SUPP_BASE} + l_suppkey AS src, o_custkey AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+    prev = "l0"
+    iters = []
+    for i in range(1, _ITERS + 1):
+        iters.append(f"""
+raw{i} AS (
+  SELECT e.dst AS node, l.label FROM edges e JOIN {prev} l ON l.node = e.src
+  UNION ALL
+  SELECT node, label FROM {prev}
+),
+cnt{i} AS (SELECT node, label, COUNT(*) AS c FROM raw{i} GROUP BY node, label),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM cnt{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH edges AS ({edges}),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+{", ".join(i.strip() for i in iters)}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM {prev}
+GROUP BY label
+ORDER BY n_members DESC, community
+LIMIT 20
+"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative", "community"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 rounds,
+    self-vote damped, min-label tie-break) on the symmetrized customer<->
+    supplier trading graph: each node adopts the most frequent label
+    among its neighbors plus itself — the cheap communities-at-scale
+    algorithm (near-linear per round, no objective function) used to
+    carve a giant near-dup or interaction graph into workable groups.
+
+    Determinism: the vote is (count DESC, label ASC) under row_number,
+    so ties always resolve to the smallest label — both engines unroll
+    the identical 3 rounds (oracle mirrors them as CTEs, kmeans-style).
+
+    Scale shape: per round ONE shuffle join (edges x labels on src), one
+    (node, label) count, one per-node window pick; labels never leave
+    the executors and the driver sees only the plan. Bounded rounds keep
+    lineage short (at more rounds, checkpoint every ~5 like PageRank
+    would)."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.lit(_SUPP_BASE) + F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    from pyspark.sql import Window
+
+    pick = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_ITERS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .unionByName(labels)
+        )
+        counted = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(pick))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

@@ -515,3 +515,121 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+@register(
+    "ml_naive_bayes",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+train AS (SELECT * FROM tok WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'),
+test  AS (SELECT doc_id, token FROM tok
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) > 'b'),
+classes AS (
+  SELECT source AS cls, COUNT(DISTINCT doc_id) AS n_docs FROM train GROUP BY 1
+),
+tot AS (SELECT SUM(n_docs) AS n FROM classes),
+vocab AS (SELECT DISTINCT token FROM train),
+v AS (SELECT COUNT(*) AS v FROM vocab),
+tc AS (SELECT token, source AS cls, COUNT(*) AS c FROM train GROUP BY 1, 2),
+class_tok AS (SELECT cls, SUM(c) AS tot_tok FROM tc GROUP BY 1),
+model AS (
+  SELECT vo.token, cl.cls,
+         ln((COALESCE(tc.c, 0) + 1.0) / (ct.tot_tok + v.v)) AS loglik
+  FROM vocab vo
+  CROSS JOIN classes cl
+  JOIN class_tok ct ON ct.cls = cl.cls
+  CROSS JOIN v
+  LEFT JOIN tc ON tc.token = vo.token AND tc.cls = cl.cls
+),
+priors AS (
+  SELECT cls, ln(CAST(n_docs AS DOUBLE) / t.n) AS logprior FROM classes, tot t
+),
+scores AS (
+  SELECT te.doc_id, m.cls, ROUND(p.logprior + SUM(m.loglik), 6) AS score
+  FROM test te
+  JOIN model m ON m.token = te.token
+  JOIN priors p ON p.cls = m.cls
+  GROUP BY te.doc_id, m.cls, p.logprior
+)
+SELECT s.doc_id, s.cls AS predicted, d.source AS actual, s.score
+FROM (
+  SELECT doc_id, cls, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+  FROM scores
+) s
+JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.rn = 1
+""",
+    tags=("ml", "classification", "pipeline"),
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes, trained AND applied in one declarative
+    plan: a deterministic md5 hash split (~75/25, the same
+    leakage-proof split discipline as text_train_test_split) trains a
+    bag-of-words source classifier (Laplace add-one smoothing); holdout
+    docs are scored and argmax-labeled — the
+    relational formulation of the classic fast-text-classifier pass a
+    corpus pipeline uses for cheap labeling (topic/source/quality tags)
+    before anything GPU-shaped runs.
+
+    The model IS a DataFrame: (token, class, log-likelihood) built from
+    one token-count aggregate crossed with the class list — V x C rows,
+    broadcastable at any corpus size once the vocab is capped. Scoring
+    is a token->model equi-join + per-(doc, class) sum; scores round to
+    1e-6 on both engines before the argmax window so reduction-order
+    drift cannot flip a rank (min-class tie-break makes exact ties
+    deterministic too).
+
+    Unseen test tokens drop out of the inner join (standard OOV-drop
+    convention), identically in both engines."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    split = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    train = tok.where(split <= "b")
+    test = tok.where(split > "b").select("doc_id", "token")
+    classes = train.groupBy(F.col("source").alias("cls")).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    tot = classes.agg(F.sum("n_docs").alias("n"))
+    vocab = train.select("token").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("v"))
+    tc = train.groupBy("token", F.col("source").alias("cls")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    class_tok = tc.groupBy("cls").agg(F.sum("c").alias("tot_tok"))
+    model = (
+        vocab.crossJoin(F.broadcast(classes.select("cls")))
+        .join(F.broadcast(class_tok), "cls")
+        .crossJoin(F.broadcast(v))
+        .join(tc, ["token", "cls"], "left")
+        .select(
+            "token",
+            "cls",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tot_tok") + F.col("v"))
+            ).alias("loglik"),
+        )
+    )
+    priors = classes.crossJoin(F.broadcast(tot)).select(
+        "cls", F.log(F.col("n_docs").cast("double") / F.col("n")).alias("logprior")
+    )
+    scores = (
+        test.join(F.broadcast(model), "token")
+        .join(F.broadcast(priors), "cls")
+        .groupBy("doc_id", "cls", "logprior")
+        .agg(F.round(F.col("logprior") + F.sum("loglik"), 6).alias("score"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    return (
+        scores.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .join(docs.select("doc_id", F.col("source").alias("actual")), "doc_id")
+        .select("doc_id", F.col("cls").alias("predicted"), "actual", "score")
+    )

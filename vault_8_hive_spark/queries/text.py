@@ -1026,3 +1026,162 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contain_b_in_a"
         ),
     )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+),
+s AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, len(words) - 1, 30)) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start / 30 AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start_token,
+       CAST(LEAST(40, len(words) - start) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(words, start + 1, start + 40), ' ')) AS chunk_md5
+FROM s
+""",
+    tags=("text", "chunking", "pipeline"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap (window=40 tokens,
+    stride=30): the step between a cleaned corpus and a context-length-
+    bounded training set — every LLM data pipeline chunks long documents
+    into model-window pieces, overlapping so no boundary-spanning span is
+    lost. Each chunk is identified by (doc_id, chunk_idx) and carried as
+    an md5 over its joined tokens so downstream exact-dedup can run at
+    the chunk grain (duplicated boilerplate chunks inside otherwise
+    unique documents are the common real-world case).
+
+    Plan shape: one narrow projection builds the token array, a
+    ``sequence`` of chunk starts is posexploded, and ``slice`` cuts each
+    window — all JVM higher-order expressions, no Python, no shuffle at
+    all (chunking is embarrassingly row-local, which is exactly why it
+    belongs before any keyed stage at 100 TB)."""
+    prep(spark)
+    w = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .where(F.size("words") > 0)
+    )
+    s = w.select(
+        "doc_id",
+        "words",
+        F.posexplode(F.sequence(F.lit(0), F.size("words") - 1, F.lit(30))).alias(
+            "chunk_idx", "start"
+        ),
+    )
+    return s.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_token"),
+        F.least(F.lit(40), F.size("words") - F.col("start"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.array_join(F.slice("words", F.col("start") + 1, F.lit(40)), " ")
+        ).alias("chunk_md5"),
+    )
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+tok AS (
+  SELECT doc_id, unnest(words) AS token FROM w
+),
+tok_top AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok FROM (
+    SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+  ) GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM w
+),
+bg_stats AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+  FROM (
+    SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tok AS INT) AS n_tokens,
+       ROUND(CAST(t.top_c AS DOUBLE) / t.n_tok, 9) AS top_token_frac,
+       ROUND(CAST(b.top_c AS DOUBLE) / b.n_bg, 9) AS top_bigram_frac,
+       ROUND(CAST(b.dup_occ AS DOUBLE) / b.n_bg, 9) AS dup_bigram_frac
+FROM tok_top t JOIN bg_stats b USING (doc_id)
+""",
+    tags=("text", "quality", "repetition", "pipeline"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screening: fraction of the document taken
+    by its single most frequent token, by its most frequent bigram, and
+    by bigrams that occur more than once — the published heuristics
+    (Rae et al. 2021, table A1) that catch boilerplate/spam documents
+    whose token-level stats otherwise look normal. Documents scoring
+    high on any of these get dropped before expensive near-dup stages.
+
+    Plan shape: two explode->count trees (tokens, bigrams) each reduced
+    per doc_id, joined on doc_id. Both aggregations partial map-side;
+    the join keys are the same doc_id so AQE co-locates them. Bigrams
+    are built with a JVM ``transform`` over index sequences — no Python
+    anywhere."""
+    prep(spark)
+    w = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .where(F.size("words") >= 3)
+    )
+    tok = w.select("doc_id", F.explode("words").alias("token"))
+    tok_top = (
+        tok.groupBy("doc_id", "token")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_c"), F.sum("count").alias("n_tok"))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("words") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("words", i), F.element_at("words", i + 1)
+        ),
+    )
+    bg = w.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bg_stats = (
+        bg.groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_c"),
+            F.sum("count").alias("n_bg"),
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias(
+                "dup_occ"
+            ),
+        )
+    )
+    return tok_top.alias("t").join(bg_stats.alias("b"), "doc_id").select(
+        "doc_id",
+        F.col("t.n_tok").cast("int").alias("n_tokens"),
+        F.round(F.col("t.top_c").cast("double") / F.col("t.n_tok"), 9).alias(
+            "top_token_frac"
+        ),
+        F.round(F.col("b.top_c").cast("double") / F.col("b.n_bg"), 9).alias(
+            "top_bigram_frac"
+        ),
+        F.round(F.col("b.dup_occ").cast("double") / F.col("b.n_bg"), 9).alias(
+            "dup_bigram_frac"
+        ),
+    )
