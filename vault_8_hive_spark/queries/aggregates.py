@@ -1219,3 +1219,94 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_dof"),
     )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle="""
+WITH ev2 AS (
+  SELECT value, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+per_v AS (
+  SELECT value, COUNT(*) AS c, SUM(g1) AS c1
+  FROM ev2 GROUP BY value
+),
+ranked AS (
+  SELECT value, c, c1,
+         COALESCE(SUM(c) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM per_v
+),
+agg AS (
+  SELECT SUM(c1) AS n1, SUM(c - c1) AS n2,
+         SUM(c1 * (cum_before + (c + 1) / 2.0)) AS r1,
+         SUM(POWER(c, 3) - c) AS tie_term
+  FROM ranked
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+       ROUND(n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0), 6) AS u2,
+       ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / SQRT(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1) - tie_term
+                       / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z_stat
+FROM agg
+""",
+    tags=("aggregate", "statistics", "hypothesis-test", "rank"),
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test with tie correction, view vs
+    purchase event values: the non-parametric complement to
+    agg_welch_ttest for skewed metrics where mean comparisons mislead.
+
+    The textbook formulation global-sorts every observation; this plan
+    never ranks rows. Ranks reduce over the VALUE DOMAIN: one groupBy
+    collapses the two groups to (value, count, group1-count), a
+    cumulative window over those distinct values yields every average
+    rank in closed form (cum_before + (c+1)/2), and the rank-sum /
+    tie-correction terms are one aggregate over that reduced table. At
+    100 TB the expensive stage stays the first map-side-partial groupBy;
+    the window runs over value-domain cardinality (range-partition it if
+    the domain itself is huge). Statistic rounded to 1e-6."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev2 = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g1"),
+        )
+    )
+    per_v = ev2.groupBy("value").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("g1").alias("c1")
+    )
+    w = (
+        Window.partitionBy(F.spark_partition_id() * 0)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_v.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * (F.col("cum_before") + (F.col("c") + 1) / 2.0)).alias("r1"),
+        F.sum(F.pow("c", 3) - F.col("c")).alias("tie_term"),
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    sigma = F.sqrt(
+        n1 * n2 / 12.0 * ((n + 1) - F.col("tie_term") / (n * (n - 1.0)))
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(u1, 6).alias("u1"),
+        F.round(n1 * n2 - u1, 6).alias("u2"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z_stat"),
+    )

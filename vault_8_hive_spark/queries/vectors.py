@@ -834,3 +834,172 @@ def vec_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("vec_id", "label", "coarse_sim", "cos_sim", "rn")
     )
+
+
+# --- product quantization --------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_SUB = 16     # dims per subspace (DIM / _PQ_M)
+_PQ_K = 8        # codewords per subspace (sampled codebook: vec_id < 8)
+_PQ_NQ = 5       # query vectors (vec_id < 5)
+_PQ_CAND = 20    # ADC candidates per query
+_PQ_TOPK = 5     # reranked output per query
+
+
+def _pq_subdist(a: str, b: str, s: str) -> str:
+    """DuckDB: squared L2 between 16-dim subspace s of lists a and b."""
+    return (
+        f"ROUND(list_sum(list_transform(generate_series(1, {_PQ_SUB}), "
+        f"i -> (CAST({a}[{s} * {_PQ_SUB} + i] AS DOUBLE) - "
+        f"CAST({b}[{s} * {_PQ_SUB} + i] AS DOUBLE)) * "
+        f"(CAST({a}[{s} * {_PQ_SUB} + i] AS DOUBLE) - "
+        f"CAST({b}[{s} * {_PQ_SUB} + i] AS DOUBLE)))), 6)"
+    )
+
+
+_PQ_FULLDIST = (
+    "ROUND(list_sum(list_transform(generate_series(1, 64), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) * "
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)))), 6)"
+)
+
+
+@register(
+    "vec_pq_ann",
+    oracle=f"""
+WITH subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+codebook AS (
+  SELECT c.vec_id AS code, subs.s, c.embedding
+  FROM embeddings c, subs WHERE c.vec_id < {_PQ_K}
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT e.vec_id, cb.s, cb.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.s
+             ORDER BY {_pq_subdist("e.embedding", "cb.embedding", "cb.s")}, cb.code
+           ) AS rn
+    FROM embeddings e, codebook cb
+  ) WHERE rn = 1
+),
+queries AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {_PQ_NQ}),
+adc AS (
+  SELECT q.qid, cb.s, cb.code,
+         {_pq_subdist("q.embedding", "cb.embedding", "cb.s")} AS d
+  FROM queries q, codebook cb
+),
+approx AS (
+  SELECT a.qid, en.vec_id, ROUND(SUM(a.d), 6) AS approx_dist2
+  FROM enc en JOIN adc a ON a.s = en.s AND a.code = en.code
+  WHERE en.vec_id <> a.qid
+  GROUP BY a.qid, en.vec_id
+),
+cand AS (
+  SELECT qid, vec_id, approx_dist2 FROM (
+    SELECT qid, vec_id, approx_dist2,
+           row_number() OVER (PARTITION BY qid ORDER BY approx_dist2, vec_id) AS rn
+    FROM approx
+  ) WHERE rn <= {_PQ_CAND}
+)
+SELECT qid, CAST(rn AS INT) AS rn, vec_id, approx_dist2, exact_dist2 FROM (
+  SELECT c.qid, c.vec_id, c.approx_dist2, {_PQ_FULLDIST} AS exact_dist2,
+         row_number() OVER (
+           PARTITION BY c.qid ORDER BY {_PQ_FULLDIST}, c.vec_id
+         ) AS rn
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN queries q ON q.qid = c.qid
+) WHERE rn <= {_PQ_TOPK}
+""",
+    tags=("vectors", "ann", "quantization", "pq"),
+)
+def vec_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-dim vectors split into 4 x 16-dim
+    subspaces, each encoded as its nearest of 8 sampled codewords
+    (deterministic codebook = the first 8 vectors' sub-vectors; a
+    trained variant would run operators/kmeans.py per subspace — the
+    mechanics downstream are identical), queries scored by asymmetric
+    distance computation (per-subspace lookup tables, summed), top-20
+    ADC candidates reranked by exact distance. This is the memory-bound
+    posture of billion-vector search: the corpus compresses 64 floats ->
+    4 bytes (64x) and the scan touches codes, not vectors; only the
+    rerank reads the full candidates.
+
+    Scale shape: the codebook (M x K sub-vectors) and the per-query ADC
+    tables (M x K distances per query) are broadcast; encoding is one
+    corpus pass x M x K with a per-(vector, subspace) argmin window;
+    scoring joins 4 codes per vector against the lookup table and
+    reduces per (query, vector) — no full-vector math anywhere in the
+    candidate path. All distances round to 1e-6 before any argmin/rank
+    (module discipline), with code/vec_id tie-breaks."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+
+    def subvec(col: str, s) -> "F.Column":
+        return F.slice(to_double(col), s * _PQ_SUB + 1, _PQ_SUB)
+
+    def dist2(a, b) -> "F.Column":
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    subs = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    codebook = (
+        emb.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("code"), "embedding", subs)
+        .select("code", "s", subvec("embedding", F.col("s")).alias("cb_sub"))
+    )
+    enc_scored = (
+        emb.select("vec_id", "embedding", subs)
+        .select("vec_id", "s", subvec("embedding", F.col("s")).alias("v_sub"))
+        .join(F.broadcast(codebook), "s")
+        .select("vec_id", "s", "code", dist2(F.col("v_sub"), F.col("cb_sub")).alias("d"))
+    )
+    pick = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    enc = (
+        enc_scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    queries = emb.where(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    adc = (
+        queries.select("qid", "q_emb", subs)
+        .select("qid", "s", subvec("q_emb", F.col("s")).alias("q_sub"))
+        .join(F.broadcast(codebook), "s")
+        .select("qid", "s", "code", dist2(F.col("q_sub"), F.col("cb_sub")).alias("d"))
+    )
+    approx = (
+        enc.join(F.broadcast(adc), ["s", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("approx_dist2"))
+    )
+    cand_w = Window.partitionBy("qid").orderBy("approx_dist2", "vec_id")
+    cand = (
+        approx.withColumn("rn", F.row_number().over(cand_w))
+        .where(F.col("rn") <= _PQ_CAND)
+        .drop("rn")
+    )
+    rerank = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "approx_dist2",
+            dist2(to_double("embedding"), to_double("q_emb")).alias("exact_dist2"),
+        )
+    )
+    out_w = Window.partitionBy("qid").orderBy("exact_dist2", "vec_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(out_w))
+        .where(F.col("rn") <= _PQ_TOPK)
+        .select("qid", F.col("rn").cast("int").alias("rn"), "vec_id", "approx_dist2", "exact_dist2")
+    )
