@@ -114,6 +114,15 @@ _composite(
         ("regression", "agg_regression",
          {"grp": "c_mktsegment", "n1": "n", "d1": "slope", "d2": "intercept",
           "d3": "r2", "d4": "avg_y"}),
+        ("welch_ttest", "agg_welch_ttest",
+         {"grp": "'view_vs_purchase'", "n1": "n_view", "n2": "n_purchase",
+          "d1": "mean_diff", "d2": "t_stat", "d3": "welch_dof"}),
+        ("mann_whitney", "agg_mann_whitney",
+         {"grp": "'view_vs_purchase'", "n1": "n1", "n2": "n2",
+          "d1": "u1", "d2": "u2", "d3": "z_stat"}),
+        ("entropy_mi", "agg_entropy_mi",
+         {"grp": "'type_x_hour'", "d1": "entropy_type", "d2": "entropy_hour",
+          "d3": "entropy_joint", "d4": "mutual_info"}),
     ],
     tags=("agg", "distinct", "conditional", "outliers", "composite"),
 )
@@ -428,6 +437,9 @@ _composite(
         ("market_basket", "agg_market_basket",
          {"metric": "'mb_' || CAST(item_a AS STRING) || '_' || CAST(item_b AS STRING)",
           "value": "lift", "n": "n_ab"}),
+        ("label_propagation", "graph_label_propagation",
+         {"metric": "'lpa_' || CAST(community AS STRING)",
+          "value": "CAST(n_members AS DOUBLE)", "n": "n_members"}),
     ],
     tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )
@@ -466,6 +478,8 @@ _composite(
          {"s1": "event_type", "n": "n_intervals", "d1": "twap"}),
         ("ewma", "events_ewma",
          {"ts1": "day", "d1": "ewma"}),
+        ("autocorr", "events_autocorr",
+         {"i1": "lag_days", "n": "n_pairs", "d1": "autocorr"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),
@@ -508,6 +522,9 @@ _composite(
         ("stream_stream_outer", "stream_stream_left_outer",
          {"k1": "user_id", "s1": _cat("n_view_pairs", "n_attributed"),
           "n": "n_silent", "d1": "max_gap_s"}),
+        ("stream_stream_full", "stream_stream_full_outer",
+         {"k1": "user_id", "s1": _cat("n_rows", "n_matched"),
+          "n": "n_silent_views", "d1": "CAST(n_orphan_purchases AS DOUBLE)"}),
         ("transform_with_state", "stream_transform_with_state",
          {"k1": "user_id",
           "s1": _cat("n_types", "top_type", "n_ids", "min_id", "max_id"),
@@ -597,6 +614,16 @@ _composite(
         ("decontaminate", "text_decontaminate",
          {"k1": "eval_doc", "n1": "n_shared_shingles", "n2": "n_train_docs",
           "n3": "first_train_doc"}),
+        ("chunk", "text_chunk_overlap",
+         {"k1": "doc_id", "k2": "chunk_idx", "n1": "start_token",
+          "n2": "n_chunk_tokens", "s1": "chunk_md5"}),
+        ("repetition", "text_repetition_signals",
+         {"k1": "doc_id", "n1": "n_tokens",
+          "n2": "CAST(ROUND(top_token_frac * 1000000000, 0) AS BIGINT)",
+          "n3": "CAST(ROUND(dup_bigram_frac * 1000000000, 0) AS BIGINT)",
+          "d1": "top_bigram_frac"}),
+        ("nb_classify", "ml_naive_bayes",
+         {"k1": "doc_id", "s1": "predicted", "s2": "actual", "d1": "score"}),
     ],
     tags=("text", "pipeline", "sampling", "curation", "composite"),
 )
@@ -623,6 +650,9 @@ _composite(
         ("quantized_rerank", "vec_quantized_rerank",
          {"a": "vec_id", "i1": "label", "i2": "rn", "d1": "coarse_sim",
           "d2": "cos_sim"}),
+        ("pq_adc", "vec_pq_ann",
+         {"a": "qid", "b": "vec_id", "i2": "rn", "d1": "approx_dist2",
+          "d2": "exact_dist2"}),
     ],
     tags=("vectors", "similarity", "topk", "knn", "ivf", "quantization", "composite"),
 )

@@ -538,62 +538,12 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the unbounded pair stream is reduced to per-user partials
     executor-side (stream_partial_agg) — state stays watermark-bounded,
     the sink stays key-bounded."""
-    import shutil
-
-    from ..catalog import normalize_events_ts
-    from .formats import _work
-
     prep(spark)
-    land = _work(sf_dir, "ss_outer_landing")
-    marker = os.path.join(land, "_FLUSHED")
-    src = f"{sf_dir}/events.parquet"
-    st = os.stat(src)
-    fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
-    current = False
-    try:
-        with open(marker, encoding="utf-8") as fh:
-            current = fh.read() == fingerprint
-    except OSError:
-        pass
-    if not current:
-        shutil.rmtree(land, ignore_errors=True)
-        ev = normalize_events_ts(spark.read.parquet(src))
-        ev.write.mode("overwrite").parquet(land)
-        mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        import datetime
-
-        flush_ts = mx + datetime.timedelta(days=10)
-        flush = spark.createDataFrame(
-            [
-                (-1, flush_ts, -1, "view", 0.0, "{}"),
-                (-2, flush_ts, -1, "purchase", 0.0, "{}"),
-            ],
-            spark.read.parquet(land).schema,
-        )
-        flush.coalesce(1).write.mode("append").parquet(land)
-        with open(marker, "w", encoding="utf-8") as fh:
-            fh.write(fingerprint)
-
+    land = _flushed_events_landing(spark, sf_dir)
     schema = spark.read.parquet(land).schema
     stream = spark.readStream.schema(schema).parquet(land)
-    views = (
-        stream.where(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "30 minutes")
-    )
-    purchases = (
-        stream.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "30 minutes")
-    )
+    views = _ss_views(stream)
+    purchases = _ss_purchases(stream)
     pairs = views.join(
         purchases,
         F.expr(
@@ -624,6 +574,166 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pa").alias("n_attributed"),
             (F.sum("pn") - F.sum("pa")).alias("n_silent"),
             F.round(F.max("pm") / 1_000_000.0, 0).alias("max_gap_s"),
+        )
+    )
+
+
+def _ss_views(stream: DataFrame) -> DataFrame:
+    return (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+
+
+def _ss_purchases(stream: DataFrame) -> DataFrame:
+    return (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+
+
+def _flushed_events_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Events landing with one far-future FLUSH sentinel per side (the
+    watermark-advancing 'close the books' row both outer joins need);
+    fingerprinted against the source so testdata regeneration rebuilds it."""
+    import shutil
+
+    from ..catalog import normalize_events_ts
+    from .formats import _work
+
+    land = _work(sf_dir, "ss_outer_landing")
+    marker = os.path.join(land, "_FLUSHED")
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    current = False
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            current = fh.read() == fingerprint
+    except OSError:
+        pass
+    if not current:
+        shutil.rmtree(land, ignore_errors=True)
+        ev = normalize_events_ts(spark.read.parquet(src))
+        ev.write.mode("overwrite").parquet(land)
+        mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        import datetime
+
+        flush_ts = mx + datetime.timedelta(days=10)
+        flush = spark.createDataFrame(
+            [
+                (-1, flush_ts, -1, "view", 0.0, "{}"),
+                (-2, flush_ts, -1, "purchase", 0.0, "{}"),
+            ],
+            spark.read.parquet(land).schema,
+        )
+        flush.coalesce(1).write.mode("append").parquet(land)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write(fingerprint)
+    return land
+
+
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT COALESCE(v.user_id, p.p_user) AS user_id, v.view_id, p.purchase_id
+  FROM v FULL JOIN p
+    ON v.user_id = p.p_user
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN view_id IS NOT NULL AND purchase_id IS NOT NULL
+             THEN 1 END) AS n_matched,
+       COUNT(CASE WHEN view_id IS NOT NULL AND purchase_id IS NULL
+             THEN 1 END) AS n_silent_views,
+       COUNT(CASE WHEN view_id IS NULL THEN 1 END) AS n_orphan_purchases
+FROM pairs GROUP BY user_id
+""",
+    tags=("streaming", "stream-stream-join", "outer", "watermark", "interval"),
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both directions of the
+    silence question at once: views that never converted (purchase-side
+    null) AND purchases with no preceding view inside the hour
+    (view-side null, the broken-attribution orphans an instrumentation
+    audit hunts for). Each side's unmatched rows null-extend only after
+    the watermark passes its join-interval bound, so state stays
+    time-bounded on both sides however long the streams run.
+
+    Shares the flush-sentinel landing with stream_stream_left_outer
+    (one far-future event per side advances the min-of-both watermark
+    past every real interval at end of replay), which makes the result
+    equal the batch FULL JOIN dual — checked by the oracle. The
+    unbounded pair stream reduces to per-user partials executor-side
+    (stream_partial_agg); the user key comes from whichever side is
+    present."""
+    prep(spark)
+    land = _flushed_events_landing(spark, sf_dir)
+    schema = spark.read.parquet(land).schema
+    stream = spark.readStream.schema(schema).parquet(land)
+    pairs = _ss_views(stream).join(
+        _ss_purchases(stream),
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce("v_user", "p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+    )
+    partials = stream_partial_agg(
+        pairs,
+        lambda b: b.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.count(
+                F.when(
+                    F.col("view_id").isNotNull()
+                    & F.col("purchase_id").isNotNull(),
+                    1,
+                )
+            ).alias("pm"),
+            F.count(
+                F.when(
+                    F.col("view_id").isNotNull() & F.col("purchase_id").isNull(),
+                    1,
+                )
+            ).alias("psv"),
+            F.count(F.when(F.col("view_id").isNull(), 1)).alias("pop"),
+        ),
+        sf_dir,
+        "ss_full_partials",
+    )
+    return (
+        partials.where(F.col("user_id") >= 0)  # drop the flush sentinels
+        .groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_rows"),
+            F.sum("pm").alias("n_matched"),
+            F.sum("psv").alias("n_silent_views"),
+            F.sum("pop").alias("n_orphan_purchases"),
         )
     )
 
