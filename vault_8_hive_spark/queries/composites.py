@@ -653,6 +653,8 @@ _composite(
         ("pq_adc", "vec_pq_ann",
          {"a": "qid", "b": "vec_id", "i2": "rn", "d1": "approx_dist2",
           "d2": "exact_dist2"}),
+        ("mmr", "vec_mmr_rerank",
+         {"a": "vec_id", "i2": "rnk", "d1": "rel", "d2": "mmr"}),
     ],
     tags=("vectors", "similarity", "topk", "knn", "ivf", "quantization", "composite"),
 )

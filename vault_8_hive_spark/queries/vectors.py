@@ -1003,3 +1003,162 @@ def vec_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _PQ_TOPK)
         .select("qid", F.col("rn").cast("int").alias("rn"), "vec_id", "approx_dist2", "exact_dist2")
     )
+
+
+# --- maximal marginal relevance --------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 20
+_MMR_K = 5
+
+_O_SIM_AB = (
+    "ROUND(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+    ", 6)"
+)
+
+
+def _mmr_oracle() -> str:
+    lam = _MMR_LAMBDA
+    rounds = []
+    prev_sel = "sel1"
+    for r in range(2, _MMR_K + 1):
+        rounds.append(f"""
+sc{r} AS (
+  SELECT c.vec_id, c.rel,
+         ROUND({lam} * c.rel - {1 - lam:.1f} * (
+           SELECT MAX(s.sim) FROM sims s
+           WHERE s.a = c.vec_id AND s.b IN (SELECT vec_id FROM {prev_sel})
+         ), 6) AS mmr
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_sel})
+),
+p{r} AS (
+  SELECT vec_id, rel, mmr, {r} AS rnk FROM (
+    SELECT vec_id, rel, mmr,
+           row_number() OVER (ORDER BY mmr DESC, vec_id) AS rn
+    FROM sc{r}
+  ) WHERE rn = 1
+),
+sel{r} AS (SELECT vec_id FROM {prev_sel} UNION ALL SELECT vec_id FROM p{r})""")
+        prev_sel = f"sel{r}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT rnk, vec_id, rel, mmr FROM p{r}" for r in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, rel FROM (
+    SELECT e.vec_id, {_O_COS} AS rel,
+           row_number() OVER (ORDER BY {_O_COS} DESC, e.vec_id) AS rn
+    FROM embeddings e, q WHERE e.vec_id <> 0
+  ) WHERE rn <= {_MMR_CAND}
+),
+sims AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, {_O_SIM_AB} AS sim
+  FROM (SELECT c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)) a,
+       (SELECT c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)) b
+  WHERE a.vec_id <> b.vec_id
+),
+p1 AS (
+  SELECT vec_id, rel, ROUND(rel, 6) AS mmr, 1 AS rnk FROM (
+    SELECT vec_id, rel, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+sel1 AS (SELECT vec_id FROM p1),
+{", ".join(r.strip() for r in rounds)}
+SELECT CAST(rnk AS INT) AS rnk, vec_id, rel, mmr FROM ({union})
+"""
+
+
+@register(
+    "vec_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("vectors", "similarity", "mmr", "diversity"),
+)
+def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank: from the top-20 cosine
+    candidates for the vec_id=0 query, greedily select 5 maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-already-selected
+    (lambda=0.7) — the standard diversity rerank a retrieval pipeline
+    applies so near-duplicate passages don't crowd the context window.
+
+    MMR is inherently sequential (each pick changes the next score), so
+    the loop unrolls a FIXED k=5 rounds of pure DataFrame lineage —
+    kmeans/PageRank-style: the driver builds plans, never sees data.
+    The expensive distributed stage is the candidate top-20 (one corpus
+    scan + TakeOrderedAndProject); the greedy rounds then operate on a
+    bounded 20-row set and its 20x20 pairwise-sim matrix, so the
+    unrolled tail costs O(k * cand^2) on trivially small data however
+    big the corpus. All scores round to 1e-6 before every argmax
+    (vec_id tie-break), mirrored exactly by the oracle's CTE unroll."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(to_double("embedding"), to_double("q_emb")), 6).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_CAND)
+        .persist()
+    )
+    a = cand.select(F.col("vec_id").alias("a"), F.col("embedding").alias("e_a"))
+    b = cand.select(F.col("vec_id").alias("b"), F.col("embedding").alias("e_b"))
+    sims = (
+        a.crossJoin(b)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(to_double("e_a"), to_double("e_b")), 6).alias("sim"),
+        )
+        .persist()
+    )
+    picked = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rnk"), "vec_id", "rel", F.round("rel", 6).alias("mmr")
+        )
+    )
+    out = picked
+    for r in range(2, _MMR_K + 1):
+        sel = out.select("vec_id")
+        maxsim = (
+            sims.join(sel, sims.b == sel.vec_id)
+            .groupBy("a")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = (
+            cand.join(sel, "vec_id", "left_anti")
+            .join(maxsim, cand.vec_id == maxsim.a)
+            .select(
+                "vec_id",
+                "rel",
+                F.round(
+                    _MMR_LAMBDA * F.col("rel")
+                    - (1 - _MMR_LAMBDA) * F.col("max_sim"),
+                    6,
+                ).alias("mmr"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+            .select(F.lit(r).alias("rnk"), "vec_id", "rel", "mmr")
+        )
+        out = out.unionByName(pick)
+    return out.select(F.col("rnk").cast("int").alias("rnk"), "vec_id", "rel", "mmr")
