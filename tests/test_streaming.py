@@ -515,3 +515,102 @@ def test_transform_with_state_event_time_timers(spark, tmp_path):
     # last (t0+50min) event; user 99 drove the watermark and is silent
     # only past it -> no row.
     assert got == {2: base + hour, 1: base + 50 * 60_000 + hour}
+
+
+def test_full_outer_interval_join_null_extends_both_sides(spark):
+    """Stream-stream FULL OUTER interval join: BOTH sides null-extend —
+    an unmatched view after its interval (view_ts + 1h) closes under the
+    watermark, and an unmatched purchase after its own bound (no view in
+    [purchase_ts - 1h, purchase_ts] can still arrive once the watermark
+    passes purchase_ts). Same never-early + exactly-once-eventually
+    contract as the left-outer timing test, now asserted for the right
+    side too.
+
+    Fixture (maxFilesPerTrigger=1, watermark delay 30 min):
+      file 1: view+purchase u1 -> matched pair
+              view u2 @00:00   -> silent view (no purchase ever)
+              purchase u4 @02:00 -> orphan purchase (no view ever)
+      file 2: flush view+purchase (u -1) @ +10 days
+    """
+    import datetime
+    import time
+
+    base = f"{WORK_DIR}/fullouter_timing_{uuid.uuid4().hex[:8]}"
+    land, ckpt = f"{base}/land", f"{base}/ckpt"
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    file1 = [
+        (1, t0, 1, "view"),
+        (2, t0 + 10 * m, 1, "purchase"),
+        (3, t0, 2, "view"),
+        (4, t0 + 120 * m, 4, "purchase"),
+    ]
+    file2 = [(5, t0 + datetime.timedelta(days=10), -1, "view"),
+             (6, t0 + datetime.timedelta(days=10), -1, "purchase")]
+    spark.createDataFrame(file1, schema).coalesce(1).write.mode("append").parquet(land)
+    time.sleep(0.05)
+    spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(land)
+
+    src_schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "30 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+        "fullOuter",
+    )
+    emitted: dict[int, list] = {}
+
+    def capture(batch_df, batch_id):
+        emitted[int(batch_id)] = [
+            (r["v_user"], r["p_user"]) for r in batch_df.collect()
+        ]
+
+    q = (
+        pairs.writeStream.foreachBatch(capture)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        # Batch 0 (epoch watermark): only the matched u1 pair.
+        assert emitted.get(0) == [(1, 1)], emitted
+        silent_views = {
+            v: b for b, rows in emitted.items()
+            for (v, p) in rows if p is None and (v or 0) > 0
+        }
+        orphan_purchases = {
+            p: b for b, rows in emitted.items()
+            for (v, p) in rows if v is None and (p or 0) > 0
+        }
+        n_nulls = sum(
+            1 for rows in emitted.values()
+            for (v, p) in rows
+            if (p is None and (v or 0) > 0) or (v is None and (p or 0) > 0)
+        )
+        # Exactly one null row per unmatched side, never duplicated,
+        # never in the epoch batch.
+        assert set(silent_views) == {2} and set(orphan_purchases) == {4}, emitted
+        assert n_nulls == 2, emitted
+        assert silent_views[2] >= 1 and orphan_purchases[4] >= 1, emitted
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

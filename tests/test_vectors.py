@@ -64,3 +64,89 @@ def test_multitable_lsh_recall_dominates_single(spark, sf_dir):
     # cost side of the curve must be real too.
     cand = pdf.groupby("method")["n_candidates"].mean()
     assert cand["tables_8x4"] > cand["tables_4x6"] > cand["single_8"], dict(cand)
+
+
+def test_pq_ann_candidates_capture_true_neighbors(spark, sf_dir):
+    """PQ/ADC quality floor: for each query, the exact-reranked PQ
+    result must share at least 2 of the true brute-force top-5 (sampled
+    8-codeword codebook on 500 synthetic vectors is coarse by design —
+    the invariant worth pinning is that ADC candidates are not noise,
+    plus determinism across runs)."""
+    from vault_8_hive_spark.queries import all_queries
+
+    pq = all_queries()["vec_pq_ann"].fn(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import pandas as pd
+
+    pdf = emb.toPandas()
+    import numpy as np
+
+    mat = np.array([np.array(v, dtype=float) for v in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+    for qid in sorted(pq.qid.unique()):
+        qvec = mat[ids == qid][0]
+        d2 = ((mat - qvec) ** 2).sum(axis=1)
+        order = np.argsort(d2, kind="stable")
+        true_top = [int(ids[i]) for i in order if int(ids[i]) != qid][:5]
+        got = set(pq[pq.qid == qid].vec_id)
+        assert len(got & set(true_top)) >= 2, (qid, true_top, sorted(got))
+    # Determinism: a second run returns the identical frame.
+    pq2 = all_queries()["vec_pq_ann"].fn(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        pq.sort_values(["qid", "rn"]).reset_index(drop=True),
+        pq2.sort_values(["qid", "rn"]).reset_index(drop=True),
+    )
+
+
+def test_mmr_is_greedy_optimal_per_round(spark, sf_dir):
+    """Each MMR pick must maximize lambda*rel - (1-lambda)*max_sim over
+    the remaining candidates (recomputed independently in numpy), and
+    the selected set must be strictly more diverse than plain top-k."""
+    import numpy as np
+
+    from vault_8_hive_spark.queries import all_queries
+
+    out = (
+        all_queries()["vec_mmr_rerank"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("rnk")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = np.array([np.array(v, dtype=float) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    qvec = mat[ids == 0][0]
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    rel = {int(i): cos(mat[k], qvec) for k, i in enumerate(ids) if i != 0}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:20]
+    sel: list[int] = []
+    for _, row in out.iterrows():
+        remaining = [c for c in cand if c not in sel]
+        if not sel:
+            scores = {c: rel[c] for c in remaining}
+        else:
+            scores = {
+                c: round(
+                    0.7 * rel[c]
+                    - 0.3
+                    * max(
+                        cos(mat[ids == c][0], mat[ids == s][0]) for s in sel
+                    ),
+                    6,
+                )
+                for c in remaining
+            }
+        best = sorted(scores, key=lambda c: (-scores[c], c))[0]
+        assert int(row.vec_id) == best, (row.rnk, best, row.vec_id)
+        sel.append(best)
+    # Diversity: max pairwise sim among MMR picks <= among plain top-5.
+    def max_pair_sim(group):
+        return max(
+            cos(mat[ids == a][0], mat[ids == b][0])
+            for i, a in enumerate(group)
+            for b in group[i + 1:]
+        )
+
+    assert max_pair_sim(sel) <= max_pair_sim(cand[:5]) + 1e-9
