@@ -1310,3 +1310,162 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n1 * n2 - u1, 6).alias("u2"),
         F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z_stat"),
     )
+
+
+@register(
+    "agg_ks_test",
+    oracle="""
+WITH ev2 AS (
+  SELECT value, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+per_v AS (
+  SELECT value, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM ev2 GROUP BY value
+),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per_v),
+ecdf AS (
+  SELECT value,
+         SUM(c1) OVER (ORDER BY value) / (SELECT n1 FROM tot) AS f1,
+         SUM(c2) OVER (ORDER BY value) / (SELECT n2 FROM tot) AS f2
+  FROM per_v
+)
+SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+       ROUND(MAX(ABS(f1 - f2)), 6) AS ks_d,
+       ROUND(MAX(ABS(f1 - f2)) * SQRT(t.n1 * t.n2 / (t.n1 + t.n2)), 6)
+         AS ks_stat_scaled
+FROM ecdf, tot t
+GROUP BY t.n1, t.n2
+""",
+    tags=("aggregate", "statistics", "hypothesis-test", "drift"),
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (view vs purchase event
+    values): the distribution-drift detector a training-data monitor
+    runs between yesterday's and today's feature distributions — D is
+    the sup-distance between the two empirical CDFs, reported raw and
+    scaled by sqrt(n1*n2/(n1+n2)) for significance lookup.
+
+    Same no-row-sort shape as agg_mann_whitney: one groupBy collapses
+    both samples onto the value domain, the two ECDFs are cumulative
+    windows over the distinct values, and D is one MAX over that reduced
+    table. ECDF steps are exact rational counts (no float accumulation
+    beyond the final divide), rounded to 1e-6."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev2 = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g1"),
+        )
+    )
+    per_v = ev2.groupBy("value").agg(
+        F.sum("g1").alias("c1"), F.sum(1 - F.col("g1")).alias("c2")
+    )
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = (
+        Window.partitionBy(F.spark_partition_id() * 0)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = (
+        per_v.withColumn("r1", F.sum("c1").over(w))
+        .withColumn("r2", F.sum("c2").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            (F.col("r1") / F.col("n1") - F.col("r2") / F.col("n2")).alias("diff"),
+        )
+    )
+    return ecdf.groupBy("n1", "n2").agg(
+        F.round(F.max(F.abs("diff")), 6).alias("ks_d"),
+        F.round(
+            F.max(F.abs("diff"))
+            * F.sqrt(F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))),
+            6,
+        ).alias("ks_stat_scaled"),
+    ).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        "ks_d",
+        "ks_stat_scaled",
+    )
+
+
+@register(
+    "agg_psi_drift",
+    oracle="""
+WITH ev2 AS (
+  SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bucket,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+b AS (
+  SELECT bucket, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM ev2 GROUP BY bucket
+),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM b),
+p AS (
+  SELECT bucket,
+         (c1 + 0.5) / (t.n1 + 0.5 * (SELECT COUNT(*) FROM b)) AS p1,
+         (c2 + 0.5) / (t.n2 + 0.5 * (SELECT COUNT(*) FROM b)) AS p2
+  FROM b, tot t
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       ROUND(p1, 9) AS p_view,
+       ROUND(p2, 9) AS p_purchase,
+       ROUND((p1 - p2) * ln(p1 / p2), 9) AS psi_term,
+       ROUND(SUM((p1 - p2) * ln(p1 / p2)) OVER (), 6) AS psi_total
+FROM p
+""",
+    tags=("aggregate", "statistics", "drift", "psi"),
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the view and purchase value
+    distributions over 10 fixed-width buckets (Laplace-smoothed so empty
+    buckets don't blow up the log): THE production drift score for
+    features and corpus statistics — PSI < 0.1 stable, > 0.25 act. Each
+    bucket's contribution is reported next to the total so the drifted
+    region is identifiable, not just the scalar.
+
+    One scan -> one 10-bucket aggregate; everything after runs on 10
+    rows (the over-() total is a 10-row window, not a data-size one).
+    Deterministic: bucket proportions are exact rationals rounded to
+    1e-9 before the log terms, total to 1e-6."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev2 = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+            .cast("int")
+            .alias("bucket"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g1"),
+        )
+    )
+    b = ev2.groupBy("bucket").agg(
+        F.sum("g1").alias("c1"), F.sum(1 - F.col("g1")).alias("c2")
+    )
+    tot = b.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p = b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        ((F.col("c1") + 0.5) / (F.col("n1") + 0.5 * F.col("nb"))).alias("p1"),
+        ((F.col("c2") + 0.5) / (F.col("n2") + 0.5 * F.col("nb"))).alias("p2"),
+    )
+    term = (F.col("p1") - F.col("p2")) * F.log(F.col("p1") / F.col("p2"))
+    w = Window.partitionBy(F.spark_partition_id() * 0)
+    return p.select(
+        "bucket",
+        F.round("p1", 9).alias("p_view"),
+        F.round("p2", 9).alias("p_purchase"),
+        F.round(term, 9).alias("psi_term"),
+        F.round(F.sum(term).over(w), 6).alias("psi_total"),
+    )

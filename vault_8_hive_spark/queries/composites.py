@@ -123,6 +123,12 @@ _composite(
         ("entropy_mi", "agg_entropy_mi",
          {"grp": "'type_x_hour'", "d1": "entropy_type", "d2": "entropy_hour",
           "d3": "entropy_joint", "d4": "mutual_info"}),
+        ("ks_test", "agg_ks_test",
+         {"grp": "'view_vs_purchase'", "n1": "n1", "n2": "n2",
+          "d1": "ks_d", "d2": "ks_stat_scaled"}),
+        ("psi_drift", "agg_psi_drift",
+         {"grp": "'bucket_' || CAST(bucket AS STRING)", "d1": "p_view",
+          "d2": "p_purchase", "d3": "psi_term", "d4": "psi_total"}),
     ],
     tags=("agg", "distinct", "conditional", "outliers", "composite"),
 )
@@ -480,6 +486,9 @@ _composite(
          {"ts1": "day", "d1": "ewma"}),
         ("autocorr", "events_autocorr",
          {"i1": "lag_days", "n": "n_pairs", "d1": "autocorr"}),
+        ("anomaly_zscore", "events_anomaly_zscore",
+         {"s1": "d", "i1": "n_window", "n": "CAST(is_anomaly AS BIGINT)",
+          "d1": "z_score"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),
@@ -565,6 +574,9 @@ _composite(
          {"s1": "term", "n1": "rnk", "n2": "n", "d1": "coverage"}),
         ("feature_hash", "text_feature_hashing",
          {"k1": "doc_id", "n1": "dim", "n2": "weight"}),
+        ("zipf", "text_zipf_fit",
+         {"n1": "n_terms", "d1": "zipf_slope", "d2": "zipf_intercept",
+          "d3": "r2"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
           "redaction", "search", "composite"),

@@ -851,3 +851,69 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("total", "prev"), 6).alias("autocorr"),
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+  FROM events GROUP BY 1
+),
+roll AS (
+  SELECT d, total,
+         COUNT(*) OVER w AS n_window,
+         AVG(total) OVER w AS mu,
+         STDDEV_SAMP(total) OVER w AS sigma
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT d, total,
+       CAST(n_window AS INT) AS n_window,
+       ROUND(mu, 6) AS baseline_mean,
+       ROUND((total - mu) / sigma, 6) AS z_score,
+       CASE WHEN ABS((total - mu) / sigma) > 2 THEN TRUE ELSE FALSE END
+         AS is_anomaly
+FROM roll WHERE n_window >= 3
+""",
+    tags=("events", "time-series", "anomaly"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly screen on the daily event-value series:
+    each day scored against the trailing 7-day window EXCLUDING itself
+    (a self-inclusive window drags the baseline toward the anomaly it is
+    supposed to flag), |z| > 2 marked — the first-line data-quality
+    tripwire a corpus ingestion pipeline runs per partition-day before
+    accepting a drop.
+
+    The fact scan reduces to one row per day (exact decimal totals);
+    the trailing-frame window then runs over the tiny series. At fleet
+    scale the same plan partitions by (source, day) and the window rides
+    within source."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
+    ).agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
+    w = (
+        Window.partitionBy(F.spark_partition_id() * 0)
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    roll = daily.select(
+        "d",
+        "total",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.avg("total").over(w).alias("mu"),
+        F.stddev_samp("total").over(w).alias("sigma"),
+    )
+    z = (F.col("total") - F.col("mu")) / F.col("sigma")
+    return roll.where(F.col("n_window") >= 3).select(
+        "d",
+        "total",
+        F.col("n_window").cast("int").alias("n_window"),
+        F.round("mu", 6).alias("baseline_mean"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    )

@@ -1185,3 +1185,57 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_bigram_frac"
         ),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS c FROM tok WHERE token <> '' GROUP BY token),
+ranked AS (
+  SELECT token, c,
+         row_number() OVER (ORDER BY c DESC, token) AS rnk
+  FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(c), ln(rnk)), 6) AS zipf_slope,
+       ROUND(regr_intercept(ln(c), ln(rnk)), 6) AS zipf_intercept,
+       ROUND(regr_r2(ln(c), ln(rnk)), 6) AS r2
+FROM ranked WHERE rnk <= 100
+""",
+    tags=("text", "corpus-stats", "zipf"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS slope of
+    ln(freq) on ln(rank) for the top-100 terms — natural text sits near
+    slope -1; machine-generated or template-heavy corpora flatten or
+    steepen it, making this a one-number corpus-health check next to
+    the per-document repetition screens.
+
+    One explode -> one token count (map-side partial) -> top-100 by a
+    TakeOrderedAndProject-sized cut -> regression aggregates over 100
+    points. The regr_* builtins differ in accumulation order across
+    engines; 100 points at 1e-6 rounding absorbs that."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = freq.orderBy(F.desc("c"), "token").limit(100)
+    w = Window.partitionBy(F.col("c") % 1).orderBy(F.desc("c"), "token")
+    ranked = top.select(
+        "token", "c", F.row_number().over(w).alias("rnk")
+    )
+    lc, lr = F.log(F.col("c").cast("double")), F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("r2"),
+    )
