@@ -355,3 +355,27 @@ def test_plan_window_confs_restore(spark, sf_dir):
     QUERIES["join_cbo_reorder"].fn(spark, sf_dir)
     after = {k: spark.conf.get(k, None) for k in keys}
     assert after == before
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """text_chunk_overlap claims row-local chunking — the plan must not
+    contain any Exchange."""
+    plan = formatted_plan(QUERIES["text_chunk_overlap"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_naive_bayes_scoring_join_broadcasts(spark, sf_dir):
+    """The V x C model and priors must reach the token stream as
+    broadcast joins (the model-as-small-side posture), never a shuffle
+    join on token."""
+    df = QUERIES["ml_naive_bayes"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_ann_no_cartesian(spark, sf_dir):
+    """PQ encoding/scoring is equi-join only (subspace id, code) — a
+    CartesianProduct would mean the all-pairs path snuck back in."""
+    plan = formatted_plan(QUERIES["vec_pq_ann"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
