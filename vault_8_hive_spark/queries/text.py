@@ -17,6 +17,8 @@ vectorized via Arrow.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1238,4 +1240,71 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lc, lr), 6).alias("r2"),
+    )
+
+
+@register(
+    "text_unigram_xent",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+lm AS (
+  SELECT token, COUNT(*) AS c FROM tok2 GROUP BY token
+),
+tot AS (SELECT SUM(c) AS n FROM lm),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(ROUND(-ln(lm.c / tot.n), 9)) AS nll
+  FROM tok2 t JOIN lm ON lm.token = t.token CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(nll / n_tokens, 6) AS xent_per_token,
+       ROUND(nll / n_tokens / ln(2), 6) AS bits_per_token
+FROM scored
+""",
+    tags=("text", "quality", "language-model", "pipeline"),
+)
+def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram
+    language model: the cheap perplexity-proxy quality filter (the
+    CCNet/Gopher recipe uses a real LM; the unigram version is the
+    shuffle-light first cut) — documents whose tokens are corpus-typical
+    score low, gibberish and off-distribution text score high, and the
+    score is comparable across documents because it is per-token.
+
+    Plan: the LM IS a DataFrame (token -> count, one map-side-partial
+    aggregate), broadcast-joined back onto the token stream; per-doc
+    reduction follows. Each token's -ln p is rounded to 1e-9 BEFORE the
+    per-doc sum so both engines add identical doubles in any order (sum
+    of ~1e2 rounded terms stays exactly representable well past 1e-6);
+    the final per-token normalization rounds to 1e-6."""
+    prep(spark)
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").alias("n"))
+    term = F.round(-F.log(F.col("c") / F.col("n")), 9)
+    scored = (
+        tok.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(term).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("nll") / F.col("n_tokens"), 6).alias("xent_per_token"),
+        F.round(F.col("nll") / F.col("n_tokens") / math.log(2), 6).alias(
+            "bits_per_token"
+        ),
     )
