@@ -379,3 +379,11 @@ def test_pq_ann_no_cartesian(spark, sf_dir):
     CartesianProduct would mean the all-pairs path snuck back in."""
     plan = formatted_plan(QUERIES["vec_pq_ann"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_repetition_signals_shuffle_free(spark, sf_dir):
+    """The run-length HOF formulation must keep per-doc n-gram counting
+    row-local — no Exchange (the explode->groupBy version measured 9.9x
+    DuckDB at 25x; this shape halves the time and frees two shuffles)."""
+    plan = formatted_plan(QUERIES["text_repetition_signals"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
