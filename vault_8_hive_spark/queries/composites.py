@@ -577,6 +577,9 @@ _composite(
         ("zipf", "text_zipf_fit",
          {"n1": "n_terms", "d1": "zipf_slope", "d2": "zipf_intercept",
           "d3": "r2"}),
+        ("unigram_xent", "text_unigram_xent",
+         {"k1": "doc_id", "n1": "n_tokens", "d1": "xent_per_token",
+          "d2": "bits_per_token"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
           "redaction", "search", "composite"),

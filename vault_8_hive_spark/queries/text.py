@@ -1050,6 +1050,7 @@ SELECT doc_id,
 FROM s
 """,
     tags=("text", "chunking", "pipeline"),
+    bench=True,
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking with overlap (window=40 tokens,
