@@ -528,7 +528,8 @@ train AS (SELECT * FROM tok WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 
 test  AS (SELECT doc_id, token FROM tok
           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) > 'b'),
 classes AS (
-  SELECT source AS cls, COUNT(DISTINCT doc_id) AS n_docs FROM train GROUP BY 1
+  SELECT source AS cls, COUNT(*) AS n_docs FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' GROUP BY 1
 ),
 tot AS (SELECT SUM(n_docs) AS n FROM classes),
 vocab AS (SELECT DISTINCT token FROM train),
@@ -597,15 +598,21 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen'd re-scan+explode it saves. Cache plans, not cheap streams.
     train = tok.where(split <= "b")
     test = tok.where(split > "b").select("doc_id", "token")
-    classes = train.groupBy(F.col("source").alias("cls")).agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    # Class priors come from the DOC grain (no token explode needed);
+    # vocab and per-class token totals both derive from the one (token,
+    # class) count aggregate — the corpus is exploded exactly twice in
+    # the whole plan (model build + scoring join), down from four.
+    classes = (
+        docs.where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b")
+        .groupBy(F.col("source").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     tot = classes.agg(F.sum("n_docs").alias("n"))
-    vocab = train.select("token").distinct()
-    v = vocab.agg(F.count(F.lit(1)).alias("v"))
     tc = train.groupBy("token", F.col("source").alias("cls")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    vocab = tc.select("token").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("v"))
     class_tok = tc.groupBy("cls").agg(F.sum("c").alias("tot_tok"))
     model = (
         vocab.crossJoin(F.broadcast(classes.select("cls")))
