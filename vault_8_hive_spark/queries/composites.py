@@ -446,6 +446,12 @@ _composite(
         ("label_propagation", "graph_label_propagation",
          {"metric": "'lpa_' || CAST(community AS STRING)",
           "value": "CAST(n_members AS DOUBLE)", "n": "n_members"}),
+        ("degree_stats", "graph_degree_stats",
+         {"metric": "'degstats_' || CAST(max_degree AS STRING)",
+          "value": "assortativity", "n": "n_directed_edges"}),
+        ("item_cosine", "reco_item_cosine",
+         {"metric": "'reco_' || item_a || '>' || item_b",
+          "value": "cos_sim", "n": "n_ab"}),
     ],
     tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )

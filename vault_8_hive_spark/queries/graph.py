@@ -349,3 +349,80 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION
+  SELECT DISTINCT {_SUPP_BASE} + l_suppkey AS src, o_custkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+edeg AS (
+  SELECT ds.d AS d_src, dd.d AS d_dst
+  FROM edges e JOIN deg ds ON ds.node = e.src JOIN deg dd ON dd.node = e.dst
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_directed_edges,
+       CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_degree,
+       ROUND((SELECT AVG(d) FROM deg), 6) AS avg_degree,
+       ROUND((SELECT corr(d_src, d_dst) FROM edeg), 6) AS assortativity
+""",
+    tags=("graph", "statistics"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree statistics + degree assortativity of the trading graph:
+    the shape screen run before choosing graph algorithms — a heavy
+    right tail (max vs avg degree) says salt-the-hubs, and negative
+    assortativity (hubs attach to leaves, typical for bipartite-derived
+    graphs) says frontier sizes will spike early in any propagation.
+
+    Assortativity = Pearson correlation of endpoint degrees over the
+    directed edge list: degrees join back onto edges (two broadcastable
+    maps at dim scale, shuffle joins beyond), one corr aggregate.
+    Rounded to 1e-6."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.lit(_SUPP_BASE) + F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    edeg = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("d_src")), "src"
+        ).join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst")), "dst"
+        )
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        F.round(F.avg("d"), 6).alias("avg_degree"),
+    )
+    ecount = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"))
+    corr = edeg.agg(F.round(F.corr("d_src", "d_dst"), 6).alias("assortativity"))
+    return (
+        stats.crossJoin(F.broadcast(ecount))
+        .crossJoin(F.broadcast(corr))
+        .select("n_nodes", "n_directed_edges", "max_degree", "avg_degree", "assortativity")
+    )

@@ -644,3 +644,90 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", F.col("source").alias("actual")), "doc_id")
         .select("doc_id", F.col("cls").alias("predicted"), "actual", "score")
     )
+
+
+@register(
+    "reco_item_cosine",
+    oracle="""
+WITH prefs AS (
+  SELECT DISTINCT o_custkey AS u, p_brand AS item
+  FROM orders
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN part ON p_partkey = l_partkey
+),
+item_n AS (SELECT item, COUNT(*) AS n_u FROM prefs GROUP BY item),
+pair_n AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+  FROM prefs a JOIN prefs b ON a.u = b.u AND a.item <> b.item
+  GROUP BY item_a, item_b
+)
+SELECT item_a, item_b, CAST(rnk AS INT) AS rnk, n_ab, cos_sim FROM (
+  SELECT p.item_a, p.item_b, p.n_ab,
+         ROUND(p.n_ab / SQRT(ia.n_u * ib.n_u), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY p.item_a
+           ORDER BY ROUND(p.n_ab / SQRT(ia.n_u * ib.n_u), 6) DESC, p.item_b
+         ) AS rnk
+  FROM pair_n p
+  JOIN item_n ia ON ia.item = p.item_a
+  JOIN item_n ib ON ib.item = p.item_b
+) WHERE rnk <= 3
+""",
+    tags=("ml", "recommendation", "similarity", "pipeline"),
+)
+def reco_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative similarity (binary cosine over customer
+    preference vectors, top-3 neighbors per brand): the memory-based
+    recommender core — n_ab / sqrt(n_a * n_b) over the distinct
+    (customer, brand) preference matrix, the same co-occurrence shape a
+    'related items' or query-expansion stage runs over user-item logs.
+
+    Shape: distinct preferences (one shuffle), pair counts via the
+    per-user self-join (fan-out bounded by per-user distinct-item count
+    — at 100 TB cap or sample heavy users first, the standard
+    item-item discipline), broadcast item norms, per-item top-k window.
+    Similarities round to 1e-6 before ranking; item tie-break."""
+    prep(spark)
+    prefs = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            table(spark, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    item_n = prefs.groupBy("item").agg(F.count(F.lit(1)).alias("n_u"))
+    b = prefs.select(F.col("u").alias("u2"), F.col("item").alias("item_b"))
+    pair_n = (
+        prefs.join(b, (prefs.u == b.u2) & (prefs.item != b.item_b))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    scored = (
+        pair_n.join(
+            F.broadcast(item_n.select(F.col("item").alias("item_a"), F.col("n_u").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("item").alias("item_b"), F.col("n_u").alias("nb"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.sqrt(F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(F.desc("cos_sim"), "item_b")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("item_a", "item_b", F.col("rnk").cast("int").alias("rnk"), "n_ab", "cos_sim")
+    )
