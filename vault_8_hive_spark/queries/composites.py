@@ -284,6 +284,8 @@ _composite(
         ("except_all", "setop_except_all", _SETOP_MAP),
         ("distinct_rows", "dedup_full_row",
          {"row_str": _cat("o_orderstatus", "o_orderpriority", "order_year")}),
+        ("snapshot_diff", "table_snapshot_diff",
+         {"custkey": "n_rows", "row_str": _cat("status", "min_doc", "max_doc")}),
     ],
     tags=("setop", "dedup", "composite"),
 )
@@ -323,6 +325,9 @@ _composite(
         ("benford", "scalar_benford_digits",
          {"id1": "d", "id2": "n", "d1": "observed_p", "d2": "benford_p",
           "d3": "deviation"}),
+        ("feature_scaling", "feature_scaling",
+         {"id1": "p_partkey", "txt": "p_brand", "d1": "z_scaled",
+          "d2": "minmax_scaled", "d3": "quantile_rank"}),
     ],
     tags=("scalar", "string", "date", "math", "conditional", "profiling",
           "composite"),

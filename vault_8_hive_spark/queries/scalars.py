@@ -501,3 +501,64 @@ def scalar_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p - benford, 6).alias("deviation"),
         )
     )
+
+
+@register(
+    "feature_scaling",
+    oracle="""
+WITH stats AS (
+  SELECT p_brand,
+         AVG(p_retailprice) AS mu,
+         STDDEV_SAMP(p_retailprice) AS sigma,
+         MIN(p_retailprice) AS lo,
+         MAX(p_retailprice) AS hi
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_partkey, p.p_brand,
+       ROUND((p.p_retailprice - s.mu) / s.sigma, 6) AS z_scaled,
+       ROUND((p.p_retailprice - s.lo) / (s.hi - s.lo), 6) AS minmax_scaled,
+       ROUND(percent_rank() OVER (PARTITION BY p.p_brand
+                                  ORDER BY p.p_retailprice, p.p_partkey), 6)
+         AS quantile_rank
+FROM part p JOIN stats s ON s.p_brand = p.p_brand
+""",
+    tags=("scalar", "feature-engineering", "scaling"),
+)
+def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling, all three standard transforms in one
+    pass: z-score (standard), min-max, and rank-based quantile transform
+    of retail price within brand — the feature-preparation step between
+    a curated corpus and model training, grouped so every brand's scale
+    is its own.
+
+    Shape: one grouped moment aggregate broadcast back onto the fact
+    (z and min-max are pure projections after that), plus one window for
+    the rank transform partitioned on the same key — two exchanges
+    total, both on p_brand. The (price, partkey) window order makes the
+    quantile rank total and deterministic."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    part = table(spark, sf_dir, "part")
+    stats = part.groupBy("p_brand").agg(
+        F.avg("p_retailprice").alias("mu"),
+        F.stddev_samp("p_retailprice").alias("sigma"),
+        F.min("p_retailprice").alias("lo"),
+        F.max("p_retailprice").alias("hi"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.join(F.broadcast(stats), "p_brand")
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round((F.col("p_retailprice") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "z_scaled"
+            ),
+            F.round(
+                (F.col("p_retailprice") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+                6,
+            ).alias("minmax_scaled"),
+            F.round(F.percent_rank().over(w), 6).alias("quantile_rank"),
+        )
+    )

@@ -194,3 +194,86 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (metric, value)",
         )
     )
+
+
+@register(
+    "table_snapshot_diff",
+    oracle="""
+WITH prev AS (
+  SELECT doc_id, md5(text) AS row_hash FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 900000 AS doc_id, md5(text) AS row_hash
+  FROM documents WHERE doc_id % 11 = 0
+),
+cur AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0
+                  THEN regexp_replace(text, '^[^ ]+', 'EDITED')
+                  ELSE text END) AS row_hash
+  FROM documents
+),
+d AS (
+  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN p.row_hash <> c.row_hash THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id
+)
+SELECT status, COUNT(*) AS n_rows,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM d GROUP BY status
+""",
+    tags=("setops", "diff", "audit", "versioning"),
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions (the audit a versioned
+    lake runs after every ingest): full-outer join on the key, row-level
+    md5 comparison classifies added / removed / changed / unchanged.
+    The 'previous' version is derived deterministically (every 13th doc
+    missing from it -> added; every 7th edited -> changed; a shifted
+    slice present only in it -> removed) so all four classes are
+    exercised.
+
+    Scale: ONE co-partitioned full-outer join on the key plus an md5 per
+    row — at 100 TB both sides bucket by the key so the join is
+    exchange-free, and the md5 rides the scan. The per-status rollup is
+    a 4-row aggregate."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    prev = (
+        docs.where(F.col("doc_id") % 13 != 0)
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("row_hash"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 900000).alias("doc_id"),
+                F.md5(F.col("text").cast("binary")).alias("row_hash"),
+            )
+        )
+    )
+    cur = docs.select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.regexp_replace("text", "^[^ ]+", "EDITED"),
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("row_hash"),
+    )
+    p = prev.alias("p")
+    c = cur.alias("c")
+    d = p.join(c, F.col("p.doc_id") == F.col("c.doc_id"), "full_outer").select(
+        F.coalesce("p.doc_id", "c.doc_id").alias("doc_id"),
+        F.when(F.col("p.doc_id").isNull(), "added")
+        .when(F.col("c.doc_id").isNull(), "removed")
+        .when(F.col("p.row_hash") != F.col("c.row_hash"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
