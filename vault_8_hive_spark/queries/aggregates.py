@@ -1469,3 +1469,138 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 9).alias("psi_term"),
         F.round(F.sum(term).over(w), 6).alias("psi_total"),
     )
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+WITH per_k AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c, user_id) AS rnk FROM per_k
+),
+n AS (SELECT COUNT(*) AS nk, SUM(c) AS total FROM per_k),
+topk AS (
+  SELECT SUM(c) AS top10 FROM (
+    SELECT c FROM per_k ORDER BY c DESC, user_id LIMIT 10
+  )
+)
+SELECT CAST(n.nk AS BIGINT) AS n_keys,
+       CAST(n.total AS BIGINT) AS n_rows,
+       ROUND((SELECT MAX(c) FROM per_k) / CAST(n.total AS DOUBLE), 6)
+         AS max_key_share,
+       ROUND(topk.top10 / CAST(n.total AS DOUBLE), 6) AS top10_share,
+       ROUND(2.0 * (SELECT SUM(rnk * c) FROM ranked) / (n.nk * n.total)
+             - (n.nk + 1.0) / n.nk, 6) AS gini
+FROM n, topk
+""",
+    tags=("aggregate", "diagnostics", "skew"),
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic for a prospective join/groupBy key:
+    max single-key share, top-10-key share, and the Gini coefficient of
+    per-key counts — the numbers that decide between a plain shuffle,
+    AQE skew-join, and hot-key salting BEFORE the expensive job runs
+    (tools/skew_probe.py measures the mitigations; this query measures
+    the need).
+
+    Shape: one map-side-partial count per key; the Gini rank-sum runs
+    over the DISTINCT-KEY table (same value-domain discipline as
+    agg_mann_whitney — rows are never ranked), top-10 is a
+    TakeOrderedAndProject. Deterministic: rank and top-k orders carry
+    key tie-breaks, shares round to 1e-6."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    per_k = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(F.spark_partition_id() * 0).orderBy("c", "user_id")
+    ranked = per_k.withColumn("rnk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("mx"),
+        F.sum(F.col("rnk") * F.col("c")).alias("rank_sum"),
+    )
+    top10 = (
+        per_k.orderBy(F.desc("c"), "user_id")
+        .limit(10)
+        .agg(F.sum("c").alias("top10"))
+    )
+    return agg.crossJoin(F.broadcast(top10)).select(
+        F.col("nk").cast("bigint").alias("n_keys"),
+        F.col("total").cast("bigint").alias("n_rows"),
+        F.round(F.col("mx") / F.col("total").cast("double"), 6).alias(
+            "max_key_share"
+        ),
+        F.round(F.col("top10") / F.col("total").cast("double"), 6).alias(
+            "top10_share"
+        ),
+        F.round(
+            2.0 * F.col("rank_sum") / (F.col("nk") * F.col("total"))
+            - (F.col("nk") + 1.0) / F.col("nk"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "diag_join_cardinality",
+    oracle="""
+WITH o AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+c AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY c_custkey),
+j AS (SELECT o.k, o.c * c.c AS pairs FROM o JOIN c ON o.k = c.k)
+SELECT CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_left_keys,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_right_keys,
+       CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS n_shared_keys,
+       CAST((SELECT SUM(pairs) FROM j) AS BIGINT) AS est_join_rows,
+       CAST((SELECT MAX(pairs) FROM j) AS BIGINT) AS max_key_pairs
+""",
+    tags=("aggregate", "diagnostics", "join", "cardinality"),
+)
+def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality from key histograms WITHOUT running
+    the join: |A join B| = sum over shared keys of cnt_A * cnt_B — the
+    dry-run a pipeline author (or an orchestrator gate) uses to catch a
+    fan-out blowup before paying for it, and the per-key max that flags
+    which key would explode.
+
+    Shape: two per-key counts (each map-side partial) joined on the key
+    — the histograms are |keys|-sized, typically orders of magnitude
+    smaller than the tables; the estimate aggregate is a scalar. This
+    is the same statistic CBO's ANALYZE keeps approximately
+    (join_cbo_reorder); here it is exact and on-demand."""
+    prep(spark)
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("oc"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    j = o.join(c, "k").select("k", (F.col("oc") * F.col("cc")).alias("pairs"))
+    lo = o.agg(F.count(F.lit(1)).alias("n_left_keys"))
+    rc = c.agg(F.count(F.lit(1)).alias("n_right_keys"))
+    js = j.agg(
+        F.count(F.lit(1)).alias("n_shared_keys"),
+        F.sum("pairs").alias("est_join_rows"),
+        F.max("pairs").alias("max_key_pairs"),
+    )
+    return (
+        lo.crossJoin(F.broadcast(rc))
+        .crossJoin(F.broadcast(js))
+        .select(
+            F.col("n_left_keys").cast("bigint").alias("n_left_keys"),
+            F.col("n_right_keys").cast("bigint").alias("n_right_keys"),
+            F.col("n_shared_keys").cast("bigint").alias("n_shared_keys"),
+            F.col("est_join_rows").cast("bigint").alias("est_join_rows"),
+            F.col("max_key_pairs").cast("bigint").alias("max_key_pairs"),
+        )
+    )

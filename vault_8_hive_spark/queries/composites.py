@@ -129,6 +129,12 @@ _composite(
         ("psi_drift", "agg_psi_drift",
          {"grp": "'bucket_' || CAST(bucket AS STRING)", "d1": "p_view",
           "d2": "p_purchase", "d3": "psi_term", "d4": "psi_total"}),
+        ("key_skew", "diag_key_skew",
+         {"grp": "'events_user_id'", "n1": "n_keys", "n2": "n_rows",
+          "d1": "max_key_share", "d2": "top10_share", "d3": "gini"}),
+        ("join_cardinality", "diag_join_cardinality",
+         {"grp": "'orders_x_customer'", "n1": "n_shared_keys",
+          "n2": "est_join_rows", "d1": "CAST(max_key_pairs AS DOUBLE)"}),
     ],
     tags=("agg", "distinct", "conditional", "outliers", "composite"),
 )
