@@ -734,8 +734,12 @@ _composite(
          {"k1": "qtr", "k2": "n_orders", "s1": "tier", "d1": "total"}),
         ("sql_scripting", "sql_scripting_block",
          {"s1": "bucket", "k1": "n", "d1": "total"}),
+        ("pipe_syntax", "sql_pipe_syntax",
+         {"s1": "c_mktsegment || '|' || o_orderpriority", "k1": "n_orders",
+          "d1": "total"}),
     ],
-    tags=("udf", "scalar", "pandas", "grouped-map", "udtf", "composite"),
+    tags=("udf", "scalar", "pandas", "grouped-map", "udtf", "pipe-syntax",
+          "composite"),
 )
 
 # --- domain -----------------------------------------------------------------

@@ -601,3 +601,45 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     register_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL)
+
+
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderstatus <> 'F'
+|> JOIN customer ON o_custkey = c_custkey
+|> AGGREGATE COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE)
+               AS total
+   GROUP BY c_mktsegment, o_orderpriority
+|> WHERE n_orders > 5
+|> SELECT c_mktsegment, o_orderpriority, n_orders, total
+"""
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE)
+         AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus <> 'F'
+GROUP BY c_mktsegment, o_orderpriority
+HAVING COUNT(*) > 5
+""",
+    tags=("sql-text", "pipe-syntax", "agg", "join"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0's `|>` operator chain, the
+    GoogleSQL-style linear form): FROM ... |> WHERE |> JOIN |>
+    AGGREGATE |> WHERE — each stage consumes the previous one in
+    reading order, the post-aggregate WHERE replacing HAVING. The
+    oracle runs the equivalent classic ANSI text in DuckDB: same
+    relational algebra, hash-identical result, demonstrating the pipe
+    form is surface, not semantics — Catalyst plans both identically
+    (same pushdown, same broadcast)."""
+    from ..catalog import register_views
+
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SQL)
