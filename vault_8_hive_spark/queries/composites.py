@@ -737,6 +737,8 @@ _composite(
         ("pipe_syntax", "sql_pipe_syntax",
          {"s1": "c_mktsegment || '|' || o_orderpriority", "k1": "n_orders",
           "d1": "total"}),
+        ("parameterized", "sql_parameterized",
+         {"s1": "o_orderpriority", "k1": "n_orders", "d1": "total"}),
     ],
     tags=("udf", "scalar", "pandas", "grouped-map", "udtf", "pipe-syntax",
           "composite"),

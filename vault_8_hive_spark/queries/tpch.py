@@ -643,3 +643,39 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     register_views(spark, sf_dir)
     return spark.sql(_PIPE_SQL)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_totalprice >= 1000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    tags=("sql-text", "parameterized", "agg"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql(text, args=...)): named :parameters
+    bound server-side — the injection-safe API a migrating application
+    layer uses instead of string interpolation. Parameters bind as
+    literals BEFORE analysis, so Catalyst constant-folds and pushes them
+    down exactly like hand-written literals (the oracle runs the
+    equivalent literal text)."""
+    from ..catalog import register_views
+
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+GROUP BY o_orderpriority
+""",
+        args={"min_price": 1000.0, "status": "O"},
+    )
