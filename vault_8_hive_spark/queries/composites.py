@@ -597,6 +597,8 @@ _composite(
         ("unigram_xent", "text_unigram_xent",
          {"k1": "doc_id", "n1": "n_tokens", "d1": "xent_per_token",
           "d2": "bits_per_token"}),
+        ("bpe_merge", "text_bpe_merge_round",
+         {"s1": "pair", "n1": "n", "n2": "rnk"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
           "redaction", "search", "composite"),

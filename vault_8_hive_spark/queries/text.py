@@ -1331,3 +1331,64 @@ def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bits_per_token"
         ),
     )
+
+
+@register(
+    "text_bpe_merge_round",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wf AS (SELECT w, COUNT(*) AS freq FROM tok WHERE len(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, freq
+  FROM wf, unnest(generate_series(1, len(w) - 1)) AS g(i)
+),
+pc AS (SELECT pair, SUM(freq) AS n FROM pairs GROUP BY pair)
+SELECT pair, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk FROM (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk FROM pc
+) WHERE rnk <= 20
+""",
+    tags=("text", "tokenize", "bpe", "pipeline"),
+)
+def text_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round: corpus-weighted adjacent-symbol pair
+    frequencies over the word vocabulary, ranked — the argmax IS the
+    next merge rule, and iterating this query (symbols growing per
+    round) is exactly how a BPE vocabulary is trained from a corpus.
+    One round is registered because each round is the same plan over a
+    re-encoded vocabulary; the iteration is a driver loop like kmeans.
+
+    Shape: the pair stats run over the WORD-FREQUENCY table, not the
+    corpus — the explode->count collapses 100 TB of text to |vocab|
+    rows first, and every later round touches only that vocabulary
+    (the standard trick that makes corpus BPE training tractable).
+    Pair extraction is substring over an index sequence — identical
+    arithmetic in both engines, no split-on-empty edge cases."""
+    prep(spark)
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+    )
+    wf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # substr with a column start position: expressed via expr (the
+    # F.substring python signature takes int positions only).
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.spark_partition_id() * 0).orderBy(
+        F.desc("n"), "pair"
+    )
+    return (
+        pc.orderBy(F.desc("n"), "pair")
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w))
+        .select("pair", F.col("n").cast("bigint").alias("n"), F.col("rnk").cast("int").alias("rnk"))
+    )
