@@ -707,6 +707,9 @@ _composite(
         ("recall", "vec_ann_recall",
          {"s1": "method", "a": "qid", "i1": "n_hits", "i2": "n_candidates",
           "d1": "recall_at_10"}),
+        ("semdedup", "vec_semdedup",
+         {"s1": "bucket", "a": "n_vecs", "b": "sample_keeper",
+          "i1": "CAST(n_dup_pairs AS INT)", "i2": "CAST(n_pruned AS INT)"}),
     ],
     tags=("vectors", "lsh", "dedup", "similarity", "recall", "composite"),
 )

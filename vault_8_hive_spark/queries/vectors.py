@@ -1162,3 +1162,105 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(pick)
     return out.select(F.col("rnk").cast("int").alias("rnk"), "vec_id", "rel", "mmr")
+
+
+# --- semantic dedup (SemDeDup shape) ---------------------------------------
+
+_SEMDEDUP_TAU = 0.98
+_SEMDEDUP_SHIFT = 5000
+
+_O_SIM_AB_D = (
+    "ROUND(list_sum(list_transform(generate_series(1, 64), "
+    "i -> a.embedding[i] * b.embedding[i])) "
+    "/ (sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> a.embedding[i] * a.embedding[i]))) "
+    "* sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> b.embedding[i] * b.embedding[i])))), 6)"
+)
+
+
+@register(
+    "vec_semdedup",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SEMDEDUP_SHIFT} AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1) AS embedding
+  FROM embeddings WHERE vec_id % 9 = 0
+),
+sigs AS (SELECT vec_id, embedding, ({_O_SIG}) AS bucket FROM corpus),
+pairs AS (
+  SELECT a.bucket, a.vec_id AS keep_id, b.vec_id AS prune_id,
+         {_O_SIM_AB_D} AS sim
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_O_SIM_AB_D} >= {_SEMDEDUP_TAU}
+),
+pruned AS (SELECT bucket, COUNT(DISTINCT prune_id) AS n_pruned,
+                  COUNT(*) AS n_dup_pairs, MIN(keep_id) AS sample_keeper
+           FROM pairs GROUP BY bucket),
+bsz AS (SELECT bucket, COUNT(*) AS n_vecs FROM sigs GROUP BY bucket)
+SELECT b.bucket, CAST(b.n_vecs AS BIGINT) AS n_vecs,
+       CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(p.n_pruned, 0) AS BIGINT) AS n_pruned,
+       p.sample_keeper
+FROM bsz b LEFT JOIN pruned p ON p.bucket = b.bucket
+""",
+    tags=("vectors", "dedup", "lsh", "semdedup", "pipeline"),
+)
+def vec_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-shaped (Abbas et al. 2023):
+    partition the corpus by a coarse semantic bucket, then prune
+    within-bucket pairs above a cosine threshold (tau=0.98), keeping
+    the lower vec_id. The coarse stage here is the hyperplane-LSH
+    signature (sign patterns are scale-invariant, so a near-duplicate
+    embedding lands in its original's bucket BY CONSTRUCTION — the
+    property that makes bucket-local pruning sound); the paper's
+    k-means coarse stage plugs in via operators/kmeans.py identically.
+    The corpus is unioned with scaled copies of every 9th vector
+    (cosine exactly 1) so the pruner has true positives.
+
+    Scale: pairwise similarity runs within buckets only — the quadratic
+    term is bounded by bucket size, never corpus size; per-bucket
+    reports aggregate map-side. All sims round to 1e-6 before the
+    threshold."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", to_double("embedding").alias("embedding"))
+    mutated = emb.where(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + _SEMDEDUP_SHIFT).alias("vec_id"),
+        F.transform(to_double("embedding"), lambda x: x * 1.1).alias("embedding"),
+    )
+    corpus = base.unionByName(mutated)
+    sigs = corpus.select(
+        "vec_id", "embedding", lsh_signature(F.col("embedding"), PLANES).alias("bucket")
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("prune_id"),
+        F.col("embedding").alias("e_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        sigs.join(b, (sigs.bucket == b.bucket_b) & (sigs.vec_id < b.prune_id))
+        .select(
+            "bucket",
+            F.col("vec_id").alias("keep_id"),
+            "prune_id",
+            F.round(cosine(F.col("embedding"), F.col("e_b")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= _SEMDEDUP_TAU)
+    )
+    pruned = pairs.groupBy("bucket").agg(
+        F.countDistinct("prune_id").alias("n_pruned"),
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.min("keep_id").alias("sample_keeper"),
+    )
+    bsz = sigs.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return bsz.join(pruned, "bucket", "left").select(
+        "bucket",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+        F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
+        "sample_keeper",
+    )
