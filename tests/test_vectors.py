@@ -150,3 +150,19 @@ def test_mmr_is_greedy_optimal_per_round(spark, sf_dir):
         )
 
     assert max_pair_sim(sel) <= max_pair_sim(cand[:5]) + 1e-9
+
+
+def test_semdedup_prunes_all_planted_duplicates(spark, sf_dir):
+    """Every scaled copy (cosine exactly 1 with its original) must be
+    pruned, and nothing in a singleton bucket may be pruned."""
+    from vault_8_hive_spark.queries import all_queries
+
+    out = all_queries()["vec_semdedup"].fn(spark, sf_dir).toPandas()
+    n_planted = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        "vec_id % 9 = 0"
+    ).count()
+    assert out.n_pruned.sum() >= n_planted, (out.n_pruned.sum(), n_planted)
+    singletons = out[out.n_vecs == 1]
+    assert (singletons.n_pruned == 0).all()
+    # Keeper is always lower than the shift band where a pair exists.
+    assert (out[out.n_dup_pairs > 0].sample_keeper < 5000).all()

@@ -506,6 +506,8 @@ _composite(
         ("anomaly_zscore", "events_anomaly_zscore",
          {"s1": "d", "i1": "n_window", "n": "CAST(is_anomaly AS BIGINT)",
           "d1": "z_score"}),
+        ("cusum", "events_cusum_changepoint",
+         {"s1": "d", "n": "CAST(is_extreme AS BIGINT)", "d1": "cusum"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),

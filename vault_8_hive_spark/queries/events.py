@@ -917,3 +917,69 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 2).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+  FROM events GROUP BY 1
+),
+m AS (SELECT ROUND(AVG(total), 6) AS mu FROM daily),
+dev AS (
+  SELECT d, total, ROUND(total - m.mu, 6) AS dev,
+         SUM(ROUND(total - m.mu, 6)) OVER (ORDER BY d) AS cusum
+  FROM daily, m
+),
+ext AS (
+  SELECT MAX(cusum) AS mx, MIN(cusum) AS mn FROM dev
+)
+SELECT d, total, ROUND(dev, 6) AS dev, ROUND(cusum, 6) AS cusum,
+       CASE WHEN cusum = ext.mx OR cusum = ext.mn THEN TRUE ELSE FALSE END
+         AS is_extreme
+FROM dev, ext
+""",
+    tags=("events", "time-series", "changepoint"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen on the daily series: cumulative sum of
+    mean deviations — a sustained level shift bends the cusum path, and
+    its extremes locate the most likely change points (the
+    bootstrap-free core of change-point detection, run before alerting
+    or segmenting a metric). Deviations round to 1e-6 BEFORE the
+    cumulative sum so both engines accumulate identical doubles in the
+    same (date) order — the running sum is then deterministic, not just
+    tolerant.
+
+    Shape: fact -> one daily rollup (exact decimal), then windows over
+    the 30-row series; at fleet scale partition by (source) and the
+    cusum rides within each."""
+    prep(spark)
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
+        .agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
+    )
+    mu = daily.agg(F.round(F.avg("total"), 6).alias("mu"))
+    w = (
+        Window.partitionBy(F.spark_partition_id() * 0)
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = (
+        daily.crossJoin(F.broadcast(mu))
+        .withColumn("dev", F.round(F.col("total") - F.col("mu"), 6))
+        .withColumn("cusum", F.sum("dev").over(w))
+    )
+    ext = dev.agg(F.max("cusum").alias("mx"), F.min("cusum").alias("mn"))
+    return dev.crossJoin(F.broadcast(ext)).select(
+        "d",
+        "total",
+        F.round("dev", 6).alias("dev"),
+        F.round("cusum", 6).alias("cusum"),
+        ((F.col("cusum") == F.col("mx")) | (F.col("cusum") == F.col("mn"))).alias(
+            "is_extreme"
+        ),
+    )
