@@ -983,3 +983,131 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_extreme"
         ),
     )
+
+
+@register(
+    "events_gapfill_lerp",
+    oracle="""
+WITH ev AS (SELECT * FROM events WHERE user_id < 50),
+b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM ev GROUP BY user_id),
+spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+ranked AS (SELECT user_id, date_trunc('hour', ts) AS hour, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM ev),
+hourly AS (SELECT user_id, hour, MAX(CASE WHEN rn = 1 THEN value END) AS v
+           FROM ranked GROUP BY user_id, hour),
+j AS (
+  SELECT s.user_id, s.hour, h.v,
+         last_value(h.v IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN h.v IS NOT NULL THEN s.hour END IGNORE NULLS)
+           OVER w_prev AS ph,
+         first_value(h.v IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN h.v IS NOT NULL THEN s.hour END IGNORE NULLS)
+           OVER w_next AS nh
+  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+  WINDOW w_prev AS (PARTITION BY s.user_id ORDER BY s.hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY s.user_id ORDER BY s.hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hour,
+       CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL AND ph <> nh THEN
+           ((CAST(ROUND(pv * 100, 0) AS BIGINT)
+               * CAST(date_part('epoch', nh) - date_part('epoch', ph) AS BIGINT)
+             + (CAST(ROUND(nv * 100, 0) AS BIGINT)
+                - CAST(ROUND(pv * 100, 0) AS BIGINT))
+               * CAST(date_part('epoch', hour) - date_part('epoch', ph) AS BIGINT))
+            * 1000000
+            + (CAST(date_part('epoch', nh) - date_part('epoch', ph) AS BIGINT) * 100)
+              // 2)
+           // (CAST(date_part('epoch', nh) - date_part('epoch', ph) AS BIGINT) * 100)
+           / 1000000.0
+         WHEN pv IS NOT NULL THEN pv
+         ELSE nv END AS lerp_value,
+       (v IS NULL) AS was_gap
+FROM j
+""",
+    tags=("events", "timeseries", "gapfill", "resample"),
+)
+def events_gapfill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR interpolation (the numeric dual of the LOCF
+    fill): each missing hour takes the time-weighted blend of its
+    flanking observed values — the resampling rule for continuous
+    metrics (rates, temperatures) where carrying the last observation
+    forward biases the series. Edges fall back to the nearest known
+    value (one-sided extrapolation hold).
+
+    Shape: identical spine join as LOCF, then two IGNORE NULLS windows
+    per user (previous and next known value + their hours) and one
+    closed-form blend — no self-join, no explode of gap runs. Rounds to
+    1e-6; the blend is O(1) arithmetic on identically-derived inputs."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    b = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = b.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    wr = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        ev.withColumn("rn", F.row_number().over(wr))
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v"))
+    )
+    j = spine.join(hourly, ["user_id", "hour"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    j = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("ph", F.last(known_hour, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("nh", F.first(known_hour, ignorenulls=True).over(w_next))
+    )
+    # The blend AND its 1e-6 rounding run entirely on exact integers
+    # (cent-scaled values x whole-second offsets; half-up = +den/2 before
+    # the floor-div), with one final divide by 1e6 whose result is an
+    # exactly-representable double. A float blend measured a half-ulp
+    # apart at the rounding boundary (x.xxxxxx5 rounds differently on
+    # doubles across engines); integers cannot drift.
+    micro = F.expr(
+        "((CAST(ROUND(pv * 100, 0) AS BIGINT) * (unix_timestamp(nh) - unix_timestamp(ph))"
+        " + (CAST(ROUND(nv * 100, 0) AS BIGINT) - CAST(ROUND(pv * 100, 0) AS BIGINT))"
+        "   * (unix_timestamp(hour) - unix_timestamp(ph))) * 1000000"
+        " + ((unix_timestamp(nh) - unix_timestamp(ph)) * 100) DIV 2)"
+        " DIV ((unix_timestamp(nh) - unix_timestamp(ph)) * 100)"
+    )
+    lerp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("ph") != F.col("nh")),
+            micro / 1_000_000.0,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return j.select(
+        "user_id",
+        "hour",
+        F.round(lerp, 6).alias("lerp_value"),
+        F.col("v").isNull().alias("was_gap"),
+    )
