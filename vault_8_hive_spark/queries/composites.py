@@ -334,6 +334,13 @@ _composite(
         ("feature_scaling", "feature_scaling",
          {"id1": "p_partkey", "txt": "p_brand", "d1": "z_scaled",
           "d2": "minmax_scaled", "d3": "quantile_rank"}),
+        ("dq_expectations", "dq_expectations",
+         {"id1": "rule_id", "id2": "n_violations",
+          "txt": _cat("rule", "passed", "n_rows")}),
+        ("k_anonymity", "privacy_k_anonymity",
+         {"id1": "n_groups", "id2": "n_small_groups",
+          "txt": _cat("k_anonymity", "n_reidentifiable_rows"),
+          "d1": "reident_fraction"}),
     ],
     tags=("scalar", "string", "date", "math", "conditional", "profiling",
           "composite"),

@@ -562,3 +562,154 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 6).alias("quantile_rank"),
         )
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+WITH src AS (SELECT * FROM orders),
+checks AS (
+  SELECT 1 AS rule_id, 'o_orderkey_unique' AS rule,
+         (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM src) AS n_violations,
+         (SELECT COUNT(*) FROM src) AS n_rows
+  UNION ALL
+  SELECT 2, 'o_totalprice_positive',
+         (SELECT COUNT(*) FROM src WHERE o_totalprice <= 0
+                                      OR o_totalprice IS NULL),
+         (SELECT COUNT(*) FROM src)
+  UNION ALL
+  SELECT 3, 'o_orderstatus_in_set',
+         (SELECT COUNT(*) FROM src
+          WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+             OR o_orderstatus IS NULL),
+         (SELECT COUNT(*) FROM src)
+  UNION ALL
+  SELECT 4, 'o_custkey_not_null',
+         (SELECT COUNT(*) FROM src WHERE o_custkey IS NULL),
+         (SELECT COUNT(*) FROM src)
+  UNION ALL
+  SELECT 5, 'o_orderdate_in_range',
+         (SELECT COUNT(*) FROM src
+          WHERE o_orderdate < TIMESTAMP '1992-01-01'
+             OR o_orderdate >= TIMESTAMP '2000-01-01'),
+         (SELECT COUNT(*) FROM src)
+)
+SELECT CAST(rule_id AS INT) AS rule_id, rule,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       (n_violations = 0) AS passed
+FROM checks
+""",
+    tags=("scalar", "data-quality", "expectations", "audit"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the dbt-test / Great-Expectations
+    shape): uniqueness, positivity, domain membership, not-null, and
+    date-range contracts evaluated as ONE pass over the table, one
+    result row per rule with its violation count — the gate an ingest
+    pipeline runs before publishing a partition.
+
+    Shape: every rule is a conditional aggregate over the same scan, so
+    Catalyst collapses the suite into a single read + one aggregate
+    (violations are COUNT(CASE...)s, uniqueness is count - distinct);
+    adding a rule adds a column, not a pass."""
+    prep(spark)
+    src = table(spark, sf_dir, "orders")
+    agg = src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v1"),
+        F.count(
+            F.when(
+                (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull(), 1
+            )
+        ).alias("v2"),
+        F.count(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P")
+                | F.col("o_orderstatus").isNull(),
+                1,
+            )
+        ).alias("v3"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("v4"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("v5"),
+    )
+    rules = [
+        (1, "o_orderkey_unique", "v1"),
+        (2, "o_totalprice_positive", "v2"),
+        (3, "o_orderstatus_in_set", "v3"),
+        (4, "o_custkey_not_null", "v4"),
+        (5, "o_orderdate_in_range", "v5"),
+    ]
+    out = None
+    for rid, name, col in rules:
+        row = agg.select(
+            F.lit(rid).cast("int").alias("rule_id"),
+            F.lit(name).alias("rule"),
+            F.col(col).cast("bigint").alias("n_violations"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+WITH q AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(FLOOR(c_acctbal / 2000.0) AS INT) AS bal_band,
+         COUNT(*) AS group_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END) AS BIGINT)
+         AS n_reidentifiable_rows,
+       CAST(MIN(group_size) AS BIGINT) AS k_anonymity,
+       ROUND(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+             / CAST(SUM(group_size) AS DOUBLE), 6) AS reident_fraction
+FROM q
+""",
+    tags=("scalar", "privacy", "k-anonymity", "audit"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (segment x
+    nation x coarse balance band): the dataset's k is the SMALLEST
+    group size — any group under the threshold (k=5 here) marks rows a
+    linkage attack could re-identify, the check a privacy review runs
+    before a dataset leaves the boundary (and before deciding how much
+    to generalize the bands).
+
+    Shape: one groupBy on the quasi-identifier tuple, then a 5-number
+    summary over the group-size table — the audit costs one shuffle
+    however wide the table."""
+    prep(spark)
+    q = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 2000.0).cast("int").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    small = F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(0)
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("group_size") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_groups"),
+        F.sum(small).cast("bigint").alias("n_reidentifiable_rows"),
+        F.min("group_size").cast("bigint").alias("k_anonymity"),
+        F.round(F.sum(small) / F.sum("group_size").cast("double"), 6).alias(
+            "reident_fraction"
+        ),
+    )
