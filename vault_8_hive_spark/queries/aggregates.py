@@ -1604,3 +1604,67 @@ def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_key_pairs").cast("bigint").alias("max_key_pairs"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH per_v AS (
+  SELECT l_returnflag, l_extendedprice AS v, SUM(l_quantity) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+cum AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM per_v
+)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN cw >= tw / 2 THEN v END) AS DOUBLE)
+         AS weighted_median,
+       CAST(MIN(CASE WHEN cw >= tw * 0.9 THEN v END) AS DOUBLE)
+         AS weighted_p90,
+       CAST(ROUND(MAX(tw), 4) AS DOUBLE) AS total_weight
+FROM cum GROUP BY l_returnflag
+""",
+    tags=("aggregate", "percentile", "weighted"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (median and p90 of price, weighted by
+    quantity): the estimator a cost/latency analysis needs when each
+    observation represents a different volume — the builtin percentile
+    family is unweighted. Defined as the smallest value whose cumulative
+    weight reaches the target fraction (type-1, exact).
+
+    Same value-domain reduction as the rank statistics: one groupBy
+    collapses rows to (value, total-weight), cumulative windows run per
+    group over distinct values, and the answer is a conditional MIN —
+    rows are never sorted. Weights sum as quantities (exact 2-decimal
+    fixed-point, so the cumulative sums are exact)."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    per_v = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.col("l_extendedprice").alias("v"))
+        .agg(F.sum(scaled_long("l_quantity")).alias("w"))
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = per_v.withColumn("cw", F.sum("w").over(wc)).withColumn(
+        "tw", F.sum("w").over(wt)
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cw") >= F.col("tw") / 2, F.col("v")))
+        .cast("double")
+        .alias("weighted_median"),
+        F.min(F.when(F.col("cw") >= F.col("tw") * 0.9, F.col("v")))
+        .cast("double")
+        .alias("weighted_p90"),
+        long_sum(F.max("tw"), 2).alias("total_weight"),
+    )

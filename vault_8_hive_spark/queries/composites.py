@@ -129,6 +129,9 @@ _composite(
         ("psi_drift", "agg_psi_drift",
          {"grp": "'bucket_' || CAST(bucket AS STRING)", "d1": "p_view",
           "d2": "p_purchase", "d3": "psi_term", "d4": "psi_total"}),
+        ("weighted_median", "agg_weighted_median",
+         {"grp": "l_returnflag", "d1": "weighted_median",
+          "d2": "weighted_p90", "d3": "total_weight"}),
         ("key_skew", "diag_key_skew",
          {"grp": "'events_user_id'", "n1": "n_keys", "n2": "n_rows",
           "d1": "max_key_share", "d2": "top10_share", "d3": "gini"}),
@@ -515,6 +518,12 @@ _composite(
           "d1": "z_score"}),
         ("cusum", "events_cusum_changepoint",
          {"s1": "d", "n": "CAST(is_extreme AS BIGINT)", "d1": "cusum"}),
+        ("interval_union", "events_interval_union",
+         {"i1": "CAST(user_id AS INT)", "n": "covered_us",
+          "d1": "CAST(n_islands AS DOUBLE)", "ts1": "NULL"}),
+        ("gapfill_lerp", "events_gapfill_lerp",
+         {"ts1": "hour", "i1": "CAST(user_id AS INT)",
+          "n": "CAST(was_gap AS BIGINT)", "d1": "lerp_value"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),

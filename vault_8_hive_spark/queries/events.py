@@ -1111,3 +1111,84 @@ def events_gapfill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lerp, 6).alias("lerp_value"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "events_interval_union",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+  FROM events WHERE user_id < 50
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+merged AS (
+  SELECT user_id, island, MIN(s) AS island_s, MAX(e) AS island_e
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(epoch_us(island_e) - epoch_us(island_s)) AS BIGINT)
+         AS covered_us,
+       CAST(MAX(epoch_us(island_e) - epoch_us(island_s)) AS BIGINT)
+         AS longest_us
+FROM merged GROUP BY user_id
+""",
+    tags=("events", "interval", "islands", "coverage"),
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event opens a 10-minute activity
+    interval; overlapping intervals merge into islands and the per-user
+    total covered time, island count, and longest stretch come out —
+    the utilization/uptime computation (how long was each machine
+    actually busy) that naive SUM(duration) double-counts whenever
+    intervals overlap.
+
+    The islands idiom at scale: one shuffle on user_id, a running-MAX
+    window closes an island exactly when the next start clears every
+    prior end, a cumulative sum numbers the islands, and two grouped
+    aggregates finish — no self-join, no interval explosion. Durations
+    are whole-microsecond integers (second-granularity epochs truncate
+    vs round differently across engines — measured as an off-by-one)."""
+    prep(spark)
+    iv = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("interval 10 minutes")).alias("e"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    dur = F.unix_micros("island_e") - F.unix_micros("island_s")
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(dur).cast("bigint").alias("covered_us"),
+        F.max(dur).cast("bigint").alias("longest_us"),
+    )
