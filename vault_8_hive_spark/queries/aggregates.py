@@ -1668,3 +1668,49 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_p90"),
         long_sum(F.max("tw"), 2).alias("total_weight"),
     )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+WITH s AS (
+  SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS d, l_tax AS t
+  FROM lineitem
+)
+SELECT 'q' AS x, 'p' AS y, ROUND(corr(q, p), 6) AS r FROM s
+UNION ALL SELECT 'q', 'd', ROUND(corr(q, d), 6) FROM s
+UNION ALL SELECT 'q', 't', ROUND(corr(q, t), 6) FROM s
+UNION ALL SELECT 'p', 'd', ROUND(corr(p, d), 6) FROM s
+UNION ALL SELECT 'p', 't', ROUND(corr(p, t), 6) FROM s
+UNION ALL SELECT 'd', 't', ROUND(corr(d, t), 6) FROM s
+""",
+    tags=("aggregate", "statistics", "profiling", "correlation"),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix over the numeric fact columns
+    (quantity, price, discount, tax) in long form — the multicollinearity
+    screen a feature audit runs before model training; near-|1| pairs
+    mean a redundant (droppable) feature.
+
+    Shape: ONE aggregate computes all six correlations in a single scan
+    (Catalyst shares the scan and the partial-moment buffers); the long
+    form comes from a 6-row unpivot of that single aggregate row — never
+    six scans. 1e-6 rounding absorbs moment-accumulation order drift."""
+    prep(spark)
+    s = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_discount").alias("d"),
+        F.col("l_tax").alias("t"),
+    )
+    pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+    agg = s.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"r_{a}_{b}") for a, b in pairs]
+    )
+    out = None
+    for a, b in pairs:
+        row = agg.select(
+            F.lit(a).alias("x"), F.lit(b).alias("y"), F.col(f"r_{a}_{b}").alias("r")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

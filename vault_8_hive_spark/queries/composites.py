@@ -132,6 +132,8 @@ _composite(
         ("weighted_median", "agg_weighted_median",
          {"grp": "l_returnflag", "d1": "weighted_median",
           "d2": "weighted_p90", "d3": "total_weight"}),
+        ("corr_matrix", "agg_corr_matrix",
+         {"grp": "x || '~' || y", "d1": "r"}),
         ("key_skew", "diag_key_skew",
          {"grp": "'events_user_id'", "n1": "n_keys", "n2": "n_rows",
           "d1": "max_key_share", "d2": "top10_share", "d3": "gini"}),
