@@ -1714,3 +1714,59 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "agg_hist_equiwidth",
+    oracle="""
+WITH b AS (
+  SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((c_acctbal - b.lo) / ((b.hi - b.lo) / 10.0)) AS INT), 9)
+           AS bin,
+         b.lo, b.hi
+  FROM customer, b
+)
+SELECT CAST(bin AS INT) AS bin,
+       ROUND(lo + bin * (hi - lo) / 10.0, 6) AS bin_lo,
+       ROUND(lo + (bin + 1) * (hi - lo) / 10.0, 6) AS bin_hi,
+       COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+FROM binned GROUP BY bin, lo, hi
+""",
+    tags=("aggregate", "histogram", "profiling"),
+)
+def agg_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 bins over the observed range) with bin
+    bounds and shares — the distribution sketch a profile/drift report
+    renders; the equi-DEPTH dual is the percentile family, and PSI
+    (agg_psi_drift) compares two of these.
+
+    Shape: one min/max aggregate broadcast back, then one binned count
+    — two passes total, the second map-side partial. The bin arithmetic
+    runs on the same doubles in both engines (floor of an affine map)
+    and bounds round to 1e-6."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    b = cust.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 10.0
+    binned = cust.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("c_acctbal") - F.col("lo")) / width).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    g = binned.groupBy("bin", "lo", "hi").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(F.spark_partition_id() * 0)
+    return g.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 10.0, 6).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / 10.0, 6).alias("bin_hi"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("share"),
+    )

@@ -134,6 +134,9 @@ _composite(
           "d2": "weighted_p90", "d3": "total_weight"}),
         ("corr_matrix", "agg_corr_matrix",
          {"grp": "x || '~' || y", "d1": "r"}),
+        ("hist_equiwidth", "agg_hist_equiwidth",
+         {"grp": "'bin_' || CAST(bin AS STRING)", "n1": "n",
+          "d1": "bin_lo", "d2": "bin_hi", "d3": "share"}),
         ("key_skew", "diag_key_skew",
          {"grp": "'events_user_id'", "n1": "n_keys", "n2": "n_rows",
           "d1": "max_key_share", "d2": "top10_share", "d3": "gini"}),
@@ -678,6 +681,9 @@ _composite(
           "d1": "top_bigram_frac"}),
         ("nb_classify", "ml_naive_bayes",
          {"k1": "doc_id", "s1": "predicted", "s2": "actual", "d1": "score"}),
+        ("composition", "text_corpus_composition",
+         {"s1": "source", "s2": "lang || '>' || dominant_lang",
+          "n1": "n_docs", "n2": "n_chars", "d1": "doc_share"}),
     ],
     tags=("text", "pipeline", "sampling", "curation", "composite"),
 )

@@ -1392,3 +1392,73 @@ def text_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .select("pair", F.col("n").cast("bigint").alias("n"), F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "text_corpus_composition",
+    oracle="""
+WITH base AS (
+  SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT SUM(n_docs) AS td, SUM(chars) AS tc FROM base),
+dom AS (
+  SELECT source, lang AS dominant_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_docs DESC, lang) AS rn
+    FROM base
+  ) WHERE rn = 1
+)
+SELECT b.source, b.lang,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(b.chars AS BIGINT) AS n_chars,
+       ROUND(b.n_docs / CAST(t.td AS DOUBLE), 6) AS doc_share,
+       ROUND(b.chars / CAST(t.tc AS DOUBLE), 6) AS char_share,
+       d.dominant_lang
+FROM base b CROSS JOIN tot t JOIN dom d ON d.source = b.source
+""",
+    tags=("text", "corpus-stats", "composition", "pipeline"),
+)
+def text_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (source, lang) document and
+    character shares plus each source's dominant language — the mix
+    table a data curator watches while tuning sampling weights (the
+    actual knobs text_token_budget / text_weighted_sample turn), and the
+    first place an ingestion regression (a source flipping language,
+    a share collapsing) shows up.
+
+    Shape: one groupBy to the (source, lang) grid; totals and dominant
+    labels are broadcast-sized derivations of that grid."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    base = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+    tot = base.agg(F.sum("n_docs").alias("td"), F.sum("chars").alias("tc"))
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), "lang")
+    dom = (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("dominant_lang"))
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(dom), "source")
+        .select(
+            "source",
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("chars").cast("bigint").alias("n_chars"),
+            F.round(F.col("n_docs") / F.col("td").cast("double"), 6).alias(
+                "doc_share"
+            ),
+            F.round(F.col("chars") / F.col("tc").cast("double"), 6).alias(
+                "char_share"
+            ),
+            "dominant_lang",
+        )
+    )
