@@ -246,6 +246,8 @@ _composite(
          {"k1": "n_lines", "s1": "l_returnflag", "d1": "price_sum"}),
         ("cbo_reorder", "join_cbo_reorder",
          {"k1": "n_orders", "s1": "n_name", "d1": "revenue"}),
+        ("null_safe_eq", "join_null_safe_eq",
+         {"s1": "k", "k1": "n_left", "k2": "n_right"}),
     ],
     tags=("join", "composite"),
 )
@@ -526,6 +528,9 @@ _composite(
         ("interval_union", "events_interval_union",
          {"i1": "CAST(user_id AS INT)", "n": "covered_us",
           "d1": "CAST(n_islands AS DOUBLE)", "ts1": "NULL"}),
+        ("stickiness", "events_stickiness",
+         {"s1": "day", "i1": "CAST(dau AS INT)", "n": "wau",
+          "d1": "stickiness"}),
         ("gapfill_lerp", "events_gapfill_lerp",
          {"ts1": "hour", "i1": "CAST(user_id AS INT)",
           "n": "CAST(was_gap AS BIGINT)", "d1": "lerp_value"}),

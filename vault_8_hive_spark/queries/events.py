@@ -1192,3 +1192,66 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dur).cast("bigint").alias("covered_us"),
         F.max(dur).cast("bigint").alias("longest_us"),
     )
+
+
+@register(
+    "events_stickiness",
+    oracle="""
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN du u
+    ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+  GROUP BY d.day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(a.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       ROUND(a.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM days d JOIN dau a ON a.day = d.day JOIN wau w ON w.day = d.day
+""",
+    tags=("events", "engagement", "distinct", "window-time"),
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily actives over trailing-7-day
+    actives — the engagement ratio every product/fleet dashboard leads
+    with (for the reference's fleet: beacons seen today / this week).
+
+    Shape: the corpus collapses ONCE to distinct (day, user) pairs;
+    DAU is a count over that set and WAU joins each day against its
+    trailing window of the SAME set — the quadratic term is bounded by
+    (days x day-sets), never raw events. The trailing-distinct union
+    runs through the banded join, not a 7-day window re-scan of the
+    fact table."""
+    prep(spark)
+    du = (
+        table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    u = du.select(F.col("day").alias("uday"), "user_id")
+    wau = (
+        days.join(
+            u,
+            (F.col("uday") > F.col("day") - F.expr("interval 7 days"))
+            & (F.col("uday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

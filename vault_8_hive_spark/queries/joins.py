@@ -757,3 +757,55 @@ def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_converted") > 0)
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS k FROM orders
+  WHERE o_orderkey % 100 = 0
+),
+b AS (
+  SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(a.k, '~null~') AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_left,
+       CAST(MAX(b.n) AS BIGINT) AS n_right
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+""",
+    tags=("join", "null-safe", "semantics"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `<=>`, ANSI IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of silently dropping — the
+    semantics migrations stumble on when a nullable dimension key means
+    'unknown bucket' and the report must keep the unknown row. The
+    NULLIF-derived key guarantees a NULL group exists so the variant is
+    actually exercised.
+
+    Plan note: Spark plans `<=>` as an equi-join (null-safe keys hash
+    like values), NOT a theta join — broadcast/shuffle strategies apply
+    unchanged, which is exactly why this form beats the
+    `k = k OR (both null)` rewrite users reach for first (that one
+    degenerates to a nested-loop)."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    a = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", key.alias("k")
+    )
+    b = orders.groupBy(key.alias("kb")).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        a.join(b, a.k.eqNullSafe(b.kb))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_left"),
+            F.max("n").cast("bigint").alias("n_right"),
+        )
+        .select(
+            F.coalesce("k", F.lit("~null~")).alias("k"), "n_left", "n_right"
+        )
+    )
