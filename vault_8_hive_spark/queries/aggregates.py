@@ -1770,3 +1770,170 @@ def agg_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("share"),
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+WITH cr AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE)
+           AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+seg AS (
+  SELECT c_mktsegment, SUM(rev) AS total,
+         COUNT(*) AS n_cust,
+         SUM(rev * rev) AS ss
+  FROM cr GROUP BY c_mktsegment
+),
+top5 AS (
+  SELECT c_mktsegment, SUM(rev) AS t5 FROM (
+    SELECT c_mktsegment, rev,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY rev DESC, o_custkey) AS rn
+    FROM cr
+  ) WHERE rn <= 5 GROUP BY c_mktsegment
+)
+SELECT s.c_mktsegment,
+       CAST(s.n_cust AS BIGINT) AS n_cust,
+       ROUND(s.ss / (s.total * s.total), 9) AS hhi,
+       ROUND(t.t5 / s.total, 6) AS cr5
+FROM seg s JOIN top5 t USING (c_mktsegment)
+""",
+    tags=("aggregate", "concentration", "hhi"),
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per segment: Herfindahl–Hirschman index
+    (sum of squared revenue shares — 1/n_cust when uniform, 1.0 at
+    monopoly) and CR5 (top-5-customer share) — the dependency-risk
+    numbers an account review reads, and for a corpus: how concentrated
+    the data is in few sources.
+
+    Shape: one (segment, customer) exact-decimal rollup; HHI reduces it
+    per segment (sum-of-squares over a single shuffle — the share
+    division happens once on segment totals, so no per-row second
+    pass), CR5 is a per-segment top-k window over the same rollup.
+    HHI = ss/total^2 algebraically equals sum((rev/total)^2) with one
+    deterministic division."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    cr = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(long_sum(F.sum(scaled_long("o_totalprice")), 2).alias("rev"))
+    )
+    seg = cr.groupBy("c_mktsegment").agg(
+        F.sum("rev").alias("total"),
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("rev") * F.col("rev")).alias("ss"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("rev"), "o_custkey")
+    top5 = (
+        cr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("rev").alias("t5"))
+    )
+    return seg.join(top5, "c_mktsegment").select(
+        "c_mktsegment",
+        F.col("n_cust").cast("bigint").alias("n_cust"),
+        F.round(F.col("ss") / (F.col("total") * F.col("total")), 9).alias("hhi"),
+        F.round(F.col("t5") / F.col("total"), 6).alias("cr5"),
+    )
+
+
+@register(
+    "agg_runs_test",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+  FROM events GROUP BY 1
+),
+med AS (SELECT ROUND(quantile_cont(total, 0.5), 6) AS m FROM daily),
+signed AS (
+  SELECT d, CASE WHEN total > med.m THEN 1 ELSE 0 END AS above
+  FROM daily, med WHERE total <> med.m
+),
+runs AS (
+  SELECT above,
+         CASE WHEN LAG(above) OVER (ORDER BY d) IS NULL
+                OR LAG(above) OVER (ORDER BY d) <> above THEN 1 ELSE 0 END
+           AS new_run
+  FROM signed
+),
+agg AS (
+  SELECT SUM(new_run) AS r,
+         SUM(above) AS n1,
+         SUM(1 - above) AS n2
+  FROM runs
+)
+SELECT CAST(r AS BIGINT) AS n_runs,
+       CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) AS z_stat
+FROM agg
+""",
+    tags=("aggregate", "statistics", "hypothesis-test", "randomness"),
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily series (above/below the
+    median): too FEW runs means trending/autocorrelated data, too MANY
+    means oscillation — the randomness screen that catches a broken
+    shuffle or a periodic ingestion artifact that mean-level monitors
+    miss (complements events_autocorr, which measures the lag structure
+    this test detects the presence of).
+
+    Shape: daily exact-decimal rollup -> sign sequence -> lag-compare
+    run boundaries -> one 3-number aggregate and a closed-form z.
+    Median ties are dropped (the standard convention); both engines
+    compute the same rounded median from the same exact totals."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
+        .agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
+    )
+    med = daily.agg(
+        F.round(F.expr("percentile(total, 0.5)"), 6).alias("m")
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("total") != F.col("m"))
+        .select("d", F.when(F.col("total") > F.col("m"), 1).otherwise(0).alias("above"))
+    )
+    w = Window.partitionBy(F.spark_partition_id() * 0).orderBy("d")
+    runs = signed.withColumn(
+        "new_run",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.lag("above").over(w) != F.col("above")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum("above").alias("n1"),
+        F.sum(1 - F.col("above")).alias("n2"),
+    )
+    r, n1, n2 = F.col("r"), F.col("n1"), F.col("n2")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1
+    sigma = F.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (n * n * (n - 1.0)))
+    return agg.select(
+        r.cast("bigint").alias("n_runs"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        F.round((r - mu) / sigma, 6).alias("z_stat"),
+    )

@@ -137,6 +137,11 @@ _composite(
         ("hist_equiwidth", "agg_hist_equiwidth",
          {"grp": "'bin_' || CAST(bin AS STRING)", "n1": "n",
           "d1": "bin_lo", "d2": "bin_hi", "d3": "share"}),
+        ("hhi", "agg_hhi_concentration",
+         {"grp": "c_mktsegment", "n1": "n_cust", "d1": "hhi", "d2": "cr5"}),
+        ("runs_test", "agg_runs_test",
+         {"grp": "'daily_vs_median'", "n1": "n_runs", "n2": "n_above",
+          "d1": "z_stat"}),
         ("key_skew", "diag_key_skew",
          {"grp": "'events_user_id'", "n1": "n_keys", "n2": "n_rows",
           "d1": "max_key_share", "d2": "top10_share", "d3": "gini"}),
