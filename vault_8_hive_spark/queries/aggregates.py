@@ -1937,3 +1937,62 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("bigint").alias("n_below"),
         F.round((r - mu) / sigma, 6).alias("z_stat"),
     )
+
+
+@register(
+    "incremental_rollup_merge",
+    # Deliberately NOT a mirror of the split-merge: the oracle recomputes
+    # the rollup FROM SCRATCH over all rows, so the hash equality proves
+    # merged(base, delta) == recompute(all) — the incremental-maintenance
+    # contract itself, not just engine parity.
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value,
+       MAX(ts) AS latest_ts
+FROM events GROUP BY event_type
+""",
+    tags=("aggregate", "incremental", "materialized-view", "merge"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the standing rollup
+    (events before the cutover day) merges with the new partition's
+    delta rollup by RE-AGGREGATING PARTIALS — count/sum/max are
+    algebraic, so merged(base, delta) == recompute(all), which is
+    exactly what the oracle asserts by recomputing from scratch. This
+    is the pattern behind every incremental pipeline here (foreachBatch
+    upsert, HLL partial stores, CDC compaction), stated as its own
+    verifiable query: at 100 TB you aggregate the new partition only
+    and fold it into yesterday's rollup; the full-recompute equality IS
+    the correctness contract.
+
+    Sums ride exact scaled-long cents so partial/merged/full all hit
+    the identical double."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-25").cast("timestamp")
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled_long("value")).alias("cents"),
+            F.max("ts").alias("hi_ts"),
+        )
+
+    base = rollup(ev.where(F.col("ts") < cut))
+    delta = rollup(ev.where(F.col("ts") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.max("hi_ts").alias("hi_ts"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("cents").cast("double") / 100.0).alias("total_value"),
+        F.col("hi_ts").alias("latest_ts"),
+    )

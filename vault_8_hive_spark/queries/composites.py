@@ -142,6 +142,8 @@ _composite(
         ("runs_test", "agg_runs_test",
          {"grp": "'daily_vs_median'", "n1": "n_runs", "n2": "n_above",
           "d1": "z_stat"}),
+        ("incremental_merge", "incremental_rollup_merge",
+         {"grp": "event_type", "n1": "n_events", "d1": "total_value"}),
         ("key_skew", "diag_key_skew",
          {"grp": "'events_user_id'", "n1": "n_keys", "n2": "n_rows",
           "d1": "max_key_share", "d2": "top10_share", "d3": "gini"}),
@@ -536,6 +538,8 @@ _composite(
         ("stickiness", "events_stickiness",
          {"s1": "day", "i1": "CAST(dau AS INT)", "n": "wau",
           "d1": "stickiness"}),
+        ("attribution", "events_attribution_linear",
+         {"s1": "day", "n": "n_touches", "d1": "credited_value"}),
         ("gapfill_lerp", "events_gapfill_lerp",
          {"ts1": "hour", "i1": "CAST(user_id AS INT)",
           "n": "CAST(was_gap AS BIGINT)", "d1": "lerp_value"}),

@@ -1255,3 +1255,81 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id AS vid, user_id, ts AS vts
+  FROM events WHERE event_type = 'view'
+),
+touch AS (
+  SELECT p.pid, p.value, v.vid, v.vts
+  FROM p JOIN v ON v.user_id = p.user_id
+   AND v.vts < p.pts AND v.vts >= p.pts - INTERVAL 1 HOUR
+),
+credit AS (
+  SELECT strftime(date_trunc('day', vts), '%Y-%m-%d') AS day,
+         CAST(ROUND(CAST(value AS DECIMAL(18,4))
+              / COUNT(*) OVER (PARTITION BY pid), 6) AS DOUBLE) AS share
+  FROM touch
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(ROUND(SUM(CAST(share AS DECIMAL(18,6))), 6) AS DOUBLE)
+         AS credited_value
+FROM credit GROUP BY day
+""",
+    tags=("events", "attribution", "join", "interval"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's views in the preceding hour, credited to
+    the DAY OF THE TOUCH — the model marketing/engagement reporting uses
+    when last-touch (join_asof_prior_spend's shape) over-credits the
+    final click. Rollup is credited value per day.
+
+    Determinism: per-purchase share = exact decimal value / touch count
+    rounded to 1e-6, then summed AS DECIMAL so the day rollup is
+    order-independent; the interval join is the bucketizable band shape
+    (same as the stream-stream attribution dual)."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    touch = p.join(
+        v,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("vts") < F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("interval 1 hour")),
+    )
+    n_touch = Window.partitionBy("pid")
+    credit = touch.select(
+        F.date_format(F.date_trunc("day", "vts"), "yyyy-MM-dd").alias("day"),
+        F.round(
+            F.col("value").cast("decimal(18,4)") / F.count(F.lit(1)).over(n_touch),
+            6,
+        )
+        .cast("double")
+        .alias("share"),
+    )
+    return credit.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.round(F.sum(F.col("share").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("credited_value"),
+    )
