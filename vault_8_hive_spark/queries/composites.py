@@ -729,6 +729,9 @@ _composite(
           "d2": "exact_dist2"}),
         ("mmr", "vec_mmr_rerank",
          {"a": "vec_id", "i2": "rnk", "d1": "rel", "d2": "mmr"}),
+        ("embedding_drift", "vec_embedding_drift",
+         {"a": "n_a", "b": "n_b", "d1": "centroid_l2",
+          "d2": "centroid_cos", "d3": "max_dim_gap"}),
     ],
     tags=("vectors", "similarity", "topk", "knn", "ivf", "quantization", "composite"),
 )

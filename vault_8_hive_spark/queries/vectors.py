@@ -1264,3 +1264,80 @@ def vec_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
         "sample_keeper",
     )
+
+
+@register(
+    "vec_embedding_drift",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val,
+         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7'
+              THEN 'a' ELSE 'b' END AS half
+  FROM embeddings, generate_series(1, 64) AS g(i)
+),
+cent AS (
+  SELECT half, pos, ROUND(AVG(val), 9) AS mu, COUNT(*) AS n
+  FROM v GROUP BY half, pos
+),
+paired AS (
+  SELECT a.pos, a.mu AS mu_a, b.mu AS mu_b
+  FROM (SELECT pos, mu FROM cent WHERE half = 'a') a
+  JOIN (SELECT pos, mu FROM cent WHERE half = 'b') b USING (pos)
+)
+SELECT CAST((SELECT MAX(n) FROM cent WHERE half = 'a') AS BIGINT) AS n_a,
+       CAST((SELECT MAX(n) FROM cent WHERE half = 'b') AS BIGINT) AS n_b,
+       ROUND(SQRT(SUM((mu_a - mu_b) * (mu_a - mu_b))), 6) AS centroid_l2,
+       ROUND(SUM(mu_a * mu_b)
+             / (SQRT(SUM(mu_a * mu_a)) * SQRT(SUM(mu_b * mu_b))), 6)
+         AS centroid_cos,
+       ROUND(MAX(ABS(mu_a - mu_b)), 6) AS max_dim_gap
+FROM paired
+""",
+    tags=("vectors", "drift", "monitoring"),
+)
+def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two deterministic md5-hash
+    halves of the corpus: centroid L2 distance, centroid cosine, and
+    the largest per-dimension gap — the monitor a retrieval/embedding
+    pipeline runs when the encoder or upstream corpus changes (PSI's
+    vector-space sibling; near-zero here because the halves are
+    exchangeable, which is the correct null reading).
+
+    Shape: ONE explode to (vector, dim) and one (half, dim) mean
+    aggregate — 128 centroid cells however large the corpus; the drift
+    numbers are arithmetic on those cells. Per-dim means round to 1e-9
+    before the cross-half arithmetic (module float discipline)."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    half = F.when(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "7", "a"
+    ).otherwise("b")
+    v = emb.select(
+        half.alias("half"),
+        F.posexplode(to_double("embedding")).alias("pos0", "val"),
+    ).select("half", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = v.groupBy("half", "pos").agg(
+        F.round(F.avg("val"), 9).alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    a = cent.where(F.col("half") == "a").select(
+        "pos", F.col("mu").alias("mu_a"), F.col("n").alias("na")
+    )
+    bb = cent.where(F.col("half") == "b").select(
+        "pos", F.col("mu").alias("mu_b"), F.col("n").alias("nb")
+    )
+    paired = a.join(bb, "pos")
+    diff = F.col("mu_a") - F.col("mu_b")
+    return paired.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(F.sqrt(F.sum(diff * diff)), 6).alias("centroid_l2"),
+        F.round(
+            F.sum(F.col("mu_a") * F.col("mu_b"))
+            / (
+                F.sqrt(F.sum(F.col("mu_a") * F.col("mu_a")))
+                * F.sqrt(F.sum(F.col("mu_b") * F.col("mu_b")))
+            ),
+            6,
+        ).alias("centroid_cos"),
+        F.round(F.max(F.abs(diff)), 6).alias("max_dim_gap"),
+    )
