@@ -358,6 +358,10 @@ _composite(
          {"id1": "n_groups", "id2": "n_small_groups",
           "txt": _cat("k_anonymity", "n_reidentifiable_rows"),
           "d1": "reident_fraction"}),
+        ("try_arith", "scalar_try_arith",
+         {"id1": "l_orderkey", "id2": "CAST(l_linenumber AS BIGINT)",
+          "txt": _cat("price_mod_qty"), "d1": "price_per_disc",
+          "d2": "qty_parsed"}),
     ],
     tags=("scalar", "string", "date", "math", "conditional", "profiling",
           "composite"),

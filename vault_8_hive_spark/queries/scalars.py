@@ -713,3 +713,51 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reident_fraction"
         ),
     )
+
+
+@register(
+    "scalar_try_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL
+            ELSE ROUND(l_extendedprice / l_discount, 6) END AS price_per_disc,
+       TRY_CAST(CASE WHEN l_linenumber = 1 THEN 'not_a_number'
+                     ELSE CAST(l_quantity AS VARCHAR) END AS DOUBLE) AS qty_parsed,
+       CASE WHEN l_quantity = 0 THEN NULL
+            ELSE CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                      % CAST(FLOOR(l_quantity) AS BIGINT) AS BIGINT)
+       END AS price_mod_qty
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+""",
+    tags=("scalar", "ansi", "try-arithmetic", "migration"),
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface (Spark 4 defaults to ANSI mode, the
+    single biggest migration tripwire from Spark 3): try_divide /
+    try_cast / try_mod return NULL where strict ANSI would THROW
+    (division by zero, bad casts) — the idiom that keeps a 100 TB job
+    from dying at hour 9 on one malformed row while still surfacing the
+    NULLs for auditing. The oracle spells the same semantics with
+    guarded CASE + TRY_CAST (DuckDB's equivalents)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 6).alias(
+            "price_per_disc"
+        ),
+        F.when(F.col("l_linenumber") == 1, F.lit("not_a_number"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .try_cast("double")
+        .alias("qty_parsed"),
+        # floor before the bigint cast: Spark's double->bigint truncates
+        # while DuckDB's ROUNDS — an explicit floor makes both identical.
+        F.try_mod(
+            F.floor("l_extendedprice").cast("bigint"),
+            F.floor("l_quantity").cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("price_mod_qty"),
+    )
