@@ -403,6 +403,9 @@ _composite(
         ("ranking", "win_ranking",
          {"k1": "s_suppkey", "s1": "n_name", "d1": "s_acctbal", "d2": "prank",
           "i1": "rn", "i2": "rnk", "i3": "drnk", "i4": "quartile"}),
+        ("distribution", "win_distribution",
+         {"k1": "c_custkey", "s1": "c_mktsegment", "i1": "quartile",
+          "d1": "pct_rank", "d2": "cume"}),
         ("analytic", "win_analytic",
          {"k1": "o_custkey", "k2": "o_orderkey", "ts1": "o_orderdate",
           "d1": "prev_price", "d2": "next_price", "d3": "first_price",

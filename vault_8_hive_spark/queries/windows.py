@@ -323,3 +323,38 @@ def win_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("verified_hll7"),
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       ROUND(percent_rank() OVER w, 9) AS pct_rank,
+       ROUND(cume_dist() OVER w, 9) AS cume
+FROM customer
+WHERE c_custkey % 20 = 0
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("window", "ranking", "distribution"),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist per segment ordered by balance: the ranking family's
+    normalized cousins (quartile bucketing for tiering, percentile rank
+    for scoring). The (balance, custkey) order is total, so ntile's
+    bucket boundaries are deterministic across engines and partition
+    layouts."""
+    prep(spark)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 20 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+        )
+    )
