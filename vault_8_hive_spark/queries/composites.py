@@ -432,6 +432,8 @@ _composite(
          {"k1": "CAST(n_regionkey AS STRING)", "n": "n_nations", "s": "nations"}),
         ("json", "scan_json_schema",
          {"k1": "CAST(s_nationkey AS STRING)", "n": "n_supp", "d1": "total_bal"}),
+        ("json_corrupt", "scan_json_corrupt",
+         {"k1": "lang", "n": "n"}),
         ("orc", "sink_orc_roundtrip",
          {"k1": "p_type", "k2": "p_brand", "n": "n_parts", "d1": "total_price"}),
         ("partitioned_parquet", "sink_partitioned_parquet",

@@ -368,3 +368,77 @@ def io_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "metric string, value double",
     )
+
+
+def _ensure_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """JSONL landing with deliberate damage: (doc_id, lang) lines for
+    doc_id < 100, every 10th replaced by malformed text — written as ONE
+    deterministic file, fingerprinted against the source so testdata
+    regeneration rebuilds it."""
+    import json as _json
+
+    path = _work(sf_dir, "docs_corrupt_jsonl")
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(path, "_FINGERPRINT")
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            if fh.read() == fingerprint:
+                return path
+    except OSError:
+        pass
+    rows = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+        .collect()  # 100 metadata-sized rows, driver-side by design
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.jsonl"), "w", encoding="utf-8") as fh:
+        for r in rows:
+            if r["doc_id"] % 10 == 0:
+                fh.write(f'{{"doc_id": {r["doc_id"]}, "lang": UNQUOTED_GARBAGE\n')
+            else:
+                fh.write(_json.dumps({"doc_id": r["doc_id"], "lang": r["lang"]}) + "\n")
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(fingerprint)
+    return path
+
+
+@register(
+    "scan_json_corrupt",
+    oracle="""
+SELECT lang, COUNT(*) AS n
+FROM documents WHERE doc_id < 100 AND doc_id % 10 <> 0
+GROUP BY lang
+UNION ALL
+SELECT '_CORRUPT_' AS lang, 10 AS n
+""",
+    tags=("scan", "json", "corrupt-record", "robustness"),
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON scan with corrupt-record capture: malformed lines
+    land in `_corrupt_record` instead of killing the job (FAILFAST) or
+    silently vanishing (DROPMALFORMED) — the operational posture for a
+    100 TB landing zone where some producer WILL ship garbage, and the
+    corrupt bucket must be counted and quarantined, not lost. The
+    fixture plants 10 known-bad lines among 90 good ones; the oracle
+    recomputes the expected split from the clean table.
+
+    At scale the corrupt rows route to a quarantine sink
+    (partitionBy on the corrupt flag) for producer-side triage."""
+    prep(spark)
+    path = _ensure_corrupt_jsonl(spark, sf_dir)
+    df = (
+        spark.read.schema("doc_id LONG, lang STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return df.groupBy(
+        F.when(F.col("_corrupt_record").isNotNull(), "_CORRUPT_")
+        .otherwise(F.col("lang"))
+        .alias("lang")
+    ).agg(F.count(F.lit(1)).alias("n"))
