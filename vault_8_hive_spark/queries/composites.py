@@ -362,6 +362,9 @@ _composite(
          {"id1": "l_orderkey", "id2": "CAST(l_linenumber AS BIGINT)",
           "txt": _cat("price_mod_qty"), "d1": "price_per_disc",
           "d2": "qty_parsed"}),
+        ("zorder", "layout_zorder",
+         {"id1": "z_bucket", "id2": "n_rows",
+          "txt": _cat("cust_span", "day_span")}),
     ],
     tags=("scalar", "string", "date", "math", "conditional", "profiling",
           "composite"),

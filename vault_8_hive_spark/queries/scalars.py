@@ -761,3 +761,66 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_mod_qty"),
     )
+
+
+@register(
+    "layout_zorder",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey & 255 AS a,
+         CAST(date_part('epoch', o_orderdate) / 86400 AS BIGINT) & 255 AS b
+  FROM orders
+),
+z AS (
+  SELECT o_orderkey, a, b,
+         list_sum(list_transform(generate_series(0, 7),
+           i -> (((a >> i) & 1) + 2 * ((b >> i) & 1)) * (1 << (2 * i))))
+           AS zval
+  FROM base
+)
+SELECT CAST(zval >> 10 AS INT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(a) - MIN(a) AS BIGINT) AS cust_span,
+       CAST(MAX(b) - MIN(b) AS BIGINT) AS day_span
+FROM z GROUP BY 1
+""",
+    tags=("scalar", "layout", "zorder", "data-skipping"),
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve bucketing over (customer, order-day): bit
+    interleaving maps the 2-D key space onto a 1-D sort key whose
+    contiguous ranges stay TIGHT in BOTH dimensions — the multi-column
+    clustering behind lakehouse OPTIMIZE ZORDER BY, where file-level
+    min/max stats then skip files for predicates on EITHER column (a
+    single-column sort keeps only its own column's spans tight). The
+    per-bucket (cust_span, day_span) output IS the data-skipping
+    evidence: both spans stay near 2^4 of a 2^8 domain at 64 buckets.
+
+    The interleave is one fold over 8 bit positions — pure bigint
+    shifts/masks, identical in both engines; at ingest the same
+    expression feeds repartitionByRange(zval) before the write."""
+    prep(spark)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").bitwiseAND(F.lit(255)).alias("a"),
+        (F.unix_timestamp("o_orderdate") / 86400)
+        .cast("bigint")
+        .bitwiseAND(F.lit(255))
+        .alias("b"),
+    )
+    z = base.withColumn(
+        "zval",
+        F.expr(
+            "aggregate(sequence(0, 7), 0L, (acc, i) -> acc"
+            " + ((shiftright(a, i) & 1) + 2 * (shiftright(b, i) & 1))"
+            "   * shiftleft(1L, 2 * i))"
+        ),
+    )
+    return (
+        z.groupBy(F.shiftright("zval", 10).cast("int").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.max("a") - F.min("a")).cast("bigint").alias("cust_span"),
+            (F.max("b") - F.min("b")).cast("bigint").alias("day_span"),
+        )
+    )
