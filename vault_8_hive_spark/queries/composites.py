@@ -409,6 +409,9 @@ _composite(
         ("distribution", "win_distribution",
          {"k1": "c_custkey", "s1": "c_mktsegment", "i1": "quartile",
           "d1": "pct_rank", "d2": "cume"}),
+        ("rolling_regression", "win_rolling_regression",
+         {"s1": "d", "i1": "n_window", "d1": "total", "d2": "trend_slope",
+          "d3": "trend_r2"}),
         ("analytic", "win_analytic",
          {"k1": "o_custkey", "k2": "o_orderkey", "ts1": "o_orderdate",
           "d1": "prev_price", "d2": "next_price", "d3": "first_price",

@@ -358,3 +358,64 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.cume_dist().over(w), 9).alias("cume"),
         )
     )
+
+
+@register(
+    "win_rolling_regression",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+         CAST(date_part('epoch', date_trunc('day', ts)) / 86400 AS BIGINT) AS x,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT d, total,
+       CAST(COUNT(*) OVER w AS INT) AS n_window,
+       ROUND(regr_slope(total, x) OVER w, 6) AS trend_slope,
+       ROUND(regr_r2(total, x) OVER w, 6) AS trend_r2
+FROM daily
+WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+QUALIFY COUNT(*) OVER w >= 7
+""",
+    tags=("window", "regression", "time-series", "trend"),
+)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend: regression aggregates AS WINDOW FUNCTIONS —
+    per day, the slope and fit of total-vs-time over the trailing 14
+    days, the trend detector behind 'metric declining for two weeks'
+    alerts (CUSUM finds the break, this measures the drift rate).
+    Days are integer epoch-days so x is exactly representable; slope
+    over <=14 points rounds to 1e-6.
+
+    Note the surface point: Spark runs regr_slope/regr_r2 in a frame
+    spec directly (no self-join re-aggregation), the same partial-moment
+    buffers as the grouped form; DuckDB mirrors with WINDOW + QUALIFY
+    (Spark spells the n>=7 guard as a post-filter)."""
+    prep(spark)
+    from ..functions.exact import long_sum, scaled_long
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"),
+            (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
+    )
+    w = (
+        Window.partitionBy(F.spark_partition_id() * 0)
+        .orderBy("d")
+        .rowsBetween(-13, 0)
+    )
+    out = daily.select(
+        "d",
+        "total",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_window"),
+        F.round(F.regr_slope(F.col("total"), F.col("x")).over(w), 6).alias(
+            "trend_slope"
+        ),
+        F.round(F.regr_r2(F.col("total"), F.col("x")).over(w), 6).alias("trend_r2"),
+    )
+    return out.where(F.col("n_window") >= 7)
