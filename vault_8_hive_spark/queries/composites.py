@@ -555,6 +555,9 @@ _composite(
           "d1": "stickiness"}),
         ("attribution", "events_attribution_linear",
          {"s1": "day", "n": "n_touches", "d1": "credited_value"}),
+        ("session_dynamic_gap", "events_session_dynamic_gap",
+         {"i1": "CAST(user_id AS INT)", "ts1": "session_start",
+          "n": "n_events"}),
         ("gapfill_lerp", "events_gapfill_lerp",
          {"ts1": "hour", "i1": "CAST(user_id AS INT)",
           "n": "CAST(was_gap AS BIGINT)", "d1": "lerp_value"}),

@@ -1333,3 +1333,63 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("credited_value"),
     )
+
+
+@register(
+    "events_session_dynamic_gap",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts,
+         ts + CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+                   ELSE INTERVAL 30 MINUTE END AS reach
+  FROM events WHERE user_id < 80
+),
+marked AS (
+  SELECT user_id, ts, reach,
+         CASE WHEN MAX(reach) OVER (PARTITION BY user_id ORDER BY ts, reach
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR ts >= MAX(reach) OVER (PARTITION BY user_id ORDER BY ts, reach
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_session
+  FROM iv
+),
+sess AS (
+  SELECT user_id, ts, reach,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, reach
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(reach) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    tags=("events", "sessionize", "session-window", "dynamic-gap"),
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (Spark's
+    session_window accepts a gap EXPRESSION): error events hold the
+    session open only 5 minutes while everything else holds 30 — the
+    semantics for mixed-signal sessions (heartbeats shouldn't extend an
+    interactive session the way real actions do). Streaming-compatible:
+    the same expression drops into the watermarked streaming form.
+
+    The oracle derives identical sessions first-principles as interval
+    islands: each event reaches to ts + gap(event), a session breaks
+    exactly when the next event starts at-or-after the running MAX
+    reach — mirroring session_window's merge rule (gap-contiguous
+    half-open intervals), with session_end = MAX(reach)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 80)
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
