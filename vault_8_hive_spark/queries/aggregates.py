@@ -1996,3 +1996,80 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / 100.0).alias("total_value"),
         F.col("hi_ts").alias("latest_ts"),
     )
+
+
+@register(
+    "feature_quantile_match",
+    oracle="""
+WITH pv AS (
+  SELECT value AS v, COUNT(*) AS c FROM events
+  WHERE event_type = 'purchase' GROUP BY value
+),
+p_ecdf AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) / CAST((SELECT SUM(c) FROM pv) AS DOUBLE)
+           AS q
+  FROM pv
+),
+vv AS (
+  SELECT value AS v, COUNT(*) AS c FROM events
+  WHERE event_type = 'view' GROUP BY value
+),
+v_ecdf AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) / CAST((SELECT SUM(c) FROM vv) AS DOUBLE)
+           AS q
+  FROM vv
+)
+SELECT p.v AS purchase_value,
+       ROUND(p.q, 9) AS quantile,
+       MIN(t.v) AS mapped_view_value
+FROM p_ecdf p JOIN v_ecdf t ON t.q >= p.q - 1e-12
+WHERE p.v <= 50.0
+GROUP BY p.v, p.q
+""",
+    tags=("aggregate", "feature-engineering", "quantile-matching"),
+)
+def feature_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile matching (histogram matching): each purchase value maps
+    to the view value at the SAME quantile — the monotone transform that
+    calibrates one score/metric distribution onto a reference
+    (score normalization across models, sensor harmonization, style
+    transfer for numeric features). mapped(v) = inf{t : F_ref(t) >=
+    F_src(v)}, the classic definition, computed exactly.
+
+    Both ECDFs come from the value-domain reduction (no row ranking);
+    the quantile lookup is a min-over-threshold join between the two
+    reduced tables — candidate pairs bounded by |domain_a| x matching
+    tail, and at scale the join becomes an as-of merge on sorted
+    fraction tables. The 1e-12 slack absorbs the one-ulp ECDF division
+    difference so the boundary row maps identically in both engines;
+    fractions themselves round to 1e-9 in the output."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+
+    def ecdf(df):
+        per_v = df.groupBy(F.col("value").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        tot = per_v.agg(F.sum("c").alias("t"))
+        w = (
+            Window.partitionBy(F.spark_partition_id() * 0)
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            per_v.withColumn("cum", F.sum("c").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select("v", (F.col("cum") / F.col("t").cast("double")).alias("q"))
+        )
+
+    p = ecdf(ev.where(F.col("event_type") == "purchase")).where(F.col("v") <= 50.0)
+    t = ecdf(ev.where(F.col("event_type") == "view")).select(
+        F.col("v").alias("tv"), F.col("q").alias("tq")
+    )
+    return (
+        p.join(t, F.col("tq") >= F.col("q") - 1e-12)
+        .groupBy(F.col("v").alias("purchase_value"), F.round("q", 9).alias("quantile"))
+        .agg(F.min("tv").alias("mapped_view_value"))
+    )

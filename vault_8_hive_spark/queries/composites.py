@@ -144,6 +144,9 @@ _composite(
           "d1": "z_stat"}),
         ("incremental_merge", "incremental_rollup_merge",
          {"grp": "event_type", "n1": "n_events", "d1": "total_value"}),
+        ("quantile_match", "feature_quantile_match",
+         {"grp": "CAST(purchase_value AS STRING)", "d1": "quantile",
+          "d2": "mapped_view_value"}),
         ("key_skew", "diag_key_skew",
          {"grp": "'events_user_id'", "n1": "n_keys", "n2": "n_rows",
           "d1": "max_key_share", "d2": "top10_share", "d3": "gini"}),
