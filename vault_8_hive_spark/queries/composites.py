@@ -502,6 +502,9 @@ _composite(
         ("degree_stats", "graph_degree_stats",
          {"metric": "'degstats_' || CAST(max_degree AS STRING)",
           "value": "assortativity", "n": "n_directed_edges"}),
+        ("kcore", "graph_kcore",
+         {"metric": "'kcore_r' || CAST(round AS STRING)",
+          "value": "CAST(n_edges AS DOUBLE)", "n": "n_nodes"}),
         ("item_cosine", "reco_item_cosine",
          {"metric": "'reco_' || item_a || '>' || item_b",
           "value": "cos_sim", "n": "n_ab"}),

@@ -426,3 +426,100 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(corr))
         .select("n_nodes", "n_directed_edges", "max_degree", "avg_degree", "assortativity")
     )
+
+
+_KCORE_K = 45
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    edges = f"""
+SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+UNION
+SELECT DISTINCT {_SUPP_BASE} + l_suppkey AS src, o_custkey AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+    parts = [f"e0 AS ({edges})"]
+    rounds = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f"""
+d{r} AS (SELECT src AS node, COUNT(*) AS deg FROM e{r - 1} GROUP BY src),
+keep{r} AS (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+e{r} AS (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN keep{r} a ON a.node = e.src
+  JOIN keep{r} b ON b.node = e.dst
+)""")
+        rounds.append(
+            f"SELECT {r} AS round, (SELECT COUNT(*) FROM keep{r}) AS n_nodes, "
+            f"(SELECT COUNT(*) FROM e{r}) AS n_edges"
+        )
+    return (
+        "WITH " + ", ".join(p.strip() for p in parts)
+        + "\nSELECT CAST(round AS INT) AS round, CAST(n_nodes AS BIGINT) AS n_nodes, "
+        "CAST(n_edges AS BIGINT) AS n_edges FROM (\n"
+        + "\nUNION ALL ".join(rounds)
+        + ")"
+    )
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative", "kcore"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=45, 3 rounds): repeatedly drop nodes whose
+    degree in the CURRENT subgraph falls below k — the dense-core
+    extractor that separates the structurally embedded participants
+    from peripheral ones (peeling converges to the true k-core; fixed
+    rounds make it cross-engine verifiable, pagerank/kmeans-style, and
+    the per-round survivor counts show the convergence trajectory).
+
+    Per round: one degree count (map-side partial) + two semi-join-
+    shaped edge filters against the keep set — the keep set is
+    node-cardinality, broadcastable at dim scale; lineage stays
+    bounded by the fixed round count."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.lit(_SUPP_BASE) + F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    out = None
+    cur = edges
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = cur.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        keep = deg.where(F.col("deg") >= _KCORE_K).select("node").persist()
+        cur = (
+            cur.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .persist()
+        )
+        row = (
+            keep.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(cur.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                F.col("n_edges").cast("bigint").alias("n_edges"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
