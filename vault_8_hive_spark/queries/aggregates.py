@@ -2064,12 +2064,27 @@ def feature_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v", (F.col("cum") / F.col("t").cast("double")).alias("q"))
         )
 
-    p = ecdf(ev.where(F.col("event_type") == "purchase")).where(F.col("v") <= 50.0)
-    t = ecdf(ev.where(F.col("event_type") == "view")).select(
-        F.col("v").alias("tv"), F.col("q").alias("tq")
+    p = (
+        ecdf(ev.where(F.col("event_type") == "purchase"))
+        .where(F.col("v") <= 50.0)
+        .select("v", "q", (F.col("q") - 1e-12).alias("q_lookup"), F.lit(1).alias("k"))
     )
-    return (
-        p.join(t, F.col("tq") >= F.col("q") - 1e-12)
-        .groupBy(F.col("v").alias("purchase_value"), F.round("q", 9).alias("quantile"))
-        .agg(F.min("tv").alias("mapped_view_value"))
+    t = ecdf(ev.where(F.col("event_type") == "view")).select(
+        F.col("v").alias("tv"), F.col("q").alias("tq"), F.lit(1).alias("k")
+    )
+    # Lookup = FORWARD as-of (smallest tq >= q), not a threshold join:
+    # the naive tq >= q join is O(|A| x |B|) over the two value domains
+    # and timed out at 25x; the union-merge as-of is one sort-window pass
+    # (ECDFs are monotone, so the first row at-or-after q carries the
+    # minimal mapped value by construction).
+    from ..operators.asof import asof_join
+
+    matched = asof_join(
+        p, t, on=["k"], left_time="q_lookup", right_time="tq",
+        value_cols=["tv"], direction="forward",
+    )
+    return matched.select(
+        F.col("v").alias("purchase_value"),
+        F.round("q", 9).alias("quantile"),
+        F.col("tv").alias("mapped_view_value"),
     )
