@@ -1053,7 +1053,17 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     NDV above the budget degrades to Misra-Gries-style approximation,
     and the clamp is what notices. The sketch buffer is mergeable
     (fixed-size per partition), the reason it exists instead of a full
-    groupBy at unbounded cardinality."""
+    groupBy at unbounded cardinality.
+
+    Tie discipline (regen-probe finding, round 4): when counts TIE at
+    the top, "which item is rank r" is not well-defined for the sketch —
+    it surfaces an arbitrary member of the tie class, and a fresh
+    testdata seed flips the choice. The judged projection therefore
+    takes rank and item identity from the exact side's total order
+    (count desc, item) — deterministic on any draw — and uses the
+    sketch for what it actually promises: the rank-r COUNT. The clamp
+    compares the sketch's r-th largest count against the exact r-th
+    largest; a sketch outside its contract still breaks the hash as -1."""
     prep(spark)
     from pyspark.sql import Window
 
@@ -1061,18 +1071,20 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = (
         li.agg(F.expr("approx_top_k(l_suppkey, 5, 10000)").alias("t"))
         .select(F.explode("t").alias("e"))
-        .select(F.col("e.item").alias("item"), F.col("e.count").alias("approx_n"))
+        .select(F.col("e.count").alias("approx_n"))
     )
-    w = Window.partitionBy(F.col("approx_n") * 0).orderBy(
-        F.col("approx_n").desc(), "item"
-    )
-    approx = approx.withColumn("rnk", F.row_number().over(w))
+    wa = Window.partitionBy(F.col("approx_n") * 0).orderBy(F.col("approx_n").desc())
+    approx = approx.withColumn("rnk", F.row_number().over(wa))
     exact = (
         li.groupBy(F.col("l_suppkey").alias("item"))
         .agg(F.count(F.lit(1)).alias("exact_n"))
     )
+    we = Window.partitionBy(F.lit(0)).orderBy(F.col("exact_n").desc(), "item")
+    exact5 = (
+        exact.withColumn("rnk", F.row_number().over(we)).where(F.col("rnk") <= 5)
+    )
     return (
-        approx.join(F.broadcast(exact), "item")
+        exact5.join(F.broadcast(approx), "rnk")
         .select(
             "rnk",
             "item",

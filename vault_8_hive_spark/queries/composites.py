@@ -59,11 +59,20 @@ def _composite(
     branches: (variant, fine_query_name, {column: portable_sql_expr}).
     """
 
+    # Double slots get `+ 0.0` on BOTH engines: DuckDB's ROUND yields -0.0
+    # where Spark yields +0.0 for tiny negatives, and the driver's value
+    # hash (unlike IEEE ==) distinguishes the two representations. Adding
+    # +0.0 maps -0.0 -> +0.0 and is the identity elsewhere (NULL/NaN kept).
+    def _slot(expr: str, typ: str, duck: bool = False) -> str:
+        t = _DUCK[typ] if duck else typ
+        cast = f"CAST({expr} AS {t})"
+        return f"({cast} + 0.0)" if typ == "double" else cast
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None
         for variant, fine, mapping in branches:
             exprs = [f"'{variant}' AS variant"] + [
-                f"CAST({mapping.get(col, 'NULL')} AS {typ}) AS {col}"
+                f"{_slot(mapping.get(col, 'NULL'), typ)} AS {col}"
                 for col, typ in schema
             ]
             part = QUERIES[fine].fn(spark, sf_dir).selectExpr(*exprs)
@@ -86,7 +95,7 @@ def _composite(
             if inner is None:
                 raise ValueError(f"branch {fine} has no oracle")
             sel = [f"'{variant}' AS variant"] + [
-                f"CAST({mapping.get(col, 'NULL')} AS {_DUCK[typ]}) AS {col}"
+                f"{_slot(mapping.get(col, 'NULL'), typ, duck=True)} AS {col}"
                 for col, typ in schema
             ]
             parts.append(f"SELECT {', '.join(sel)} FROM (\n{inner}\n) AS _b")
