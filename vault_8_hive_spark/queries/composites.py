@@ -576,6 +576,17 @@ _composite(
         ("gapfill_lerp", "events_gapfill_lerp",
          {"ts1": "hour", "i1": "CAST(user_id AS INT)",
           "n": "CAST(was_gap AS BIGINT)", "d1": "lerp_value"}),
+        ("rolling_median", "events_rolling_median",
+         # rolling_max is 2-decimal exact, so *100 is integral and the
+         # bigint cast is exact in both engines (a direct double->bigint
+         # cast truncates in Spark but rounds in DuckDB — scalar_try_arith
+         # documents that divergence).
+         {"s1": "d", "i1": "n_window",
+          "n": "CAST(ROUND(rolling_max * 100, 0) AS BIGINT)",
+          "d1": "rolling_med"}),
+        ("rfm", "events_rfm_segments",
+         {"s1": "segment", "i1": "CAST(user_id AS INT)", "n": "frequency",
+          "d1": "monetary"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),
@@ -731,6 +742,9 @@ _composite(
         ("composition", "text_corpus_composition",
          {"s1": "source", "s2": "lang || '>' || dominant_lang",
           "n1": "n_docs", "n2": "n_chars", "d1": "doc_share"}),
+        ("mixture_temperature", "text_mixture_temperature",
+         {"s1": "lang", "n1": "n_docs", "n2": "alloc_per_100k",
+          "d1": "temp_weight"}),
     ],
     tags=("text", "pipeline", "sampling", "curation", "composite"),
 )

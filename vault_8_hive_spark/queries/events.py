@@ -1393,3 +1393,156 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+  FROM events GROUP BY 1
+)
+SELECT d, total,
+       CAST(COUNT(*) OVER w AS INT) AS n_window,
+       ROUND(MEDIAN(total) OVER w, 4) AS rolling_med,
+       MIN(total) OVER w AS rolling_min,
+       MAX(total) OVER w AS rolling_max
+FROM daily
+WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    tags=("events", "time-series", "window-frames", "median"),
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day EXACT median of the daily event-value series — the
+    robust-centerline dual of events_anomaly_zscore's mean/stddev screen
+    (one outlier day shifts a trailing mean by sigma/7 but leaves the
+    median untouched, so median-based alerting survives the exact spikes
+    the z-screen exists to flag).
+
+    Spark has no median window function; over a bounded ROWS frame the
+    exact median is a frame-sized expression instead: array_sort over
+    collect_list(total) in the frame, middle element (odd) or midpoint
+    of the two middles (even). DuckDB's windowed MEDIAN interpolates the
+    same midpoint; both sides round to 1e-4 because the two engines
+    reach that midpoint by differently-ordered float ops (a+(b-a)/2 vs
+    (a+b)/2 differ in the last ulp; daily totals are 2-decimal exact, so
+    midpoints are 3-decimal and the 1e-4 round is drift-free).
+
+    Scale: the fact scan reduces to one row per day (exact scaled-long
+    totals); the O(frame log frame) sort runs on a 7-element array per
+    series row — constant work, no shuffle beyond the rollup. At fleet
+    scale partition the window by (source) and the same frame rides
+    within each; an unbounded-frame median would instead need the
+    percentile_approx sketch (events_ewma's note on frame growth)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
+    ).agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
+    w = (
+        Window.partitionBy(F.spark_partition_id() * 0)
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    frame = F.array_sort(F.collect_list("total").over(w))
+    n = F.size(frame)
+    mid_hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    return daily.select(
+        "d",
+        "total",
+        n.cast("int").alias("n_window"),
+        F.round((mid_lo + mid_hi) / 2, 4).alias("rolling_med"),
+        F.min("total").over(w).alias("rolling_min"),
+        F.max("total").over(w).alias("rolling_max"),
+    )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+WITH anchor AS (SELECT CAST(MAX(ts) AS DATE) AS a FROM events),
+base AS (
+  SELECT user_id,
+         date_diff('day', CAST(MAX(ts) AS DATE), anchor.a) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS monetary
+  FROM events, anchor WHERE event_type = 'purchase'
+  GROUP BY user_id, anchor.a
+),
+scored AS (
+  SELECT *,
+         NTILE(4) OVER (ORDER BY recency_days, user_id) AS r,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+         NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m
+  FROM base
+)
+SELECT user_id, CAST(recency_days AS INT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency, monetary,
+       CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS segment
+FROM scored
+""",
+    tags=("events", "rfm", "segmentation", "ntile"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events: per-user days-since-last-purchase against the
+    corpus max-date anchor, purchase count, and exact-decimal spend,
+    each quartiled by NTILE(4) and concatenated into the classic ' 111 =
+    best, 444 = churned' segment code — the canonical marketing-
+    analytics rollup and the ntile surface's real-workload counterpart
+    to win_distribution's synthetic demo.
+
+    Every NTILE rides a TOTAL order (metric, then user_id) — quartile
+    assignment at equal metric values is otherwise engine-arbitrary,
+    the same tie-class trap the regen probe caught in approx_top_k.
+    The anchor is max(ts) over the data (not wall-clock now()), so the
+    result is a pure function of the input.
+
+    Scale: one filtered scan to a per-user aggregate (exact scaled-long
+    spend); the three ntile windows run over |users| rows. Global NTILE
+    needs a single-partition sort at fleet scale — there, bucket via
+    approx quantile cutpoints (percentile_approx on the metric, then a
+    broadcast range join), trading exact quartile edges for an
+    embarrassingly parallel assignment; the module keeps this exact
+    variant because segment AUDITS must be reproducible."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("a"))
+    base = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "a")
+        .agg(
+            F.datediff(F.first("a"), F.max(F.to_date("ts"))).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            long_sum(F.sum(scaled_long("value")), 2).alias("monetary"),
+        )
+        .drop("a")
+    )
+    zero = F.spark_partition_id() * 0
+    r = F.ntile(4).over(
+        Window.partitionBy(zero).orderBy("recency_days", "user_id")
+    )
+    f = F.ntile(4).over(
+        Window.partitionBy(zero).orderBy(F.desc("frequency"), "user_id")
+    )
+    m = F.ntile(4).over(
+        Window.partitionBy(zero).orderBy(F.desc("monetary"), "user_id")
+    )
+    return base.select(
+        "user_id",
+        F.col("recency_days").cast("int").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        r.cast("int").alias("r"),
+        f.cast("int").alias("f"),
+        m.cast("int").alias("m"),
+    ).withColumn(
+        "segment",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                 F.col("m").cast("string")),
+    )

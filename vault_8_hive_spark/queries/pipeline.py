@@ -731,3 +731,72 @@ def reco_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("item_a", "item_b", F.col("rnk").cast("int").alias("rnk"), "n_ab", "cos_sim")
     )
+
+
+@register(
+    "text_mixture_temperature",
+    oracle="""
+WITH src AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n_docs) AS td FROM src),
+scaled AS (
+  SELECT s.lang, s.n_docs,
+         s.n_docs / CAST(t.td AS DOUBLE) AS share,
+         CAST(FLOOR(SQRT(s.n_docs / CAST(t.td AS DOUBLE)) * 1000000000 + 0.5)
+              AS BIGINT) AS w
+  FROM src s CROSS JOIN tot t
+),
+wt AS (SELECT SUM(w) AS tw FROM scaled)
+SELECT s.lang, CAST(s.n_docs AS BIGINT) AS n_docs,
+       ROUND(s.share, 6) AS raw_share,
+       ROUND(CAST(s.w AS DOUBLE) / CAST(t.tw AS DOUBLE), 6) AS temp_weight,
+       CAST((s.w * 100000) // t.tw AS BIGINT) AS alloc_per_100k,
+       ROUND((CAST(s.w AS DOUBLE) / CAST(t.tw AS DOUBLE)) / s.share, 6)
+         AS boost
+FROM scaled s CROSS JOIN wt t
+""",
+    tags=("text", "pipeline", "sampling", "temperature", "multilingual"),
+)
+def text_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture weights (alpha = 0.5): sample
+    probability proportional to share^alpha, the standard multilingual
+    rebalancing transform — it up-samples tail languages and down-samples
+    the head so low-resource languages are seen more than their raw share
+    without flattening the mix entirely (alpha 1 = proportional,
+    alpha 0 = uniform; 0.5 is the square-root schedule).
+
+    Cross-engine determinism without trusting float SUM order: sqrt of
+    an identical double is one correctly-rounded IEEE op in both
+    engines, the scaled weight floor(sqrt(share)*1e9 + 0.5) is exact
+    int64, the normalizer is an exact INTEGER sum (order-free), and the
+    final weight is a single double divide of two exact int64s — the
+    same discipline as text_token_budget's largest-remainder arithmetic.
+    alloc_per_100k is pure integer floor-division (w * 100000 fits
+    int64: w <= 1e9, 5 langs).
+
+    Scale: one scan to a |langs|-row grid; everything after is
+    broadcast-sized arithmetic. The boost column is the per-language
+    up/down-sampling factor a curation pipeline feeds into
+    text_weighted_sample's acceptance threshold."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    src = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").alias("td"))
+    share = F.col("n_docs") / F.col("td").cast("double")
+    scaled = src.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        share.alias("share"),
+        F.floor(F.sqrt(share) * 1_000_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("w"),
+    )
+    wt = scaled.agg(F.sum("w").alias("tw"))
+    weight = F.col("w").cast("double") / F.col("tw").cast("double")
+    return scaled.crossJoin(F.broadcast(wt)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round("share", 6).alias("raw_share"),
+        F.round(weight, 6).alias("temp_weight"),
+        F.expr("(w * 100000) DIV tw").cast("bigint").alias("alloc_per_100k"),
+        F.round(weight / F.col("share"), 6).alias("boost"),
+    )
