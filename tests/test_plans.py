@@ -387,3 +387,14 @@ def test_repetition_signals_shuffle_free(spark, sf_dir):
     DuckDB at 25x; this shape halves the time and frees two shuffles)."""
     plan = formatted_plan(QUERIES["text_repetition_signals"].fn(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_interval_overlap_is_bucketized_hash_join(spark, sf_dir):
+    """The interval-overlap join must plan as an EQUI-join on the hour
+    bucket (broadcast hash, range predicates as the join's residual
+    condition) — a BroadcastNestedLoopJoin would mean the bucket
+    decomposition fell apart and the O(|A| x |B|) theta join is back."""
+    df = QUERIES["join_interval_overlap"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -2100,3 +2100,83 @@ def feature_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q", 9).alias("quantile"),
         F.col("tv").alias("mapped_view_value"),
     )
+
+
+@register(
+    "agg_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT c_mktsegment, ROUND(MEDIAN(c_acctbal), 4) AS med
+  FROM customer GROUP BY 1
+),
+dev AS (
+  SELECT c.c_mktsegment, c.c_acctbal, m.med,
+         ROUND(ABS(c.c_acctbal - m.med), 4) AS adev
+  FROM customer c JOIN med m USING (c_mktsegment)
+),
+mad AS (
+  SELECT c_mktsegment, med, ROUND(MEDIAN(adev), 4) AS mad
+  FROM dev GROUP BY 1, 2
+)
+SELECT d.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ANY_VALUE(m.med) AS med,
+       ANY_VALUE(m.mad) AS mad,
+       CAST(COUNT(*) FILTER (WHERE d.adev > 5 * m.mad) AS BIGINT)
+         AS n_outliers,
+       ROUND(MAX(d.adev) / (1.4826 * ANY_VALUE(m.mad)), 6) AS max_robust_z
+FROM dev d JOIN mad m USING (c_mktsegment)
+GROUP BY d.c_mktsegment
+""",
+    tags=("agg", "robust-stats", "median", "outliers"),
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen by median absolute deviation: per segment,
+    MAD = median(|x - median(x)|), outliers = points beyond 5 MADs, and
+    the max robust z-score (|dev| / 1.4826*MAD — the Gaussian-consistent
+    scaling). The robust dual of agg_iqr_outliers' fence test and
+    events_anomaly_zscore's mean/stddev screen: one wild balance moves a
+    mean-based threshold, but breaks neither median.
+
+    Determinism: both engines interpolate even-count medians the same
+    way (linear midpoint), but reach the midpoint by differently-ordered
+    float ops — so each median is rounded to 1e-4 BEFORE it feeds the
+    next stage (2-decimal inputs make midpoints 3-decimal: the round is
+    drift-free), the same staging discipline as events_rolling_median.
+    The 5*mad threshold compare runs on identical doubles in both
+    engines, so boundary cases agree too.
+
+    Scale: exact median needs the value multiset — here via two grouped
+    medians (three passes over the dim). At fact scale swap
+    median() for percentile_approx(0.5) (mergeable KLL buffers, one
+    pass each) and keep the same staging; the exact variant stays the
+    audit path (agg_percentile_exact's split)."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 4).alias("med")
+    )
+    dev = cust.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        "med",
+        F.round(F.abs(F.col("c_acctbal") - F.col("med")), 4).alias("adev"),
+    )
+    mad = dev.groupBy("c_mktsegment", "med").agg(
+        F.round(F.median("adev"), 4).alias("mad")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count_if(F.col("adev") > 5 * F.col("mad"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max("adev") / (1.4826 * F.first("mad")), 6).alias(
+                "max_robust_z"
+            ),
+        )
+    )

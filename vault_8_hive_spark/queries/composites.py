@@ -135,6 +135,9 @@ _composite(
         ("ks_test", "agg_ks_test",
          {"grp": "'view_vs_purchase'", "n1": "n1", "n2": "n2",
           "d1": "ks_d", "d2": "ks_stat_scaled"}),
+        ("mad_outliers", "agg_mad_outliers",
+         {"grp": "c_mktsegment", "n1": "n", "n2": "n_outliers",
+          "d1": "med", "d2": "mad", "d3": "max_robust_z"}),
         ("psi_drift", "agg_psi_drift",
          {"grp": "'bucket_' || CAST(bucket AS STRING)", "d1": "p_view",
           "d2": "p_purchase", "d3": "psi_term", "d4": "psi_total"}),
@@ -300,6 +303,9 @@ _composite(
          {"s1": "noun || '|' || adj_a || '|' || adj_b || '|' || CAST(same_brand AS STRING)",
           "s2": "CAST(key_a AS STRING) || '|' || CAST(key_b AS STRING)",
           "n": "edit_dist"}),
+        ("interval_overlap", "join_interval_overlap",
+         {"s1": "CAST(user_id AS STRING) || '@' || d",
+          "s2": "CAST(burst_id AS STRING)", "n": "overlap_us"}),
     ],
     tags=("join", "nonequi", "interval", "fuzzy", "composite"),
 )

@@ -9,7 +9,7 @@ shuffle + one window pass (operators/asof.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import dim, table
@@ -808,4 +808,114 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.coalesce("k", F.lit("~null~")).alias("k"), "n_left", "n_right"
         )
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH a AS (
+  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+         CAST(epoch_us(MIN(ts)) AS BIGINT) AS a_lo,
+         CAST(epoch_us(MAX(ts)) + 1 AS BIGINT) AS a_hi
+  FROM events WHERE user_id < 60 GROUP BY 1, 2
+),
+eh AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1 HAVING COUNT(*) >= 3
+),
+isl AS (
+  SELECT hr, hr - ROW_NUMBER() OVER (ORDER BY hr) AS grp FROM eh
+),
+b AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY MIN(hr)) AS INT) AS burst_id,
+         MIN(hr) * 3600000000 AS b_lo,
+         (MAX(hr) + 1) * 3600000000 AS b_hi
+  FROM isl GROUP BY grp
+)
+SELECT a.user_id, a.d, b.burst_id, a.a_lo, a.a_hi, b.b_lo, b.b_hi,
+       LEAST(a.a_hi, b.b_hi) - GREATEST(a.a_lo, b.b_lo) AS overlap_us
+FROM a JOIN b ON a.a_lo < b.b_hi AND b.b_lo < a.a_hi
+""",
+    tags=("join", "nonequi", "interval", "overlap"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (interval x interval, not point-in-interval
+    like join_interval_events): per-user daily activity spans matched
+    against error-burst windows (>=3 errors/hour, consecutive hot hours
+    merged into maximal bursts by gaps-and-islands on the integer hour
+    index) wherever the two intervals intersect, reporting the exact
+    overlap in microseconds — the incident-attribution shape ("which
+    users were active during which outage, for how long").
+
+    The naive plan is a nested-loop theta join on the two range
+    predicates. This one decomposes it the standard way: each interval
+    explodes into the hour buckets it covers (activity spans are
+    day-bounded: <=24; bursts are their own hours), the join is an
+    EQUI-join on the bucket, and the exact predicate verifies only
+    bucket-collided pairs — O(sum of span-hours) candidates instead of
+    O(|A| x |B|). All interval arithmetic is exact int64 microseconds
+    (half-open [lo, hi)), so overlap_us is hash-stable by construction.
+
+    Scale: both explodes are linear in interval-hours; the bucket join
+    shuffles on a uniform time key (here the burst side is dim-sized and
+    broadcast). Burst ids are ordinal over burst start — deterministic on
+    any draw. The same decomposition runs interval self-joins
+    (overlapping sessions) by bucketing both sides identically."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    US_H = 3_600_000_000
+    a = (
+        ev.where(F.col("user_id") < 60)
+        .groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"),
+        )
+        .agg(
+            F.unix_micros(F.min("ts")).alias("a_lo"),
+            (F.unix_micros(F.max("ts")) + 1).alias("a_hi"),
+        )
+    )
+    eh = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("long")
+            .alias("hr")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+    )
+    w_ord = Window.partitionBy(F.col("hr") * 0).orderBy("hr")
+    isl = eh.withColumn("grp", F.col("hr") - F.row_number().over(w_ord))
+    b = (
+        isl.groupBy("grp")
+        .agg(F.min("hr").alias("h_lo"), F.max("hr").alias("h_hi"))
+        .select(
+            F.row_number()
+            .over(Window.partitionBy(F.col("h_lo") * 0).orderBy("h_lo"))
+            .cast("int")
+            .alias("burst_id"),
+            (F.col("h_lo") * US_H).alias("b_lo"),
+            ((F.col("h_hi") + 1) * US_H).alias("b_hi"),
+            F.expr("sequence(h_lo, h_hi)").alias("hrs"),
+        )
+        .select("burst_id", "b_lo", "b_hi", F.explode("hrs").alias("hr"))
+    )
+    a_buckets = a.select(
+        "user_id", "d", "a_lo", "a_hi",
+        F.explode(
+            F.expr(f"sequence(a_lo DIV {US_H}, (a_hi - 1) DIV {US_H})")
+        ).alias("hr"),
+    )
+    pairs = (
+        a_buckets.join(F.broadcast(b), "hr")
+        .select("user_id", "d", "burst_id", "a_lo", "a_hi", "b_lo", "b_hi")
+        .distinct()
+        .where((F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi")))
+    )
+    return pairs.select(
+        "user_id", "d", "burst_id", "a_lo", "a_hi", "b_lo", "b_hi",
+        (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")).alias("overlap_us"),
     )
