@@ -593,6 +593,11 @@ _composite(
         ("rfm", "events_rfm_segments",
          {"s1": "segment", "i1": "CAST(user_id AS INT)", "n": "frequency",
           "d1": "monetary"}),
+        ("seasonal", "events_seasonal_decompose",
+         {"i1": "hod", "n": "n_obs", "d1": "seasonal"}),
+        ("decayed_topk", "events_decayed_leaderboard",
+         {"i1": "rnk", "s1": "CAST(user_id AS STRING)", "n": "n_events",
+          "d1": "decayed_score"}),
     ],
     tags=("events", "window-time", "funnel", "gapfill", "cohort", "markov",
           "composite"),

@@ -1546,3 +1546,186 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
                  F.col("m").cast("string")),
     )
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h_idx,
+         CAST(date_part('hour', ts) AS INT) AS hod,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_c
+  FROM events GROUP BY 1, 2
+),
+trended AS (
+  SELECT h_idx, hod, total_c,
+         COUNT(*) OVER w AS n_frame,
+         SUM(total_c) OVER w AS frame_c
+  FROM hourly
+  WINDOW w AS (ORDER BY h_idx ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+detr AS (
+  SELECT hod,
+         CAST(FLOOR((total_c / 100.0 - frame_c / 2500.0) * 10000 + 0.5)
+              AS BIGINT) AS detr_s
+  FROM trended WHERE n_frame = 25
+)
+SELECT CAST(hod AS INT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(CAST(SUM(detr_s) AS DOUBLE) / (10000.0 * COUNT(*)), 6)
+         AS seasonal,
+       ROUND(MIN(detr_s) / 10000.0, 6) AS min_detr,
+       ROUND(MAX(detr_s) / 10000.0, 6) AS max_detr
+FROM detr GROUP BY hod
+""",
+    tags=("events", "time-series", "seasonal", "decomposition"),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite) of the hourly value
+    series: trend = centered 25-hour moving average (full frames only),
+    detrended = hourly total - trend, seasonal = mean detrended value
+    per hour-of-day — the 24-row daily-shape profile that separates
+    "traffic peaks at 18:00" from genuine anomalies before any
+    alerting/z-scoring runs (the zscore/CUSUM screens' seasonal blind
+    spot).
+
+    Cross-engine determinism by integer staging, one step further than
+    events_rolling_median: hourly totals ride as exact scaled-long
+    cents, the 25-hour frame SUM is integer (order-free), the
+    detrended value's true magnitude is a 4-decimal rational whose
+    double is within 1e-13 — so floor(x*1e4 + 0.5) recovers the exact
+    scaled integer on both engines, and every per-hod aggregate (sum,
+    min, max) is again integer arithmetic with ONE final divide.
+    Float accumulation order never touches the result.
+
+    Scale: one scan to the hourly grid, one frame window over it (at
+    fleet scale, partition by source/series id), one 24-group rollup.
+    The same staging extends to additive Holt-Winters once the smoothing
+    recursions are epoch-factorized (events_ewma's note)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("long")
+        .alias("h_idx"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.sum(scaled_long("value")).alias("total_c"))
+    w = (
+        Window.partitionBy(F.spark_partition_id() * 0)
+        .orderBy("h_idx")
+        .rowsBetween(-12, 12)
+    )
+    trended = hourly.select(
+        "hod",
+        "total_c",
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+        F.sum("total_c").over(w).alias("frame_c"),
+    )
+    detr = trended.where(F.col("n_frame") == 25).select(
+        "hod",
+        F.floor(
+            (F.col("total_c") / 100.0 - F.col("frame_c") / 2500.0) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("detr_s"),
+    )
+    return detr.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(
+            F.sum("detr_s").cast("double") / (10000.0 * F.count(F.lit(1))), 6
+        ).alias("seasonal"),
+        F.round(F.min("detr_s") / 10000.0, 6).alias("min_detr"),
+        F.round(F.max("detr_s") / 10000.0, 6).alias("max_detr"),
+    )
+
+
+@register(
+    "events_decayed_leaderboard",
+    oracle="""
+WITH anchor AS (
+  SELECT date_diff('day', DATE '2000-01-01', CAST(MAX(ts) AS DATE)) AS ad
+  FROM events
+),
+scored AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           * CAST(POWER(2, 4 - (anchor.ad -
+               date_diff('day', DATE '2000-01-01', CAST(ts AS DATE))) // 7)
+             AS BIGINT) AS wv,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events, anchor
+  WHERE event_type = 'purchase'
+    AND anchor.ad - date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) <= 34
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events, SUM(v) AS raw_c, SUM(wv) AS dec_c
+  FROM scored GROUP BY user_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY dec_c DESC, user_id) AS INT) AS rnk,
+       user_id, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(raw_c / 100.0, 2) AS raw_total,
+       ROUND(dec_c / 1600.0, 6) AS decayed_score
+FROM agg
+ORDER BY rnk LIMIT 20
+""",
+    tags=("events", "leaderboard", "decay", "topk"),
+)
+def events_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed top-20 spender leaderboard: purchase value halves in
+    weight every 7 days of age (5 weekly half-life steps over a 35-day
+    horizon), so the ranking favors RECENT spend — the freshness-aware
+    dual of events_rfm_segments' monetary quartile, and the standard
+    trending/leaderboard primitive.
+
+    Exponential decay is usually a float sum (order-fragile); here the
+    weights are exact powers of two on an integer day-age (2^(4 -
+    age/7) in {16,8,4,2,1}), so every weighted value is an exact int64
+    (cents x <=16) and the per-user sum is integer arithmetic — the
+    decayed score is exact by construction, normalized by one final
+    divide (1600 = 100 cents x 2^4). Overflow bound: cents <= 5e6 x
+    weight 16 x ~1e11 rows per user before int64 saturates. The age
+    anchor is max(ts)'s day (pure function of input, not wall clock);
+    day numbers are epoch-based on both engines.
+
+    Scale: one filtered scan, one exact-int groupBy, top-20 via
+    TakeOrderedAndProject under a total order (score desc, user_id).
+    Re-anchoring a live leaderboard = multiply every stored partial by
+    2^(-delta_weeks) — the store-partials pattern mergeable sketches
+    use, which is why the weights are powers of two."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.col("ts").cast("date"), F.lit("2000-01-01").cast("date"))
+    anchor = ev.agg(F.max(epoch_day).alias("ad"))
+    age = F.col("ad") - F.col("dn")
+    scored = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", scaled_long("value").alias("v"), epoch_day.alias("dn"))
+        .crossJoin(F.broadcast(anchor))
+        .where(age <= 34)
+        .select(
+            "user_id",
+            "v",
+            (F.col("v") * F.pow(F.lit(2.0), (F.lit(4) - (age / 7).cast("long")).cast("double")).cast("long")).alias("wv"),
+        )
+    )
+    agg = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("v").alias("raw_c"),
+        F.sum("wv").alias("dec_c"),
+    )
+    w = Window.partitionBy(F.col("dec_c") * 0).orderBy(
+        F.desc("dec_c"), "user_id"
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 20)
+        .select(
+            "rnk",
+            "user_id",
+            "n_events",
+            F.round(F.col("raw_c") / 100.0, 2).alias("raw_total"),
+            F.round(F.col("dec_c") / 1600.0, 6).alias("decayed_score"),
+        )
+        .orderBy("rnk")
+    )
