@@ -2180,3 +2180,89 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_theilsen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS dn,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+slopes AS (
+  SELECT (b.v - a.v) / (b.dn - a.dn) AS m
+  FROM daily a JOIN daily b ON a.dn < b.dn
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn, COUNT(*) OVER () AS np
+  FROM slopes
+),
+ts AS (SELECT m AS theilsen_slope FROM ranked WHERE rn = (np + 1) // 2),
+ols AS (
+  SELECT COUNT(*) AS n_days,
+         ROUND(regr_slope(v, dn), 6) AS ols_slope
+  FROM daily
+)
+SELECT CAST(o.n_days AS BIGINT) AS n_days,
+       CAST(o.n_days * (o.n_days - 1) / 2 AS BIGINT) AS n_pairs,
+       t.theilsen_slope, o.ols_slope
+FROM ols o CROSS JOIN ts t
+""",
+    tags=("agg", "robust-stats", "regression", "trend"),
+)
+def agg_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of daily purchase revenue: the
+    median of all pairwise slopes (v_j - v_i)/(d_j - d_i), reported next
+    to the OLS slope — up to ~29% contaminated days cannot move the
+    Theil-Sen line, where a single spiked day drags OLS (the regression
+    dual of agg_mad_outliers vs the mean).
+
+    Determinism without interpolation: the median is TYPE-1 (the
+    rank-floor((n+1)/2) element of the sorted slope multiset), so the
+    reported value is an actual computed slope — one IEEE divide of
+    exact-decimal daily totals, bit-identical in both engines — not an
+    interpolated midpoint that each engine reaches by different float
+    ops. The day index is epoch-anchored, not data-anchored, so slopes
+    are invariant to which day the draw starts on.
+
+    Scale: the pair join is O(days^2) on the POST-AGGREGATION series —
+    30 days = 435 pairs; even 10 years is ~6.7M pairs, dim-sized. The
+    fact scan (the actual data volume) reduces to one row per day
+    first; at fleet scale partition the pair join by series id."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2000-01-01").cast("date")).alias(
+            "dn"
+        )
+    ).agg(long_sum(F.sum(scaled_long("value")), 2).alias("v"))
+    a = daily.select(F.col("dn").alias("da"), F.col("v").alias("va"))
+    b = daily.select(F.col("dn").alias("db"), F.col("v").alias("vb"))
+    slopes = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(((F.col("vb") - F.col("va")) / (F.col("db") - F.col("da"))).alias("m"))
+    )
+    wr = Window.partitionBy(F.col("m") * 0).orderBy("m")
+    ranked = slopes.select(
+        "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.col("m") * 0)).alias("np"),
+    )
+    # Integer floor-div, mirroring the oracle's `//`: a float (np+1)/2
+    # is x.5 for even pair counts and would match NO rank at all.
+    ts = ranked.where(F.col("rn") == F.expr("(np + 1) DIV 2")).select(
+        F.col("m").alias("theilsen_slope")
+    )
+    ols = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("v", "dn"), 6).alias("ols_slope"),
+    )
+    return ols.crossJoin(F.broadcast(ts)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("bigint").alias("n_pairs"),
+        "theilsen_slope",
+        "ols_slope",
+    )

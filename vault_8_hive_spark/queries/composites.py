@@ -138,6 +138,9 @@ _composite(
         ("mad_outliers", "agg_mad_outliers",
          {"grp": "c_mktsegment", "n1": "n", "n2": "n_outliers",
           "d1": "med", "d2": "mad", "d3": "max_robust_z"}),
+        ("theilsen", "agg_theilsen_trend",
+         {"grp": "'daily_purchase_trend'", "n1": "n_days", "n2": "n_pairs",
+          "d1": "theilsen_slope", "d2": "ols_slope"}),
         ("psi_drift", "agg_psi_drift",
          {"grp": "'bucket_' || CAST(bucket AS STRING)", "d1": "p_view",
           "d2": "p_purchase", "d3": "psi_term", "d4": "psi_total"}),
@@ -712,6 +715,9 @@ _composite(
         ("containment", "text_containment",
          {"a": "doc_a", "b": "doc_b", "i1": "CAST(n_shared AS INT)",
           "d1": "contain_a_in_b"}),
+        ("setsim_prefix", "text_setsim_prefix_join",
+         {"a": "doc_a", "b": "doc_b", "i1": "CAST(n_inter AS INT)",
+          "d1": "jaccard"}),
     ],
     tags=("text", "dedup", "ngram", "simhash", "containment", "iterative",
           "composite"),

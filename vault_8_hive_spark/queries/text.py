@@ -1462,3 +1462,110 @@ def text_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dominant_lang",
         )
     )
+
+
+@register(
+    "text_setsim_prefix_join",
+    oracle=f"""
+WITH {_O_SHINGLES},
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+df AS (SELECT s, COUNT(*) AS nd FROM tok GROUP BY s),
+rk AS (SELECT s, ROW_NUMBER() OVER (ORDER BY nd, s) AS r FROM df),
+ranked AS (
+  SELECT t.doc_id, r.r,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY r.r) AS pos,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM tok t JOIN rk r USING (s)
+),
+pref AS (
+  SELECT doc_id, r FROM ranked
+  WHERE pos <= n - CAST(CEIL(0.5 * n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.r = b.r AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_inter,
+       ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+             len(list_distinct(list_concat(x.shingles, y.shingles))), 9)
+         AS jaccard
+FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+      len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5
+""",
+    tags=("text", "dedup", "setsim", "prefix-filter", "join"),
+)
+def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering (the AllPairs /
+    PPJoin decomposition): find every document pair with shingle-set
+    Jaccard >= 0.5, guaranteed complete, WITHOUT the all-pairs cross
+    join — the exact-join counterpart of the MinHash-LSH path (LSH is
+    probabilistic recall; this is 100% recall with pruning).
+
+    The filter: order every doc's shingles by ascending document
+    frequency (rarest first, ties by shingle); if |A ∩ B| / |A ∪ B| >=
+    t then A and B MUST share a token within each one's first
+    n - ceil(t*n) + 1 tokens — so candidates are only pairs colliding
+    on a PREFIX token, and rare-first ordering makes those prefixes the
+    least-shared tokens in the corpus. Candidates then verify the exact
+    Jaccard. Both engines rank with the same total order and compare
+    the same IEEE doubles, so the threshold decisions agree exactly.
+
+    Scale: the candidate join is an equi-join on prefix-token rank —
+    shuffle on a key whose fan-out the rare-first ordering actively
+    minimizes (a token appearing in d docs contributes <= d^2/2 pairs,
+    and prefixes hold the smallest-d tokens). The df ranking is one
+    groupBy + a broadcast-sized dictionary join. This is the exact-
+    result fallback when LSH's missed-pair rate is not acceptable
+    (dedup AUDITS), at the cost of candidate volume growing with true
+    near-dup density rather than hash-bucket luck."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    sh = _shingled(table(spark, sf_dir, "documents"))
+    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    rk = dfreq.select(
+        "s",
+        F.row_number()
+        .over(Window.partitionBy(F.col("nd") * 0).orderBy("nd", "s"))
+        .alias("r"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("r")
+    ranked = (
+        tok.join(rk, "s")
+        .select(
+            "doc_id",
+            "r",
+            F.row_number().over(wd).alias("pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+        )
+    )
+    pref = ranked.where(
+        F.col("pos") <= F.col("n") - F.ceil(0.5 * F.col("n")) + 1
+    ).select("doc_id", "r")
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "r")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .where(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_inter"),
+            F.round(jac, 9).alias("jaccard"),
+        )
+    )
