@@ -444,8 +444,12 @@ _composite(
          {"ts1": "d", "k1": "dau7", "k2": "user_days7"}),
         ("rolling_distinct_hll", "win_rolling_distinct_hll",
          {"ts1": "d", "k1": "dau7", "k2": "verified_hll7"}),
+        ("pareto_frontier", "win_pareto_frontier",
+         {"k1": "p_partkey", "i1": "rnk", "i2": "p_size",
+          "d1": "p_retailprice"}),
     ],
-    tags=("window", "ranking", "analytic", "frames", "distinct", "composite"),
+    tags=("window", "ranking", "analytic", "frames", "distinct", "skyline",
+          "composite"),
 )
 
 # --- formats / IO -----------------------------------------------------------
@@ -646,6 +650,9 @@ _composite(
         ("stream_stream_full", "stream_stream_full_outer",
          {"k1": "user_id", "s1": _cat("n_rows", "n_matched"),
           "n": "n_silent_views", "d1": "CAST(n_orphan_purchases AS DOUBLE)"}),
+        ("stream_stream_semi", "stream_stream_left_semi",
+         {"k1": "user_id", "s1": _cat("min_view_id", "max_view_id"),
+          "n": "n_converted_views"}),
         ("transform_with_state", "stream_transform_with_state",
          {"k1": "user_id",
           "s1": _cat("n_types", "top_type", "n_ids", "min_id", "max_id"),

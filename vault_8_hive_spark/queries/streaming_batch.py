@@ -863,3 +863,71 @@ def stream_state_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_events"),
         F.col("value.sum").alias("total_cents"),
     )
+
+
+@register(
+    "stream_stream_left_semi",
+    oracle="""
+WITH conv AS (
+  SELECT DISTINCT v.user_id, v.event_id AS view_id
+  FROM events v
+  WHERE v.event_type = 'view' AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+)
+SELECT user_id,
+       COUNT(*) AS n_converted_views,
+       MIN(view_id) AS min_view_id,
+       MAX(view_id) AS max_view_id
+FROM conv GROUP BY user_id
+""",
+    tags=("streaming", "stream-stream-join", "semi", "watermark", "interval"),
+)
+def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — "views that DID convert
+    within the hour", one row per converting view, no purchase columns:
+    the existence-check dual of stream_stream_left_outer's silence
+    question, completing the join family (inner / left outer / full
+    outer / left semi). Semi semantics matter for state and emission: a
+    view emits AT MOST ONCE however many purchases land in its window
+    (the inner join would fan out per purchase), it can emit as soon as
+    the FIRST match arrives, and its state still evicts on the same
+    watermark bound as the outer variants.
+
+    Shares the flush-sentinel landing (the sentinels never match, so
+    they add no rows — they only advance the min-of-both watermark so
+    end-of-replay state drains deterministically). The already-
+    deduplicated match stream reduces to per-user partials executor-side;
+    the batch EXISTS dual is the oracle."""
+    prep(spark)
+    land = _flushed_events_landing(spark, sf_dir)
+    schema = spark.read.parquet(land).schema
+    stream = spark.readStream.schema(schema).parquet(land)
+    matched = _ss_views(stream).join(
+        _ss_purchases(stream),
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+        "leftSemi",
+    ).select(F.col("v_user").alias("user_id"), "view_id")
+    partials = stream_partial_agg(
+        matched,
+        lambda b: b.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.min("view_id").alias("pmin"),
+            F.max("view_id").alias("pmax"),
+        ),
+        sf_dir,
+        "ss_semi_partials",
+    )
+    return (
+        partials.where(F.col("user_id") >= 0)  # drop the flush sentinel
+        .groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_converted_views"),
+            F.min("pmin").alias("min_view_id"),
+            F.max("pmax").alias("max_view_id"),
+        )
+    )

@@ -419,3 +419,85 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.col("total"), F.col("x")).over(w), 6).alias("trend_r2"),
     )
     return out.where(F.col("n_window") >= 7)
+
+
+@register(
+    "win_pareto_frontier",
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         CAST(FLOOR(p_retailprice * 10 + 0.5) AS BIGINT) AS price_c
+  FROM part
+),
+dom AS (
+  SELECT p_partkey, p_retailprice, p_size, price_c,
+         MAX(p_size) OVER (ORDER BY price_c
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_sz_cheaper,
+         MAX(p_size) OVER (PARTITION BY price_c) AS max_sz_same
+  FROM pts
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY price_c, p_partkey) AS INT) AS rnk,
+       p_partkey, p_retailprice, CAST(p_size AS INT) AS p_size
+FROM dom
+WHERE COALESCE(max_sz_cheaper, -1) < p_size AND max_sz_same <= p_size
+""",
+    tags=("window-frames", "skyline", "pareto", "sort"),
+)
+def win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): the parts for which no other part
+    is both at-most-as-expensive AND at-least-as-large with one strict —
+    the "best tradeoff" set a recommendation or procurement query wants
+    without the user pre-weighting the two objectives. The classic
+    skyline operator no SQL engine ships natively.
+
+    For two dimensions the block-nested-loop formulation collapses into
+    ONE sorted window pass: scanning by ascending price, a part is
+    dominated iff (a) some strictly-cheaper part has size >= its size —
+    a running MAX over the strictly-preceding price RANGE frame — or
+    (b) a same-price part has strictly larger size — a MAX over the
+    price partition. Prices ride as exact scaled-int cents so the
+    strict-cheaper frame is an integer RANGE (1 PRECEDING); ties on
+    both coordinates survive together (identical points do not dominate
+    each other). Everything is integer comparison — hash-stable.
+
+    Scale: O(n log n) distributed sort + two windows, vs the O(n^2)
+    self-join. The single global ORDER BY is the 2-D special case; at
+    k > 2 dimensions partition the space (grid cells on one dimension,
+    local skylines per cell, merge the per-cell frontiers — the
+    standard divide-and-conquer skyline) so no task ever sees the whole
+    relation."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    pts = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.floor(F.col("p_retailprice") * 10 + F.lit(0.5)).cast("long").alias("price_c"),
+    )
+    w_cheaper = (
+        Window.partitionBy(F.col("price_c") * 0)
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_c")
+    dom = pts.select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        "price_c",
+        F.max("p_size").over(w_cheaper).alias("max_sz_cheaper"),
+        F.max("p_size").over(w_same).alias("max_sz_same"),
+    )
+    frontier = dom.where(
+        (F.coalesce(F.col("max_sz_cheaper"), F.lit(-1)) < F.col("p_size"))
+        & (F.col("max_sz_same") <= F.col("p_size"))
+    )
+    w_rnk = Window.partitionBy(F.col("price_c") * 0).orderBy("price_c", "p_partkey")
+    return frontier.select(
+        F.row_number().over(w_rnk).cast("int").alias("rnk"),
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+    )
