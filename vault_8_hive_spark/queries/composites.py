@@ -602,6 +602,12 @@ _composite(
           "d1": "monetary"}),
         ("seasonal", "events_seasonal_decompose",
          {"i1": "hod", "n": "n_obs", "d1": "seasonal"}),
+        ("attribution_ushaped", "events_attribution_ushaped",
+         {"s1": "day", "n": "n_touches",
+          "i1": "CAST(n_endpoint_touches AS INT)", "d1": "credited_value"}),
+        ("conversion_time", "events_conversion_time",
+         {"s1": _cat("p90_gap_us", "max_gap_us"), "n": "median_gap_us",
+          "i1": "CAST(n_conversions AS INT)"}),
         ("decayed_topk", "events_decayed_leaderboard",
          {"i1": "rnk", "s1": "CAST(user_id AS STRING)", "n": "n_events",
           "d1": "decayed_score"}),

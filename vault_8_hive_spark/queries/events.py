@@ -1729,3 +1729,195 @@ def events_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "events_attribution_ushaped",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id AS vid, user_id, ts AS vts
+  FROM events WHERE event_type = 'view'
+),
+touch AS (
+  SELECT p.pid, p.value, v.vid, v.vts,
+         ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY v.vts, v.vid) AS pos,
+         COUNT(*) OVER (PARTITION BY p.pid) AS n
+  FROM p JOIN v ON v.user_id = p.user_id
+   AND v.vts < p.pts AND v.vts >= p.pts - INTERVAL 1 HOUR
+),
+credit AS (
+  SELECT strftime(date_trunc('day', vts), '%Y-%m-%d') AS day,
+         CASE WHEN pos = 1 OR pos = n THEN 1 ELSE 0 END AS is_endpoint,
+         CAST(ROUND(value * (CASE
+             WHEN n = 1 THEN 1.0
+             WHEN n = 2 THEN 0.5
+             WHEN pos = 1 OR pos = n THEN 0.4
+             ELSE 0.2 / (n - 2) END), 6) AS DOUBLE) AS share
+  FROM touch
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(is_endpoint) AS BIGINT) AS n_endpoint_touches,
+       CAST(ROUND(SUM(CAST(share AS DECIMAL(18,6))), 6) AS DOUBLE)
+         AS credited_value
+FROM credit GROUP BY day
+""",
+    tags=("events", "attribution", "join", "interval"),
+)
+def events_attribution_ushaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: 40% of each
+    purchase's value to the FIRST touch, 40% to the LAST, the remaining
+    20% split across the middle touches (1-touch journeys take 100%,
+    2-touch 50/50) — the model that credits discovery and closing over
+    the mid-funnel, next to events_attribution_linear's equal split.
+
+    Determinism follows the linear model's discipline with one extra
+    care point: the middle-touch weight 0.2/(n-2) is a double divide of
+    identical operands (deterministic), each share rounds to 1e-6
+    BEFORE the day rollup, and the rollup sums DECIMAL(18,6) so
+    accumulation order cannot move the credited total. Touch position
+    is totally ordered (vts, then view id) — ties cannot reshuffle
+    endpoint assignment between engines.
+
+    Scale: same bucketizable interval join as linear attribution; the
+    position window partitions per purchase (bounded fan-in: views
+    within one hour)."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    touch = p.join(
+        v,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("vts") < F.col("pts"))
+        & (F.col("vts") >= F.col("pts") - F.expr("interval 1 hour")),
+    )
+    wp = Window.partitionBy("pid").orderBy("vts", "vid")
+    wn = Window.partitionBy("pid")
+    pos, n = F.row_number().over(wp), F.count(F.lit(1)).over(wn)
+    endpoint = (pos == 1) | (pos == n)
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(endpoint, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    credit = touch.select(
+        F.date_format(F.date_trunc("day", "vts"), "yyyy-MM-dd").alias("day"),
+        endpoint.cast("int").alias("is_endpoint"),
+        F.round(F.col("value") * weight, 6).alias("share"),
+    )
+    return credit.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("is_endpoint").cast("bigint").alias("n_endpoint_touches"),
+        F.round(F.sum(F.col("share").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("credited_value"),
+    )
+
+
+@register(
+    "events_conversion_time",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT p.pid,
+         CAST(epoch_us(p.pts) - epoch_us(MIN(v.ts)) AS BIGINT) AS gap_us
+  FROM p JOIN events v
+    ON v.event_type = 'view' AND v.user_id = p.user_id
+   AND v.ts < p.pts AND v.ts >= p.pts - INTERVAL 1 HOUR
+  GROUP BY p.pid, p.pts
+),
+ranked AS (
+  SELECT gap_us, ROW_NUMBER() OVER (ORDER BY gap_us, pid) AS rn,
+         COUNT(*) OVER () AS n
+  FROM conv
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS BIGINT)
+         AS median_gap_us,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN gap_us END)
+         AS BIGINT) AS p90_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM ranked
+""",
+    tags=("events", "attribution", "percentile", "funnel"),
+)
+def events_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every purchase with a view in
+    the preceding hour, the gap from the user's FIRST such view
+    (discovery) to the purchase, summarized as exact type-1 median /
+    p90 / max — the funnel-latency readout that decides whether the
+    1-hour attribution window is even the right window.
+
+    Gaps are exact integer microseconds and the percentiles are RANK
+    positions (rn = floor((n+1)/2), ceil(0.9n)) in a totally ordered
+    multiset (gap, then purchase id) — actual observed gaps, never
+    interpolated midpoints, so both engines report bit-identical
+    values on any draw (agg_theilsen_trend's type-1 discipline).
+
+    Scale: the view-purchase join is the same bucketizable hour-band;
+    the per-purchase MIN collapses it before the global rank, which at
+    fleet scale runs per segment/cohort rather than globally."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    conv = (
+        p.join(
+            v,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("vts") < F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("interval 1 hour")),
+        )
+        .groupBy("pid", "pts")
+        .agg(
+            (F.unix_micros(F.col("pts")) - F.unix_micros(F.min("vts"))).alias(
+                "gap_us"
+            )
+        )
+    )
+    wr = Window.partitionBy(F.col("gap_us") * 0).orderBy("gap_us", "pid")
+    ranked = conv.select(
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.col("gap_us") * 0)).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_conversions"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("gap_us")))
+        .cast("bigint")
+        .alias("median_gap_us"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.9 * F.col("n")), F.col("gap_us"))
+        )
+        .cast("bigint")
+        .alias("p90_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
