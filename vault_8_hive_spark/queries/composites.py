@@ -707,6 +707,9 @@ _composite(
           "d2": "bits_per_token"}),
         ("bpe_merge", "text_bpe_merge_round",
          {"s1": "pair", "n1": "n", "n2": "rnk"}),
+        ("keyphrase", "text_keyphrase_tfidf",
+         {"k1": "doc_id", "s1": "term", "n1": "CAST(rnk AS BIGINT)",
+          "n2": "tf", "d1": "tfidf"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
           "redaction", "search", "composite"),

@@ -1569,3 +1569,79 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 9).alias("jaccard"),
         )
     )
+
+
+@register(
+    "text_keyphrase_tfidf",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT t.doc_id, t.w, t.tf, d.df,
+         t.tf * LN(CAST(n.nd AS DOUBLE) / d.df) AS score
+  FROM tf t JOIN df d USING (w) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, w, tf, CAST(df AS BIGINT) AS df,
+         ROUND(score, 9) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, w) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, w AS term,
+       CAST(tf AS BIGINT) AS tf, df, tfidf
+FROM ranked WHERE rnk <= 3 AND doc_id < 100
+""",
+    tags=("text", "tfidf", "keyphrase", "retrieval"),
+)
+def text_keyphrase_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyphrase extraction by TF-IDF: top-3 terms per doc
+    scored tf * ln(N/df) — the classical salience ranking a corpus
+    browser / tagging pass runs before anything embedding-based, and
+    the raw-count sibling of text_bm25_search's saturated scoring.
+
+    Determinism: tf and df are integer aggregates; ln of the identical
+    double ratio is one correctly-rounded libm op in both engines, the
+    product tf * ln(...) multiplies identical doubles, and the per-doc
+    top-3 rides a TOTAL order (score desc, then term) so equal-scored
+    terms — guaranteed whenever two terms share tf and df, common in a
+    31-word vocab — rank identically on any draw. The judged slice is
+    bounded (doc_id < 100) to keep the driver payload dim-sized; the
+    score itself rounds at 1e-9 only for display, after ranking.
+
+    Scale: tf is one (doc, term) groupBy over the token stream; df one
+    term groupBy over tf's output (already deduplicated per doc — no
+    second pass over raw tokens); the document count is a broadcast
+    scalar; the top-3 window partitions per doc. All shuffle keys are
+    uniform (terms, doc ids) — the textbook inverted-index build."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    score = F.col("tf") * F.log(F.col("nd").cast("double") / F.col("df"))
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("score"), "w")
+    return (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(wr))
+        .where((F.col("rnk") <= 3) & (F.col("doc_id") < 100))
+        .select(
+            "doc_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("w").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 9).alias("tfidf"),
+        )
+    )
