@@ -379,6 +379,13 @@ _composite(
          {"id1": "n_groups", "id2": "n_small_groups",
           "txt": _cat("k_anonymity", "n_reidentifiable_rows"),
           "d1": "reident_fraction"}),
+        ("l_diversity", "privacy_l_diversity",
+         {"id1": "n_groups", "id2": "n_low_diversity_groups",
+          "txt": _cat("l_diversity", "n_exposed_rows"),
+          "d1": "exposed_fraction"}),
+        ("referential_integrity", "dq_referential_integrity",
+         {"id1": "n_orphans", "id2": "n_unreferenced",
+          "txt": _cat("relation", "n_child", "n_parent")}),
         ("try_arith", "scalar_try_arith",
          {"id1": "l_orderkey", "id2": "CAST(l_linenumber AS BIGINT)",
           "txt": _cat("price_mod_qty"), "d1": "price_per_disc",
@@ -479,10 +486,13 @@ _composite(
          {"k1": "priority", "n": "n_orders", "d1": "total"}),
         ("observed_metrics", "io_observed_metrics",
          {"k1": "metric", "d1": "value"}),
+        ("binary_files", "scan_binary_files",
+         {"k1": "file", "k2": "content_md5", "n": "length",
+          "d1": "CAST(parsed_key AS DOUBLE)"}),
     ],
     tags=("scan", "sink", "csv", "json", "orc", "partition-pruning",
           "python-datasource", "schema-evolution", "observability",
-          "composite"),
+          "binary", "composite"),
 )
 
 # --- tpch single-row / small metrics ---------------------------------------
