@@ -618,6 +618,8 @@ _composite(
         ("conversion_time", "events_conversion_time",
          {"s1": _cat("p90_gap_us", "max_gap_us"), "n": "median_gap_us",
           "i1": "CAST(n_conversions AS INT)"}),
+        ("xcorr", "events_cross_correlation",
+         {"i1": "lag_days", "n": "n_pairs", "d1": "xcorr"}),
         ("decayed_topk", "events_decayed_leaderboard",
          {"i1": "rnk", "s1": "CAST(user_id AS STRING)", "n": "n_events",
           "d1": "decayed_score"}),

@@ -1921,3 +1921,73 @@ def events_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+@register(
+    "events_cross_correlation",
+    oracle="""
+WITH vd AS (
+  SELECT date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS dn,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+pd AS (
+  SELECT date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS dn,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS p
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+lags AS (SELECT unnest(generate_series(-7, 7)) AS lag_days),
+paired AS (
+  SELECT l.lag_days, vd.v, pd.p
+  FROM lags l
+  JOIN vd ON TRUE
+  JOIN pd ON pd.dn = vd.dn + l.lag_days
+)
+SELECT CAST(lag_days AS INT) AS lag_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(corr(v, p), 6) AS xcorr
+FROM paired GROUP BY lag_days
+""",
+    tags=("events", "time-series", "cross-correlation"),
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily VIEW-value and
+    PURCHASE-value series (lags -7..+7): does view volume lead purchase
+    volume, and by how many days? — the two-series companion of
+    events_autocorr, and the signal that picks the attribution window
+    events_conversion_time then measures precisely.
+
+    Same discipline as autocorr: exact-decimal daily totals, the
+    lag realized as a date-shift equi-join (Spark's lag() needs a
+    literal offset per window, so 15 lags ride one broadcast of the
+    lag spine and one shuffle-free join over the tiny series), corr
+    over identical doubles rounded at 1e-6 to absorb the engines'
+    one-pass moment accumulation order.
+
+    Scale: the fact scan collapses to two ~30-row daily series; all
+    lag work happens on the dim-sized product. At fleet scale the
+    same plan partitions by (series_id, lag)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.col("ts").cast("date"), F.lit("2000-01-01").cast("date"))
+
+    def daily(etype, col):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy(epoch_day.alias("dn"))
+            .agg(long_sum(F.sum(scaled_long("value")), 2).alias(col))
+        )
+
+    vd = daily("view", "v")
+    pd_ = daily("purchase", "p").select(
+        F.col("dn").alias("pdn"), "p"
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag_days"))
+    paired = (
+        vd.crossJoin(F.broadcast(lags))
+        .join(pd_, F.expr("pdn = dn + lag_days"))
+    )
+    return paired.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr("v", "p"), 6).alias("xcorr"),
+    )
