@@ -50,6 +50,13 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     not rely on this: the driver's value hash is not ours to normalize —
     composites add `+ 0.0` to every double slot on both engines, and
     tests/test_regen.py is the evidence it suffices.)"""
+    out, _ = _canonicalize_with_order(pdf)
+    return out
+
+
+def _canonicalize_with_order(pdf: pd.DataFrame):
+    """Canonicalized frame + the row permutation that produced it (so a
+    raw, un-normalized view can be re-aligned to the same pairing)."""
     out = pdf.copy()
     for c in out.columns:
         if isinstance(out[c].dtype, pd.DatetimeTZDtype):
@@ -57,11 +64,13 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
         if np.issubdtype(out[c].dtype, np.floating):
             out[c] = out[c] + 0.0
     out = out[sorted(out.columns)]
+    order = None
     if len(out):
         # Sort on a stringified view so floats/None/lists sort stably.
         key = out.apply(lambda row: tuple(repr(v) for v in row), axis=1)
-        out = out.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
-    return out
+        order = key.argsort(kind="mergesort")
+        out = out.iloc[order].reset_index(drop=True)
+    return out, order
 
 
 @dataclass
@@ -145,20 +154,46 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
 
 
 def _zero_sign_drift(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
-    """Per-column -0.0 population count on the RAW (pre-normalization)
-    frames. A count mismatch means one engine signed a zero the other
-    didn't — invisible to IEEE equality, visible to a bit-level hash."""
-    for c in sorted(spark_pdf.columns):
-        if c not in oracle_pdf.columns:
-            continue
-        sa, sb = spark_pdf[c], oracle_pdf[c]
-        if not (np.issubdtype(sa.dtype, np.floating)
-                and np.issubdtype(sb.dtype, np.floating)):
-            continue
-        av = sa.to_numpy()
-        bv = sb.to_numpy()
-        na = int(np.sum((av == 0) & np.signbit(av)))
-        nb = int(np.sum((bv == 0) & np.signbit(bv)))
-        if na != nb:
-            return f"col {c}: -0.0 count {na} (spark) vs {nb} (oracle)"
+    """Driver-hash-equivalence check on the RAW (pre-normalization)
+    frames: the driver's value hash is md5 over the SORTED multiset of
+    repr-tuple rows (columns ordered by name), so two results it calls
+    equal must have identical raw repr-row multisets — which
+    distinguishes -0.0 from +0.0 wherever it appears. Comparing the
+    sorted multisets (rather than counting or positionally pairing
+    zeros) matches that contract exactly: same number of -0.0s on
+    DIFFERENT rows still flags, while duplicate rows with swapped zero
+    signs across the frames — repr-multiset-equal, hash-equal — do not."""
+    if len(spark_pdf) != len(oracle_pdf) or not len(spark_pdf):
+        return ""
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return ""
+
+    def norm(v):
+        # Python-native reprs so numpy-2 scalar wrappers ('np.int64(5)')
+        # and dtype width can't fake a diff — but float zero SIGN (and
+        # full float precision) survives: repr(float(-0.0)) == '-0.0'.
+        if isinstance(v, (bool, np.bool_)):
+            return repr(bool(v))
+        if isinstance(v, (np.floating, float)):
+            return repr(float(v))
+        if isinstance(v, (np.integer, int)):
+            return repr(int(v))
+        if isinstance(v, (np.ndarray, list, tuple)):
+            return repr([norm(x) for x in v])
+        return repr(v)
+
+    def rows(pdf):
+        view = pdf.copy()
+        for c in view.columns:
+            if isinstance(view[c].dtype, pd.DatetimeTZDtype):
+                view[c] = view[c].dt.tz_convert("UTC").dt.tz_localize(None)
+        view = view[sorted(view.columns)]
+        return sorted(
+            tuple(norm(v) for v in r) for r in view.itertuples(index=False)
+        )
+
+    ra, rb = rows(spark_pdf), rows(oracle_pdf)
+    for i, (x, y) in enumerate(zip(ra, rb)):
+        if x != y:
+            return f"repr-row multiset differs at sorted row {i}: {x} vs {y}"
     return ""

@@ -2124,7 +2124,8 @@ SELECT d.c_mktsegment,
        ANY_VALUE(m.mad) AS mad,
        CAST(COUNT(*) FILTER (WHERE d.adev > 5 * m.mad) AS BIGINT)
          AS n_outliers,
-       ROUND(MAX(d.adev) / (1.4826 * ANY_VALUE(m.mad)), 6) AS max_robust_z
+       ROUND(MAX(d.adev) / NULLIF(1.4826 * ANY_VALUE(m.mad), 0), 6)
+         AS max_robust_z
 FROM dev d JOIN mad m USING (c_mktsegment)
 GROUP BY d.c_mktsegment
 """,
@@ -2175,9 +2176,12 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("adev") > 5 * F.col("mad"))
             .cast("bigint")
             .alias("n_outliers"),
-            F.round(F.max("adev") / (1.4826 * F.first("mad")), 6).alias(
-                "max_robust_z"
-            ),
+            # try_divide: a zero MAD (half a segment at its median —
+            # possible on a changed driver draw) must yield NULL like
+            # the oracle's NULLIF, not an ANSI ArithmeticException.
+            F.round(
+                F.try_divide(F.max("adev"), 1.4826 * F.first("mad")), 6
+            ).alias("max_robust_z"),
         )
     )
 

@@ -1582,7 +1582,11 @@ FROM detr GROUP BY hod
 )
 def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical seasonal decomposition (STL-lite) of the hourly value
-    series: trend = centered 25-hour moving average (full frames only),
+    series: trend = centered 25-ROW moving average over the OBSERVED
+    hourly grid (full frames only — and note ROWS semantics: hours with
+    zero events are absent from the grid, so on sparse data the frame
+    spans more than 25 wall-clock hours; densify the spine first — the
+    events_gapfill_* job — when that matters),
     detrended = hourly total - trend, seasonal = mean detrended value
     per hour-of-day — the 24-row daily-shape profile that separates
     "traffic peaks at 18:00" from genuine anomalies before any
@@ -1945,7 +1949,8 @@ paired AS (
 )
 SELECT CAST(lag_days AS INT) AS lag_days,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(corr(v, p), 6) AS xcorr
+       ROUND(covar_samp(v, p)
+             / NULLIF(stddev_samp(v) * stddev_samp(p), 0), 6) AS xcorr
 FROM paired GROUP BY lag_days
 """,
     tags=("events", "time-series", "cross-correlation"),
@@ -1987,7 +1992,18 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         vd.crossJoin(F.broadcast(lags))
         .join(pd_, F.expr("pdn = dn + lag_days"))
     )
+    # corr spelled as covar/(sd*sd) under try_divide: built-in corr's
+    # final division raises under ANSI mode when a lag pairing has zero
+    # variance (a sparse reseeded draw with 2-3 equal daily totals),
+    # where DuckDB's corr returns NULL — try_divide + the oracle's
+    # NULLIF make the degenerate case NULL on both engines.
     return paired.groupBy("lag_days").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(F.corr("v", "p"), 6).alias("xcorr"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("v", "p"),
+                F.stddev_samp("v") * F.stddev_samp("p"),
+            ),
+            6,
+        ).alias("xcorr"),
     )

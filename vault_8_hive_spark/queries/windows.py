@@ -426,7 +426,7 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pts AS (
   SELECT p_partkey, p_retailprice, p_size,
-         CAST(FLOOR(p_retailprice * 10 + 0.5) AS BIGINT) AS price_c
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
   FROM part
 ),
 dom AS (
@@ -474,7 +474,7 @@ def win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_retailprice",
         F.col("p_size").cast("int").alias("p_size"),
-        F.floor(F.col("p_retailprice") * 10 + F.lit(0.5)).cast("long").alias("price_c"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long").alias("price_c"),
     )
     w_cheaper = (
         Window.partitionBy(F.col("price_c") * 0)
