@@ -811,7 +811,9 @@ lagged AS (
 )
 SELECT CAST(lag_days AS INT) AS lag_days,
        CAST(COUNT(prev) AS BIGINT) AS n_pairs,
-       ROUND(corr(total, prev), 6) AS autocorr
+       ROUND(covar_samp(total, prev)
+             / NULLIF(stddev_samp(total) * stddev_samp(prev), 0), 6)
+         AS autocorr
 FROM lagged
 GROUP BY lag_days
 """,
@@ -848,7 +850,17 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         lagged.groupBy("lag_days")
         .agg(
             F.count("prev").cast("bigint").alias("n_pairs"),
-            F.round(F.corr("total", "prev"), 6).alias("autocorr"),
+            # try_divide'd covar/sd*sd, not built-in corr: under ANSI
+            # mode corr's final division raises on a zero-variance lag
+            # pairing (a sparse draw) where DuckDB returns NULL — same
+            # guard as events_cross_correlation.
+            F.round(
+                F.try_divide(
+                    F.covar_samp("total", "prev"),
+                    F.stddev_samp("total") * F.stddev_samp("prev"),
+                ),
+                6,
+            ).alias("autocorr"),
         )
     )
 
