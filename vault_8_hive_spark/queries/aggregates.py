@@ -258,12 +258,12 @@ _O_SXY = "SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMA
     oracle=f"""
 SELECT l_returnflag,
        COUNT(*) AS n,
-       ROUND(SQRT((CAST({_O_SXX} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SX} AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1)), 6) AS stddev_qty,
-       ROUND((CAST({_O_SXX} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SX} AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1), 6) AS var_qty,
-       ROUND((CAST({_O_SXY} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SY} AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1), 6) AS covar_qty_price,
+       ROUND(SQRT((CAST({_O_SXX} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SX} AS DOUBLE) / COUNT(*)) / NULLIF(COUNT(*) - 1, 0)), 6) AS stddev_qty,
+       ROUND((CAST({_O_SXX} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SX} AS DOUBLE) / COUNT(*)) / NULLIF(COUNT(*) - 1, 0), 6) AS var_qty,
+       ROUND((CAST({_O_SXY} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SY} AS DOUBLE) / COUNT(*)) / NULLIF(COUNT(*) - 1, 0), 6) AS covar_qty_price,
        ROUND((COUNT(*) * CAST({_O_SXY} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SY} AS DOUBLE))
-             / SQRT((COUNT(*) * CAST({_O_SXX} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SX} AS DOUBLE))
-                    * (COUNT(*) * CAST({_O_SYY} AS DOUBLE) - CAST({_O_SY} AS DOUBLE) * CAST({_O_SY} AS DOUBLE))), 6) AS corr_qty_price
+             / NULLIF(SQRT((COUNT(*) * CAST({_O_SXX} AS DOUBLE) - CAST({_O_SX} AS DOUBLE) * CAST({_O_SX} AS DOUBLE))
+                    * (COUNT(*) * CAST({_O_SYY} AS DOUBLE) - CAST({_O_SY} AS DOUBLE) * CAST({_O_SY} AS DOUBLE))), 0), 6) AS corr_qty_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -287,12 +287,24 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             n.alias("n"),
-            F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 6).alias("stddev_qty"),
-            F.round((sxx - sx * sx / n) / (n - F.lit(1)), 6).alias("var_qty"),
-            F.round((sxy - sx * sy / n) / (n - F.lit(1)), 6).alias("covar_qty_price"),
+            # try_divide + oracle NULLIF on every denominator: a
+            # single-row group (n-1 = 0) or a constant column (zero
+            # variance in corr's sqrt) must be NULL on both engines,
+            # not an ANSI ArithmeticException (degen-probe finding).
             F.round(
-                (n * sxy - sx * sy)
-                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                F.sqrt(F.try_divide(sxx - sx * sx / n, n - F.lit(1))), 6
+            ).alias("stddev_qty"),
+            F.round(F.try_divide(sxx - sx * sx / n, n - F.lit(1)), 6).alias(
+                "var_qty"
+            ),
+            F.round(F.try_divide(sxy - sx * sy / n, n - F.lit(1)), 6).alias(
+                "covar_qty_price"
+            ),
+            F.round(
+                F.try_divide(
+                    n * sxy - sx * sy,
+                    F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                ),
                 6,
             ).alias("corr_qty_price"),
         )
@@ -306,7 +318,9 @@ SELECT l_returnflag,
        ROUND(stddev_samp(l_quantity), 6) AS stddev_qty,
        ROUND(var_samp(l_quantity), 6) AS var_qty,
        ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
-       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+       ROUND(covar_samp(l_quantity, l_extendedprice)
+             / NULLIF(stddev_samp(l_quantity) * stddev_samp(l_extendedprice), 0), 6)
+         AS corr_qty_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -327,7 +341,19 @@ def agg_moments_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
             F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            # corr spelled covar/(sd*sd) under try_divide: the built-in
+            # corr aggregate's final division RAISES under ANSI mode on a
+            # zero-variance group where DuckDB's corr returns NULL — an
+            # engine fact worth recording: corr is the one moment builtin
+            # without a NULL-on-degenerate path (regr_* return NULL).
+            F.round(
+                F.try_divide(
+                    F.covar_samp("l_quantity", "l_extendedprice"),
+                    F.stddev_samp("l_quantity")
+                    * F.stddev_samp("l_extendedprice"),
+                ),
+                6,
+            ).alias("corr_qty_price"),
         )
     )
 
@@ -1221,12 +1247,18 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n").cast("bigint").alias("n_view"),
         F.col("b.n").cast("bigint").alias("n_purchase"),
         F.round(F.col("a.m") - F.col("b.m"), 6).alias("mean_diff"),
-        F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 6).alias("t_stat"),
+        # try_divide: zero variance in BOTH samples (constant values on
+        # a degenerate draw) zeroes the standard error and the dof
+        # denominator — NULL like DuckDB's NULL-division, not an ANSI
+        # exception (degen-probe finding).
         F.round(
-            F.pow(se2, 2)
-            / (
+            F.try_divide(F.col("a.m") - F.col("b.m"), F.sqrt(se2)), 6
+        ).alias("t_stat"),
+        F.round(
+            F.try_divide(
+                F.pow(se2, 2),
                 F.pow(F.col("a.v") / F.col("a.n"), 2) / (F.col("a.n") - 1)
-                + F.pow(F.col("b.v") / F.col("b.n"), 2) / (F.col("b.n") - 1)
+                + F.pow(F.col("b.v") / F.col("b.n"), 2) / (F.col("b.n") - 1),
             ),
             6,
         ).alias("welch_dof"),
@@ -1320,7 +1352,10 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("bigint").alias("n2"),
         F.round(u1, 6).alias("u1"),
         F.round(n1 * n2 - u1, 6).alias("u2"),
-        F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z_stat"),
+        # try_divide: sigma is 0 when either sample is empty (a draw
+        # with a missing event type) — NULL like the oracle's NULLIF,
+        # not an ANSI ArithmeticException.
+        F.round(F.try_divide(u1 - n1 * n2 / 2.0, sigma), 6).alias("z_stat"),
     )
 
 
@@ -1689,12 +1724,12 @@ WITH s AS (
   SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS d, l_tax AS t
   FROM lineitem
 )
-SELECT 'q' AS x, 'p' AS y, ROUND(corr(q, p), 6) AS r FROM s
-UNION ALL SELECT 'q', 'd', ROUND(corr(q, d), 6) FROM s
-UNION ALL SELECT 'q', 't', ROUND(corr(q, t), 6) FROM s
-UNION ALL SELECT 'p', 'd', ROUND(corr(p, d), 6) FROM s
-UNION ALL SELECT 'p', 't', ROUND(corr(p, t), 6) FROM s
-UNION ALL SELECT 'd', 't', ROUND(corr(d, t), 6) FROM s
+SELECT 'q' AS x, 'p' AS y, ROUND(covar_samp(q, p) / NULLIF(stddev_samp(q) * stddev_samp(p), 0), 6) AS r FROM s
+UNION ALL SELECT 'q', 'd', ROUND(covar_samp(q, d) / NULLIF(stddev_samp(q) * stddev_samp(d), 0), 6) FROM s
+UNION ALL SELECT 'q', 't', ROUND(covar_samp(q, t) / NULLIF(stddev_samp(q) * stddev_samp(t), 0), 6) FROM s
+UNION ALL SELECT 'p', 'd', ROUND(covar_samp(p, d) / NULLIF(stddev_samp(p) * stddev_samp(d), 0), 6) FROM s
+UNION ALL SELECT 'p', 't', ROUND(covar_samp(p, t) / NULLIF(stddev_samp(p) * stddev_samp(t), 0), 6) FROM s
+UNION ALL SELECT 'd', 't', ROUND(covar_samp(d, t) / NULLIF(stddev_samp(d) * stddev_samp(t), 0), 6) FROM s
 """,
     tags=("aggregate", "statistics", "profiling", "correlation"),
 )
@@ -1716,8 +1751,20 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_tax").alias("t"),
     )
     pairs = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+    # covar/(sd*sd) under try_divide instead of the corr builtin: a
+    # constant column (any zero-variance feature on a degenerate draw)
+    # makes corr's final division RAISE under ANSI mode where the
+    # covar/stddev aggregates stay NULL-safe (degen-probe finding).
     agg = s.agg(
-        *[F.round(F.corr(a, b), 6).alias(f"r_{a}_{b}") for a, b in pairs]
+        *[
+            F.round(
+                F.try_divide(
+                    F.covar_samp(a, b), F.stddev_samp(a) * F.stddev_samp(b)
+                ),
+                6,
+            ).alias(f"r_{a}_{b}")
+            for a, b in pairs
+        ]
     )
     out = None
     for a, b in pairs:
@@ -1767,7 +1814,12 @@ def agg_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (F.col("hi") - F.col("lo")) / 10.0
     binned = cust.crossJoin(F.broadcast(b)).select(
         F.least(
-            F.floor((F.col("c_acctbal") - F.col("lo")) / width).cast("int"),
+            # try_divide: a constant column (hi == lo) must bin like the
+            # oracle's NULL-division path (both engines' LEAST skips the
+            # NULL -> bin 9), not raise under ANSI (degen-probe finding).
+            F.floor(
+                F.try_divide(F.col("c_acctbal") - F.col("lo"), width)
+            ).cast("int"),
             F.lit(9),
         ).alias("bin"),
         "lo",
@@ -1947,7 +1999,9 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.cast("bigint").alias("n_runs"),
         n1.cast("bigint").alias("n_above"),
         n2.cast("bigint").alias("n_below"),
-        F.round((r - mu) / sigma, 6).alias("z_stat"),
+        # try_divide: constant values put every row on one side of the
+        # median (n1*n2 = 0 -> sigma 0) — NULL on both engines.
+        F.round(F.try_divide(r - mu, sigma), 6).alias("z_stat"),
     )
 
 

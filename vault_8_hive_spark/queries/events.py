@@ -920,14 +920,18 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("total").over(w).alias("mu"),
         F.stddev_samp("total").over(w).alias("sigma"),
     )
-    z = (F.col("total") - F.col("mu")) / F.col("sigma")
+    # try_divide: a flat trailing window (sigma == 0, e.g. constant
+    # values with equal daily counts) must yield NULL z like DuckDB's
+    # NULL-division, and the anomaly flag then mirrors the oracle's
+    # CASE (NULL -> FALSE) via coalesce — not an ANSI exception.
+    z = F.try_divide(F.col("total") - F.col("mu"), F.col("sigma"))
     return roll.where(F.col("n_window") >= 3).select(
         "d",
         "total",
         F.col("n_window").cast("int").alias("n_window"),
         F.round("mu", 6).alias("baseline_mean"),
         F.round(z, 6).alias("z_score"),
-        (F.abs(z) > 2).alias("is_anomaly"),
+        F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
     )
 
 

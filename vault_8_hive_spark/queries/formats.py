@@ -359,12 +359,19 @@ def io_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The pipeline's own action (here a count; in production the write).
     observed.count()
     m = obs.get
+
+    def _f(v):
+        # SUM/MAX observe as None when the filter matched zero rows (a
+        # degenerate draw) — surface NULL, matching the oracle's SQL
+        # aggregates over the same empty set.
+        return None if v is None else float(v)
+
     return spark.createDataFrame(
         [
-            ("n_rows", float(m["n_rows"])),
-            ("sum_qty", float(m["sum_qty"])),
-            ("null_comments", float(m["null_comments"])),
-            ("max_price", float(m["max_price"])),
+            ("n_rows", _f(m["n_rows"])),
+            ("sum_qty", _f(m["sum_qty"])),
+            ("null_comments", _f(m["null_comments"])),
+            ("max_price", _f(m["max_price"])),
         ],
         "metric string, value double",
     )

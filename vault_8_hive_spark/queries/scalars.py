@@ -515,8 +515,9 @@ WITH stats AS (
   FROM part GROUP BY p_brand
 )
 SELECT p.p_partkey, p.p_brand,
-       ROUND((p.p_retailprice - s.mu) / s.sigma, 6) AS z_scaled,
-       ROUND((p.p_retailprice - s.lo) / (s.hi - s.lo), 6) AS minmax_scaled,
+       ROUND((p.p_retailprice - s.mu) / NULLIF(s.sigma, 0), 6) AS z_scaled,
+       ROUND((p.p_retailprice - s.lo) / NULLIF(s.hi - s.lo, 0), 6)
+         AS minmax_scaled,
        ROUND(percent_rank() OVER (PARTITION BY p.p_brand
                                   ORDER BY p.p_retailprice, p.p_partkey), 6)
          AS quantile_rank
@@ -552,11 +553,20 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             "p_brand",
-            F.round((F.col("p_retailprice") - F.col("mu")) / F.col("sigma"), 6).alias(
-                "z_scaled"
-            ),
+            # try_divide + oracle NULLIF: a constant-price brand (zero
+            # sigma / zero range) must scale to NULL on both engines,
+            # not raise under ANSI mode (degen-probe finding, round 4).
             F.round(
-                (F.col("p_retailprice") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+                F.try_divide(
+                    F.col("p_retailprice") - F.col("mu"), F.col("sigma")
+                ),
+                6,
+            ).alias("z_scaled"),
+            F.round(
+                F.try_divide(
+                    F.col("p_retailprice") - F.col("lo"),
+                    F.col("hi") - F.col("lo"),
+                ),
                 6,
             ).alias("minmax_scaled"),
             F.round(F.percent_rank().over(w), 6).alias("quantile_rank"),
