@@ -398,3 +398,30 @@ def test_interval_overlap_is_bucketized_hash_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert "NestedLoop" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zonemap_prunes_files(spark, sf_dir):
+    """The zone-map manifest must actually skip files: orders laid out
+    as 8 range-partitioned files, a [1000, 20000] key predicate selects
+    a strict subset (the layout gives each file ~1/8 of the key domain),
+    and the pruned scan's result equals the unpruned one."""
+    from pyspark.sql import functions as F
+
+    from vault_8_hive_spark.queries.formats import (
+        _ensure_rangefiles,
+        zonemap_pruned_scan,
+    )
+    from vault_8_hive_spark.session import prep
+
+    prep(spark)
+    path = _ensure_rangefiles(spark, sf_dir)
+    pruned, n_total, n_sel = zonemap_pruned_scan(spark, path, 1000, 20000)
+    assert n_total >= 8
+    assert 0 < n_sel < n_total, f"no pruning: {n_sel}/{n_total} files"
+    got = pruned.where(F.col("o_orderkey").between(1000, 20000)).count()
+    want = (
+        spark.read.parquet(path)
+        .where(F.col("o_orderkey").between(1000, 20000))
+        .count()
+    )
+    assert got == want

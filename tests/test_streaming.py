@@ -330,6 +330,109 @@ def test_left_outer_interval_join_null_extends_only_after_watermark(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_right_outer_interval_join_null_extends_only_after_watermark(spark):
+    """Stream-stream RIGHT OUTER interval join eviction timing — the
+    mirror of the left-outer test with the sides swapped: an unmatched
+    PURCHASE may be null-extended only once the watermark has passed the
+    end of its match interval. A matching view has view_ts in
+    [purchase_ts - 1h, purchase_ts], so the purchase's interval closes
+    at purchase_ts itself — it may emit once the watermark clears its
+    own event time, and not one batch before.
+
+    Three-batch fixture (maxFilesPerTrigger=1, watermark delay 30 min):
+      file 1: view(u1)@00:00 + purchase A(u1)@00:10 -> matched pair
+              purchase B(u2)@00:30                  -> orphan
+              purchase C(u3)@02:00                  -> orphan, late-open
+      file 2: flush view+purchase (u -1) @ +10 days
+    Batch 0 runs with the epoch watermark, so no null row may appear
+    there; B's interval (closes 00:30) clears under batch 1's watermark
+    (01:30 = file 1's max 02:00 - 0:30) so batch 1 is its earliest
+    correct batch; C's interval (closes 02:00) outlives every data
+    batch, so only the post-flush batch may carry it. As in the
+    left-outer test, eviction may LAG the watermark (conservative is
+    safe) — earliness is the wrong answer these asserts forbid."""
+    import datetime
+    import time
+
+    base = f"{WORK_DIR}/router_timing_{uuid.uuid4().hex[:8]}"
+    land, ckpt = f"{base}/land", f"{base}/ckpt"
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    file1 = [
+        (1, t0, 1, "view"),
+        (2, t0 + 10 * m, 1, "purchase"),
+        (3, t0 + 30 * m, 2, "purchase"),
+        (4, t0 + 120 * m, 3, "purchase"),
+    ]
+    file2 = [(5, t0 + datetime.timedelta(days=10), -1, "view"),
+             (6, t0 + datetime.timedelta(days=10), -1, "purchase")]
+    spark.createDataFrame(file1, schema).coalesce(1).write.mode("append").parquet(land)
+    time.sleep(0.05)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(file2, schema).coalesce(1).write.mode("append").parquet(land)
+
+    src_schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "30 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+        "rightOuter",
+    )
+    emitted: dict[int, list] = {}
+
+    def capture(batch_df, batch_id):
+        emitted[int(batch_id)] = [
+            (r["p_user"], r["view_ts"] is not None) for r in batch_df.collect()
+        ]
+
+    q = (
+        pairs.writeStream.foreachBatch(capture)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        # Batch 0 (epoch watermark): only the matched pair — no
+        # null-extension may happen while every interval is still open.
+        assert emitted.get(0) == [(1, True)], emitted
+        null_batches = {
+            u: b
+            for b, rows in emitted.items()
+            for (u, matched) in rows
+            if not matched and u > 0
+        }
+        n_nulls = sum(
+            1 for rows in emitted.values() for (u, mt) in rows if not mt and u > 0
+        )
+        # Exactly one null row each for B and C, never a duplicate.
+        assert set(null_batches) == {2, 3} and n_nulls == 2, emitted
+        # Never early: B may not surface before batch 1, C not before
+        # the post-flush batch 2.
+        assert null_batches[2] >= 1, emitted
+        assert null_batches[3] >= 2, emitted
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_transform_with_state_runs_v2_engine(spark, sf_dir):
     """The TWS (state v2) path must actually run in our harness — no
     silent fallback — and agree exactly with the v1 operator's result."""

@@ -42,11 +42,12 @@ COMPARABLE = (
     "vec_cosine_topk",
     "win_topk_per_group",
 )
-# Override the measured set (comma-separated query names). Note: the
-# replica word-tagging (below) prefixes every document token, so queries
-# with fixed literal search terms (text_bm25_search) are NOT comparable
-# on replicated text — token-structure queries (vocab, decontaminate,
-# minhash) and non-text queries are.
+# Override the measured set (comma-separated query names). The replica
+# word-tagging (below) prefixes every document token EXCEPT the BM25
+# fixed query terms (imported from queries/text.py so they stay in
+# sync), so text_bm25_search is comparable on replicated text too: its
+# terms survive replication with df and tf scaling linearly, while all
+# other tokens stay replica-unique (near-dup structure unchanged).
 _env_set = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
 if _env_set:
     COMPARABLE = tuple(n.strip() for n in _env_set.split(",") if n.strip())
@@ -100,9 +101,21 @@ def build(spark, dst: str) -> None:
             if name == "documents" and "text" in df.columns:
                 # tag every word per replica: replicas must not become
                 # near-duplicates of each other (that would change the
-                # dedup workload's shape, not just its size)
+                # dedup workload's shape, not just its size). EXCEPT the
+                # BM25 query terms — a negative lookahead leaves those
+                # untagged so fixed-term search queries stay comparable
+                # on the replicated corpus.
+                from vault_8_hive_spark.queries.text import _BM25_QUERIES
+
+                protected = sorted(
+                    {t for _qid, terms in _BM25_QUERIES for t in terms}
+                )
+                alt = "|".join(protected)
                 df = df.withColumn(
-                    "text", F.regexp_replace("text", "(^| )", f"$1r{r}")
+                    "text",
+                    F.regexp_replace(
+                        "text", f"(^| )(?!(?:{alt})\\b)", f"$1r{r}"
+                    ),
                 )
             parts.append(df)
         out = parts[0]

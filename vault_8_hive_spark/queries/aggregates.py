@@ -1139,7 +1139,7 @@ SELECT ROUND(hx.h, 6) AS entropy_type,
        ROUND(hy.h, 6) AS entropy_hour,
        ROUND(hxy.h, 6) AS entropy_joint,
        ROUND(hx.h + hy.h - hxy.h, 6) AS mutual_info,
-       ROUND((hx.h + hy.h - hxy.h) / LEAST(hx.h, hy.h), 6) AS norm_mi
+       ROUND((hx.h + hy.h - hxy.h) / NULLIF(LEAST(hx.h, hy.h), 0), 6) AS norm_mi
 FROM hx, hy, hxy
 """,
     tags=("aggregate", "entropy", "information"),
@@ -1186,9 +1186,14 @@ def agg_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hx.h") + F.col("hy.h") - F.col("hxy.h"), 6).alias(
                 "mutual_info"
             ),
+            # try_divide: a degenerate draw where one categorical
+            # collapses to a single value has h = 0 — NULL like the
+            # oracle's NULLIF, not 0/0 under ANSI mode.
             F.round(
-                (F.col("hx.h") + F.col("hy.h") - F.col("hxy.h"))
-                / F.least(F.col("hx.h"), F.col("hy.h")),
+                F.try_divide(
+                    F.col("hx.h") + F.col("hy.h") - F.col("hxy.h"),
+                    F.least(F.col("hx.h"), F.col("hy.h")),
+                ),
                 6,
             ).alias("norm_mi"),
         )
@@ -1372,8 +1377,8 @@ per_v AS (
 tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per_v),
 ecdf AS (
   SELECT value,
-         SUM(c1) OVER (ORDER BY value) / (SELECT n1 FROM tot) AS f1,
-         SUM(c2) OVER (ORDER BY value) / (SELECT n2 FROM tot) AS f2
+         SUM(c1) OVER (ORDER BY value) / NULLIF((SELECT n1 FROM tot), 0) AS f1,
+         SUM(c2) OVER (ORDER BY value) / NULLIF((SELECT n2 FROM tot), 0) AS f2
   FROM per_v
 )
 SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
@@ -1424,7 +1429,13 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n1",
             "n2",
-            (F.col("r1") / F.col("n1") - F.col("r2") / F.col("n2")).alias("diff"),
+            # try_divide: an empty sample (draw with a missing event
+            # type) makes n1 or n2 zero — NULL like the oracle's NULLIF,
+            # not an ANSI ArithmeticException.
+            (
+                F.try_divide(F.col("r1"), F.col("n1"))
+                - F.try_divide(F.col("r2"), F.col("n2"))
+            ).alias("diff"),
         )
     )
     return ecdf.groupBy("n1", "n2").agg(
@@ -2149,7 +2160,11 @@ def feature_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         p, t, on=["k"], left_time="q_lookup", right_time="tq",
         value_cols=["tv"], direction="forward",
     )
-    return matched.select(
+    # tv IS NOT NULL: the as-of keeps all left rows (NULL tv when the
+    # reference side is empty — a draw with no 'view' events), but the
+    # oracle's threshold join is inner; filter so the degenerate draw
+    # agrees (zero rows on both engines).
+    return matched.where(F.col("tv").isNotNull()).select(
         F.col("v").alias("purchase_value"),
         F.round("q", 9).alias("quantile"),
         F.col("tv").alias("mapped_view_value"),

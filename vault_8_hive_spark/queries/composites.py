@@ -309,6 +309,9 @@ _composite(
         ("interval_overlap", "join_interval_overlap",
          {"s1": "CAST(user_id AS STRING) || '@' || d",
           "s2": "CAST(burst_id AS STRING)", "n": "overlap_us"}),
+        ("pit_features", "join_pit_features",
+         {"s1": "CAST(event_id AS STRING)", "s2": _cat("user_id", "segment"),
+          "n": "view_age_us", "d1": "prior_view_value"}),
     ],
     tags=("join", "nonequi", "interval", "fuzzy", "composite"),
 )
@@ -318,7 +321,7 @@ _composite(
 _SETOP_MAP = {"custkey": "custkey"}
 _composite(
     "setop_dedup_family",
-    schema=[("custkey", "bigint"), ("row_str", "string")],
+    schema=[("custkey", "bigint"), ("row_str", "string"), ("d1", "double")],
     branches=[
         ("union_all", "setop_union_all", _SETOP_MAP),
         ("union_distinct", "setop_union_distinct", _SETOP_MAP),
@@ -330,8 +333,10 @@ _composite(
          {"row_str": _cat("o_orderstatus", "o_orderpriority", "order_year")}),
         ("snapshot_diff", "table_snapshot_diff",
          {"custkey": "n_rows", "row_str": _cat("status", "min_doc", "max_doc")}),
+        ("merge_into", "merge_into_cdc",
+         {"custkey": "c_custkey", "row_str": _cat("op"), "d1": "balance"}),
     ],
-    tags=("setop", "dedup", "composite"),
+    tags=("setop", "dedup", "merge", "row-level-ops", "composite"),
 )
 
 # --- scalars ----------------------------------------------------------------
@@ -489,6 +494,10 @@ _composite(
         ("binary_files", "scan_binary_files",
          {"k1": "file", "k2": "content_md5", "n": "length",
           "d1": "CAST(parsed_key AS DOUBLE)"}),
+        ("zonemap", "scan_zonemap_prune",
+         {"k1": "o_orderstatus",
+          "k2": "CAST(min_key AS STRING) || '-' || CAST(max_key AS STRING)",
+          "n": "n_orders", "d1": "total_price"}),
     ],
     tags=("scan", "sink", "csv", "json", "orc", "partition-pruning",
           "python-datasource", "schema-evolution", "observability",
@@ -620,6 +629,12 @@ _composite(
           "i1": "CAST(n_conversions AS INT)"}),
         ("xcorr", "events_cross_correlation",
          {"i1": "lag_days", "n": "n_pairs", "d1": "xcorr"}),
+        ("sprt", "events_sprt_abtest",
+         {"i1": "arm", "s1": _cat("decision", "n_total"),
+          "n": "n_at_decision", "d1": "llr_at_decision"}),
+        ("mann_kendall", "events_mann_kendall",
+         {"i1": "CAST(n_days AS INT)", "s1": _cat("trend", "var_s"),
+          "n": "s_stat", "d1": "z_stat"}),
         ("decayed_topk", "events_decayed_leaderboard",
          {"i1": "rnk", "s1": "CAST(user_id AS STRING)", "n": "n_events",
           "d1": "decayed_score"}),
@@ -671,6 +686,9 @@ _composite(
         ("stream_stream_semi", "stream_stream_left_semi",
          {"k1": "user_id", "s1": _cat("min_view_id", "max_view_id"),
           "n": "n_converted_views"}),
+        ("stream_stream_right", "stream_stream_right_outer",
+         {"k1": "user_id", "s1": _cat("n_purchase_pairs", "n_attributed"),
+          "n": "n_orphan_purchases", "d1": "max_gap_s"}),
         ("transform_with_state", "stream_transform_with_state",
          {"k1": "user_id",
           "s1": _cat("n_types", "top_type", "n_ids", "min_id", "max_id"),
@@ -746,9 +764,11 @@ _composite(
         ("setsim_prefix", "text_setsim_prefix_join",
          {"a": "doc_a", "b": "doc_b", "i1": "CAST(n_inter AS INT)",
           "d1": "jaccard"}),
+        ("edit1_fastss", "text_edit1_fastss",
+         {"s1": _cat("token_a", "token_b"), "i1": "dist"}),
     ],
     tags=("text", "dedup", "ngram", "simhash", "containment", "iterative",
-          "composite"),
+          "edit-distance", "composite"),
 )
 
 _composite(

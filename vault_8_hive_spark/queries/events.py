@@ -804,10 +804,13 @@ WITH daily AS (
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events GROUP BY 1
 ),
+-- calendar-lag (d - k days), NOT positional lag(): matches the Spark
+-- date-shift self-join so a sparse draw with a missing date yields the
+-- same pairs on both engines.
 lagged AS (
-  SELECT k.k AS lag_days, d.total,
-         lag(d.total, k.k) OVER (PARTITION BY k.k ORDER BY d.d) AS prev
+  SELECT k.k AS lag_days, d.total, pd.total AS prev
   FROM daily d CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) k
+  LEFT JOIN daily pd ON pd.d = d.d - CAST(k.k AS INT)
 )
 SELECT CAST(lag_days AS INT) AS lag_days,
        CAST(COUNT(prev) AS BIGINT) AS n_pairs,
@@ -2022,4 +2025,226 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("xcorr"),
+    )
+
+
+@register(
+    "events_sprt_abtest",
+    oracle="""
+WITH obs AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+cum AS (
+  SELECT arm, event_id,
+         SUM(x) OVER w AS k, COUNT(*) OVER w AS n
+  FROM obs
+  WINDOW w AS (PARTITION BY arm ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+llr AS (
+  SELECT arm, event_id, n,
+         k * ln(0.15 / 0.10) + (n - k) * ln(0.85 / 0.90) AS llr
+  FROM cum
+),
+hits AS (
+  SELECT arm, n, llr,
+         CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+              WHEN llr <= -ln(19.0) THEN 'accept_h0' END AS decision,
+         ROW_NUMBER() OVER (PARTITION BY arm ORDER BY event_id) AS rn_hit
+  FROM llr
+  WHERE llr >= ln(19.0) OR llr <= -ln(19.0)
+),
+tot AS (
+  SELECT arm, COUNT(*) AS n_total, SUM(x) AS k_total FROM obs GROUP BY arm
+)
+SELECT t.arm,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       COALESCE(h.decision, 'continue') AS decision,
+       CAST(COALESCE(h.n, t.n_total) AS BIGINT) AS n_at_decision,
+       ROUND(COALESCE(h.llr,
+                      t.k_total * ln(0.15 / 0.10)
+                      + (t.n_total - t.k_total) * ln(0.85 / 0.90)), 6)
+         AS llr_at_decision
+FROM tot t LEFT JOIN hits h ON h.arm = t.arm AND h.rn_hit = 1
+""",
+    tags=("events", "statistics", "sequential-test", "abtest"),
+)
+def events_sprt_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the event stream —
+    the always-valid A/B monitor that decides as soon as the evidence
+    crosses a boundary instead of waiting for a fixed n: arms split by
+    user_id parity, H0: conversion p0=0.10 vs H1: p1=0.15, boundaries
+    ln(19) / -ln(19) (alpha = beta = 0.05). Reports, per arm, the first
+    boundary crossing (decision, n, LLR at decision) or 'continue' with
+    the end-of-stream LLR.
+
+    Determinism: the LLR at row n is k*ln(p1/p0) + (n-k)*ln(q1/q0) from
+    INTEGER cumulative counts — both engines compute identical doubles
+    from identical integers, so the boundary comparison agrees exactly;
+    the reported LLR rounds to 1e-6.
+
+    Scale: the cumulative window partitions by arm — sequential by
+    construction (that IS the test's semantics: evidence in arrival
+    order). At 100 TB the monitor runs per (arm x shard) with shard-level
+    SPRTs combined by meta-analysis, or on batch boundaries (group
+    sequential); the per-row reduction below is the shard-local plan.
+    The first-crossing filter prunes to <=1 row per arm before the final
+    broadcast join."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    import math
+
+    c1 = math.log(0.15 / 0.10)
+    c0 = math.log(0.85 / 0.90)
+    bound = math.log(19.0)
+    obs = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = obs.select(
+        "arm",
+        "event_id",
+        F.sum("x").over(w).alias("k"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    llr = cum.select(
+        "arm",
+        "event_id",
+        "n",
+        (F.col("k") * c1 + (F.col("n") - F.col("k")) * c0).alias("llr"),
+    )
+    hit_w = Window.partitionBy("arm").orderBy("event_id")
+    hits = (
+        llr.where((F.col("llr") >= bound) | (F.col("llr") <= -bound))
+        .withColumn(
+            "decision",
+            F.when(F.col("llr") >= bound, "accept_h1").otherwise("accept_h0"),
+        )
+        .withColumn("rn_hit", F.row_number().over(hit_w))
+        .where(F.col("rn_hit") == 1)
+        .select("arm", F.col("n").alias("hn"), F.col("llr").alias("hllr"), "decision")
+    )
+    tot = obs.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("x").alias("k_total")
+    )
+    return tot.join(F.broadcast(hits), "arm", "left").select(
+        "arm",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.coalesce("decision", F.lit("continue")).alias("decision"),
+        F.coalesce("hn", "n_total").cast("bigint").alias("n_at_decision"),
+        F.round(
+            F.coalesce(
+                "hllr",
+                F.col("k_total") * c1 + (F.col("n_total") - F.col("k_total")) * c0,
+            ),
+            6,
+        ).alias("llr_at_decision"),
+    )
+
+
+@register(
+    "events_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN b.total > a.total THEN 1
+              WHEN b.total < a.total THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+s AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat FROM pairs),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+ties AS (
+  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY total HAVING COUNT(*) > 1)
+)
+SELECT n.n_days, s.s_stat,
+       ROUND((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term)
+             / 18.0, 6) AS var_s,
+       ROUND((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                              WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+             / NULLIF(SQRT((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                            - ties.tie_term) / 18.0), 0), 6) AS z_stat,
+       CASE WHEN s.s_stat > 0 THEN 'increasing'
+            WHEN s.s_stat < 0 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM n, s, ties
+""",
+    tags=("events", "time-series", "statistics", "trend"),
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on the daily event-value
+    series — the distribution-free monotone-trend detector a data-volume
+    or metric-drift monitor runs where a rolling OLS (win_rolling_ols)
+    would be thrown by outliers: S = sum of pairwise sign comparisons,
+    variance with the standard tie correction, continuity-corrected z.
+
+    Determinism: the daily series rides the exact decimal sum, so every
+    pairwise sign is an integer decided on identical doubles; S, n and
+    the tie term are integers — both engines compute the same z from the
+    same integers (rounded 1e-6). try_divide/NULLIF guard the degenerate
+    all-equal draw (var 0).
+
+    Scale: the fact table reduces to one row per day FIRST (one shuffle,
+    map-side partial); the O(days²) pairwise stage runs on that tiny
+    series — at 10 years that is ~6.7M comparisons on 3653 rows, a
+    broadcast self-join, never a fact-sized one."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        long_sum(F.sum(scaled_long("value")), 2).alias("total")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("total").alias("ta"))
+    b = daily.select(F.col("d").alias("db"), F.col("total").alias("tb"))
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da"))
+    s = pairs.agg(
+        F.sum(
+            F.when(F.col("tb") > F.col("ta"), 1)
+            .when(F.col("tb") < F.col("ta"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ties = (
+        daily.groupBy("total")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    nd, ss = F.col("n_days"), F.col("s_stat")
+    var_s = (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")) / 18.0
+    cc = F.when(ss > 0, 1).when(ss < 0, -1).otherwise(0)
+    return (
+        n.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            "n_days",
+            "s_stat",
+            F.round(var_s, 6).alias("var_s"),
+            F.round(F.try_divide(ss - cc, F.sqrt(var_s)), 6).alias("z_stat"),
+            F.when(ss > 0, "increasing")
+            .when(ss < 0, "decreasing")
+            .otherwise("no_trend")
+            .alias("trend"),
+        )
     )

@@ -421,7 +421,11 @@ SELECT lang, COUNT(*) AS n
 FROM documents WHERE doc_id < 100 AND doc_id % 10 <> 0
 GROUP BY lang
 UNION ALL
-SELECT '_CORRUPT_' AS lang, 10 AS n
+-- corrupt count derived from the table, not hardcoded: a regenerated
+-- draw may have fewer than 100 documents (tools/regen_data.py permits
+-- n_doc >= 60), so the fixture writes fewer than 10 bad lines.
+SELECT '_CORRUPT_' AS lang, COUNT(*) AS n
+FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0
 """,
     tags=("scan", "json", "corrupt-record", "robustness"),
 )
@@ -523,4 +527,100 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("length"),
         F.md5(F.col("content")).alias("content_md5"),
         F.split(text, r"\|").getItem(0).cast("int").alias("parsed_key"),
+    )
+
+
+def _ensure_rangefiles(spark: SparkSession, sf_dir: str) -> str:
+    """Orders written as range-partitioned files (repartitionByRange on
+    o_orderkey, 8 files) — the zone-map fixture: each file covers a
+    near-disjoint key range, so a min/max manifest can prune most of
+    them. Fingerprinted against the source parquet so a regenerated
+    testdata dir rebuilds the layout."""
+    path = _work(sf_dir, "orders_rangefiles")
+    marker = os.path.join(path, "_FINGERPRINT")
+    src = f"{sf_dir}/orders.parquet"
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            if fh.read() == fingerprint:
+                return path
+    except OSError:
+        pass
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        table(spark, sf_dir, "orders")
+        .repartitionByRange(8, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(fingerprint)
+    return path
+
+
+def zonemap_pruned_scan(spark: SparkSession, path: str, lo: int, hi: int):
+    """Zone-map (min/max manifest) file pruning: build the per-file
+    manifest with ONE metadata-cheap aggregate, select the files whose
+    [min, max] key range overlaps the predicate, and return (pruned
+    DataFrame over only those files, n_files_total, n_files_selected).
+
+    This is the engine-level data-skipping mechanism every table format
+    (Delta/Iceberg zone maps, parquet row-group stats) implements — done
+    here explicitly over vanilla parquet: at 100 TB the manifest is a
+    tiny table maintained incrementally at write time (not rebuilt per
+    query, as this demo does) and the file list feeds the scan, turning
+    a full-corpus scan into an O(selectivity) one even when the
+    predicate column is not the partition column."""
+    files = spark.read.parquet(path).select(
+        F.input_file_name().alias("f"), F.col("o_orderkey").alias("k")
+    )
+    manifest = files.groupBy("f").agg(
+        F.min("k").alias("kmin"), F.max("k").alias("kmax")
+    )
+    rows = manifest.collect()  # one row per FILE — manifest-sized, tiny
+    selected = [r["f"] for r in rows if r["kmax"] >= lo and r["kmin"] <= hi]
+    pruned = spark.read.parquet(*selected) if selected else spark.read.parquet(path).limit(0)
+    return pruned, len(rows), len(selected)
+
+
+@register(
+    "scan_zonemap_prune",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 20000
+GROUP BY o_orderstatus
+""",
+    tags=("scan", "zone-map", "data-skipping", "pruning"),
+)
+def scan_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping over vanilla parquet: orders laid out as
+    range-partitioned files, a min/max manifest built per file, and a
+    key-range query answered by reading ONLY the overlapping files
+    (tests/test_plans.py asserts fewer files are read than exist). The
+    result must equal the same predicate over the full table — pruning
+    is an optimization, never a semantics change, which is exactly what
+    the oracle checks."""
+    prep(spark)
+    path = _ensure_rangefiles(spark, sf_dir)
+    pruned, _total, _sel = zonemap_pruned_scan(spark, path, 1000, 20000)
+    return (
+        pruned.where(F.col("o_orderkey").between(1000, 20000))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4)
+            .cast("double")
+            .alias("total_price"),
+        )
     )

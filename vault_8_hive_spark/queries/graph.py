@@ -285,6 +285,7 @@ LIMIT 20
 
 @register(
     "graph_label_propagation",
+    bench=True,
     oracle=_lpa_oracle(),
     tags=("graph", "iterative", "community"),
 )

@@ -919,3 +919,78 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "d", "burst_id", "a_lo", "a_hi", "b_lo", "b_hi",
         (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")).alias("overlap_us"),
     )
+
+
+@register(
+    "join_pit_features",
+    oracle="""
+WITH pv AS (
+  SELECT user_id, ts,
+         CAST(COUNT(*) AS BIGINT) AS pv_n,
+         CAST(MAX(value) AS DOUBLE) AS pv_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+spine AS (
+  SELECT event_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.event_id, s.user_id, s.ts,
+       p.pv_value AS prior_view_value,
+       CASE WHEN p.ts IS NULL THEN NULL
+            ELSE epoch_us(s.ts - p.ts) END AS view_age_us,
+       c.c_mktsegment AS segment
+FROM spine s
+ASOF LEFT JOIN pv p ON s.user_id = p.user_id AND s.ts >= p.ts
+LEFT JOIN customer c ON c.c_custkey = s.user_id
+""",
+    tags=("join", "asof", "feature-store", "point-in-time"),
+)
+def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) feature join — the feature-store shape behind
+    every leakage-free training set: a label spine (purchase events)
+    enriched with (a) the user's most recent AT-OR-BEFORE view value and
+    its age (as-of backward join — a plain equi-join here would leak
+    future views into the features), and (b) a static dim attribute
+    (market segment, broadcast). Right-side ties are pre-aggregated to
+    one row per (user, ts) per the as-of determinism discipline.
+
+    Scale: the as-of is the union-merge operator (one shuffle on
+    user_id, single window pass — operators/asof.py); the dim is a
+    broadcast. Adding more feature tables is one more union-merge each,
+    all sharing the spine's partitioning — no repeated spine scans and
+    no row explosion, which is exactly why feature stores run PIT joins
+    instead of interval joins at 100 TB."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    pv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("pv_ts"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("pv_n"),
+            F.max("value").cast("double").alias("pv_value"),
+        )
+    )
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        spine,
+        pv,
+        on=["user_id"],
+        left_time="ts",
+        right_time="pv_ts",
+        value_cols=["pv_ts", "pv_value"],
+        strict=False,
+    )
+    cust = dim(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return joined.join(cust, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("pv_value").alias("prior_view_value"),
+        (F.unix_micros("ts") - F.unix_micros("pv_ts")).alias("view_age_us"),
+        "segment",
+    )

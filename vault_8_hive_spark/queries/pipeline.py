@@ -649,11 +649,22 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "reco_item_cosine",
     oracle="""
-WITH prefs AS (
-  SELECT DISTINCT o_custkey AS u, p_brand AS item
+WITH raw AS (
+  SELECT o_custkey AS u, p_brand AS item, COUNT(*) AS n_ui
   FROM orders
   JOIN lineitem ON l_orderkey = o_orderkey
   JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+),
+-- heavy-user cap: keep each user's top-20 items by interaction count
+-- (deterministic item tie-break) before pair generation, bounding the
+-- per-user fan-out at 20*19 pairs however hot the user.
+prefs AS (
+  SELECT u, item FROM (
+    SELECT u, item,
+           row_number() OVER (PARTITION BY u ORDER BY n_ui DESC, item) AS r
+    FROM raw
+  ) WHERE r <= 20
 ),
 item_n AS (SELECT item, COUNT(*) AS n_u FROM prefs GROUP BY item),
 pair_n AS (
@@ -682,13 +693,19 @@ def reco_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer, brand) preference matrix, the same co-occurrence shape a
     'related items' or query-expansion stage runs over user-item logs.
 
-    Shape: distinct preferences (one shuffle), pair counts via the
-    per-user self-join (fan-out bounded by per-user distinct-item count
-    — at 100 TB cap or sample heavy users first, the standard
-    item-item discipline), broadcast item norms, per-item top-k window.
-    Similarities round to 1e-6 before ranking; item tie-break."""
+    Shape: per-user interaction counts (one shuffle), then the
+    heavy-user cap — each user keeps only their top-K=20 items by
+    interaction count (row_number over the per-user counts,
+    deterministic item tie-break) BEFORE the self-join, so one hot user
+    contributes at most K*(K-1) pairs instead of k² on their full item
+    set. This is the standard item-item discipline at 100 TB scale: the
+    quadratic term is bounded by a constant, and the capped preference
+    table is what shuffles into the pair join. Broadcast item norms,
+    per-item top-k window. Similarities round to 1e-6 before ranking;
+    item tie-break."""
     prep(spark)
-    prefs = (
+    K = 20  # per-user item cap — bounds self-join fan-out at K*(K-1)
+    raw = (
         table(spark, sf_dir, "orders")
         .join(
             table(spark, sf_dir, "lineitem"),
@@ -697,8 +714,14 @@ def reco_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             table(spark, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey")
         )
-        .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("item"))
-        .distinct()
+        .groupBy(F.col("o_custkey").alias("u"), F.col("p_brand").alias("item"))
+        .agg(F.count(F.lit(1)).alias("n_ui"))
+    )
+    cap = Window.partitionBy("u").orderBy(F.desc("n_ui"), "item")
+    prefs = (
+        raw.withColumn("r", F.row_number().over(cap))
+        .where(F.col("r") <= K)
+        .select("u", "item")
     )
     item_n = prefs.groupBy("item").agg(F.count(F.lit(1)).alias("n_u"))
     b = prefs.select(F.col("u").alias("u2"), F.col("item").alias("item_b"))

@@ -315,7 +315,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_variant",
-    oracle="""
+    oracle=r"""
 SELECT event_id,
        event_type                                        AS vtype,
        user_id                                           AS vuid,

@@ -277,3 +277,91 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "merge_into_cdc",
+    oracle="""
+WITH tgt AS (
+  SELECT c_custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey % 10 <> 0
+),
+src AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+         CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 1000.0,
+                    0) AS BIGINT) AS delta_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-07-01'
+  GROUP BY 1
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       CAST(CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                 THEN t.bal_cents + s.delta_cents
+                 WHEN t.c_custkey IS NULL THEN s.delta_cents
+                 ELSE t.bal_cents END AS DOUBLE) / 100.0 AS balance,
+       CASE WHEN t.c_custkey IS NULL THEN 'insert'
+            WHEN s.c_custkey IS NOT NULL THEN 'update'
+            ELSE 'keep' END AS op
+FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey
+WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+           AND s.n_orders >= 8)
+""",
+    tags=("merge", "row-level-ops", "cdc", "upsert"),
+)
+def merge_into_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over vanilla parquet, the declarative surface
+    (operators/merge.py): target = customer balance snapshot (custkeys
+    not divisible by 10, so the source genuinely exercises the INSERT
+    clause), source = per-customer 1995-H1 order activity. One statement-
+    shaped call expresses WHEN MATCHED AND n_orders >= 8 THEN DELETE
+    (archive churned-out keys), WHEN MATCHED THEN UPDATE (balance +=
+    delta), WHEN NOT MATCHED THEN INSERT — compiled to ONE full outer
+    join + projection, the plan a lakehouse MERGE produces after its own
+    row-level rewrite. SCALE.md "Row-level operations / MERGE INTO"
+    records why the statement form needs a table format and why this
+    operator + the foreachBatch/CDC patterns are the vanilla-parquet
+    contract.
+
+    Determinism: balances ride integer cents end-to-end; the only double
+    division (cents / 100.0) is one identical IEEE op per row on both
+    engines. The audit op column tags each surviving row."""
+    from ..functions.exact import scaled_long
+    from ..operators.merge import merge_into
+
+    prep(spark)
+    target = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 != 0)
+        .select("c_custkey", scaled_long("c_acctbal").alias("bal_cents"))
+    )
+    source = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(scaled_long("o_totalprice")) / 1000.0, 0)
+            .cast("bigint")
+            .alias("delta_cents"),
+        )
+    )
+    merged = merge_into(
+        target,
+        source,
+        on=["c_custkey"],
+        matched_delete=F.col("n_orders") >= 8,
+        matched_update={
+            "bal_cents": F.col("bal_cents") + F.col("delta_cents")
+        },
+        not_matched_insert={"bal_cents": F.col("delta_cents")},
+        op_column="op",
+    )
+    return merged.select(
+        "c_custkey",
+        (F.col("bal_cents").cast("double") / 100.0).alias("balance"),
+        "op",
+    )

@@ -931,3 +931,86 @@ def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pmax").alias("max_view_id"),
         )
     )
+
+
+@register(
+    "stream_stream_right_outer",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.p_user AS user_id, v.view_id, p.purchase_id,
+         p.purchase_ts - v.view_ts AS gap
+  FROM v RIGHT JOIN p
+    ON v.user_id = p.p_user
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       COUNT(*) AS n_purchase_pairs,
+       COUNT(view_id) AS n_attributed,
+       COUNT(*) - COUNT(view_id) AS n_orphan_purchases,
+       CAST(ROUND(MAX(date_part('epoch', gap)), 0) AS DOUBLE) AS max_gap_s
+FROM pairs GROUP BY user_id
+""",
+    tags=("streaming", "stream-stream-join", "outer", "watermark", "interval"),
+)
+def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — "purchases with NO view
+    in the preceding hour" (the orphan-attribution question asked from
+    the purchase side), completing the outer family (inner / left /
+    full / semi / right). Emission timing mirrors the left outer with
+    the sides swapped: an unmatched purchase can only null-extend after
+    the watermark passes the END of its match interval — a matching view
+    has view_ts in [purchase_ts - 1h, purchase_ts], so the purchase must
+    wait until the view-side watermark clears purchase_ts itself.
+    tests/test_streaming.py pins that eviction timing batch-by-batch,
+    like the left outer's.
+
+    Shares the flush-sentinel landing (one far-future event per side
+    advances the min-of-both watermark past every real interval at end
+    of replay), so the drained result equals the batch RIGHT JOIN dual
+    — which is what the DuckDB oracle checks. The unbounded pair stream
+    reduces to per-user partials executor-side (stream_partial_agg)."""
+    prep(spark)
+    land = _flushed_events_landing(spark, sf_dir)
+    schema = spark.read.parquet(land).schema
+    stream = spark.readStream.schema(schema).parquet(land)
+    pairs = _ss_views(stream).join(
+        _ss_purchases(stream),
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND purchase_ts <= view_ts + interval 1 hour"
+        ),
+        "rightOuter",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    partials = stream_partial_agg(
+        pairs,
+        lambda b: b.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.count("view_id").alias("pa"),
+            F.max("gap_us").alias("pm"),
+        ),
+        sf_dir,
+        "ss_right_partials",
+    )
+    return (
+        partials.where(F.col("user_id") >= 0)  # drop the flush sentinel
+        .groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_purchase_pairs"),
+            F.sum("pa").alias("n_attributed"),
+            (F.sum("pn") - F.sum("pa")).alias("n_orphan_purchases"),
+            F.round(F.max("pm") / 1_000_000.0, 0).alias("max_gap_s"),
+        )
+    )

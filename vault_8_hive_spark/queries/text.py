@@ -844,6 +844,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_decontaminate",
+    bench=True,
     oracle="""
 WITH split AS (
   SELECT doc_id, text,
@@ -1466,6 +1467,7 @@ def text_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_setsim_prefix_join",
+    bench=True,
     oracle=f"""
 WITH {_O_SHINGLES},
 tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -1644,4 +1646,85 @@ def text_keyphrase_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df").cast("bigint").alias("df"),
             F.round("score", 9).alias("tfidf"),
         )
+    )
+
+
+@register(
+    "text_edit1_fastss",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+vocab AS (SELECT t FROM tok WHERE length(t) BETWEEN 5 AND 10),
+vars AS (
+  SELECT t,
+         unnest([t] || list_transform(
+           generate_series(1, length(t)),
+           i -> substr(t, 1, CAST(i AS INT) - 1)
+                || substr(t, CAST(i AS INT) + 1))) AS v
+  FROM vocab
+),
+cand AS (
+  SELECT DISTINCT a.t AS token_a, b.t AS token_b
+  FROM vars a JOIN vars b ON a.v = b.v AND a.t < b.t
+)
+SELECT token_a, token_b,
+       CAST(levenshtein(token_a, token_b) AS INT) AS dist
+FROM cand WHERE levenshtein(token_a, token_b) <= 1
+""",
+    tags=("text", "similarity-join", "edit-distance", "dedup", "blocking"),
+)
+def text_edit1_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 string similarity self-join by deletion-
+    neighborhood blocking (FastSS): the typo/near-variant detector a
+    vocabulary-normalization or entity-resolution pass runs over a
+    corpus. Every token maps to itself plus its single-character
+    deletions; two strings within one edit ALWAYS share a neighborhood
+    key (substitution at i -> both drop i; insertion/deletion -> the
+    longer one drops the inserted char), so an equi-join on the variant
+    key finds every candidate and levenshtein verifies on candidates
+    only — never all-pairs.
+
+    Scale: vocab length L emits L+1 variant rows — linear blow-up, then
+    ONE shuffle on the variant key; candidate verification is bounded by
+    key-bucket sizes (bounded neighborhoods, unlike an all-pairs
+    levenshtein which is quadratic in vocabulary). At 100 TB the variant
+    relation partitions by hash(v) and the verify stays JVM-side
+    (built-in levenshtein, no Python). Length gate 5..10 keeps the demo
+    deterministic-small; production gates by df like the prefix-filter
+    join (text_setsim_prefix_join)."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("t")
+        )
+        .where(F.length("t").between(5, 10))
+        .distinct()
+    )
+    vars_ = vocab.select(
+        "t",
+        F.explode(
+            F.concat(
+                F.array(F.col("t")),
+                F.expr(
+                    "transform(sequence(1, length(t)), "
+                    "i -> concat(substring(t, 1, i - 1), substring(t, i + 1)))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a, b = vars_.alias("a"), vars_.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.t") < F.col("b.t")))
+        .select(F.col("a.t").alias("token_a"), F.col("b.t").alias("token_b"))
+        .distinct()
+    )
+    return cand.where(F.levenshtein("token_a", "token_b") <= 1).select(
+        "token_a",
+        "token_b",
+        F.levenshtein("token_a", "token_b").cast("int").alias("dist"),
     )

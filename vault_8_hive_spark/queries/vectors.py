@@ -514,12 +514,27 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVF coarse-centroid cache, keyed by corpus dir (see vec_ivf_topk).
+# Bounded FIFO (see _memo_put): 10 centroids x 64 dims per corpus today,
+# but at thousands of IVF lists an unbounded memo becomes a driver leak —
+# and past that size the index belongs in a broadcast-join table, not a
+# driver dict (posture noted in vec_ivf_topk's docstring).
 _IVF_INDEX: dict[str, dict[int, list[float]]] = {}
 # The demo's fixed query vector (vec_id 0), cached with the index: its
 # `.first()` is a real (if tiny) Spark job, and leaving it in the plan-
 # build path made "compile" time carry a per-build job dispatch (~0.4 s,
 # the slowest compile in BENCH_r03) that belongs to index prep.
 _IVF_QVEC: dict[str, list[float]] = {}
+
+_MEMO_CAP = 8  # corpora cached at once; eldest evicted first
+
+
+def _memo_put(memo: dict, key, value) -> None:
+    """Insert into a module-level memo with FIFO eviction at _MEMO_CAP
+    entries (dict preserves insertion order), so repeated runs across
+    many sf_dirs can never grow driver memory without bound."""
+    while len(memo) >= _MEMO_CAP:
+        memo.pop(next(iter(memo)))
+    memo[key] = value
 
 _O_CENT = """
 elems AS (
@@ -597,14 +612,14 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).collect()
         centroids = {r["label"]: [float(r[f"c{i}"]) for i in range(DIM)] for r in cent_rows}
-        _IVF_INDEX[sf_dir] = centroids
+        _memo_put(_IVF_INDEX, sf_dir, centroids)
     q_vec = _IVF_QVEC.get(sf_dir)
     if q_vec is None:
         q_vec = [
             float(x)
             for x in emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
         ]
-        _IVF_QVEC[sf_dir] = q_vec
+        _memo_put(_IVF_QVEC, sf_dir, q_vec)
 
     # Probe set: 3 nearest centroids to the query (python mirrors the
     # oracle's sequential list_sum fold; rounded to 6 before ranking).

@@ -185,8 +185,21 @@ def _run_update_stream(out: DataFrame) -> DataFrame:
     )
     q.awaitTermination()
     emissions = spark.table(name)
-    rows, schema = emissions.collect(), emissions.schema
-    spark.catalog.dropTempView(name)
+    try:
+        # Same driver-flood guard as streaming/ops.py run_to_memory: the
+        # emissions here are per-user aggregates (key-bounded) so this is
+        # safe today — the guard is for the future caller who routes an
+        # unaggregated stream through this drain without checking.
+        n = emissions.count()
+        if n > 1_000_000:
+            raise RuntimeError(
+                f"memory sink {name} holds {n} rows; _run_update_stream is "
+                "for aggregated (key-bounded) emission streams only"
+            )
+        rows, schema = emissions.collect(), emissions.schema
+    finally:
+        # Drop on BOTH paths so a rejected result set is not pinned.
+        spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)
 
 
