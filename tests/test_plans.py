@@ -425,3 +425,25 @@ def test_zonemap_prunes_files(spark, sf_dir):
         .count()
     )
     assert got == want
+
+
+def test_aggregate_pushdown_reaches_scan(spark, sf_dir):
+    """The parquet aggregate-pushdown path must actually engage: the
+    physical plan carries PushedAggregation with the three aggregates,
+    and the metadata-derived answer equals the data answer."""
+    from vault_8_hive_spark.queries.formats import aggregate_pushdown_scan
+    from vault_8_hive_spark.session import prep
+
+    prep(spark)
+    rows, plan = aggregate_pushdown_scan(spark, sf_dir)
+    assert "PushedAggregation" in plan, plan[:2000]
+    # a disengaged pushdown renders "PushedAggregation: []" (Spark
+    # truncates the scan line, so don't assert the full aggregate list)
+    assert "PushedAggregation: []" not in plan, plan[:2000]
+    want = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("count(*)", "min(o_orderkey)", "max(o_orderkey)")
+        .collect()[0]
+    )
+    got = rows[0]
+    assert (got["n_orders"], got["min_key"], got["max_key"]) == tuple(want)

@@ -2339,3 +2339,140 @@ def agg_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "theilsen_slope",
         "ols_slope",
     )
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle="""
+WITH reps AS (SELECT unnest(generate_series(0, 99)) AS rep),
+w AS (
+  SELECT c.c_mktsegment AS seg, r.rep,
+         CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS cents,
+         (CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || '_'
+                                    || CAST(r.rep AS VARCHAR)), 1, 8))
+               AS UBIGINT) + 0.5) / 4294967296.0 AS u
+  FROM customer c, reps r
+),
+pw AS (
+  SELECT seg, rep, cents,
+         CASE WHEN u < 0.367879441171 THEN 0
+              WHEN u < 0.735758882343 THEN 1
+              WHEN u < 0.919698602929 THEN 2
+              WHEN u < 0.980988177458 THEN 3
+              WHEN u < 0.996340153091 THEN 4
+              ELSE 5 END AS wt
+  FROM w
+),
+means AS (
+  SELECT seg, rep,
+         CAST(SUM(wt * cents) AS DOUBLE) / NULLIF(SUM(wt), 0) / 100.0
+           AS rep_mean
+  FROM pw GROUP BY seg, rep
+),
+ranked AS (
+  SELECT seg, rep_mean,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY rep_mean, rep) AS rk
+  FROM means
+),
+base AS (
+  SELECT c_mktsegment AS seg, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 100.0 AS mean_bal
+  FROM customer GROUP BY 1
+)
+SELECT b.seg AS c_mktsegment, CAST(b.n AS BIGINT) AS n,
+       ROUND(b.mean_bal, 6) AS mean_bal,
+       ROUND(lo.rep_mean, 6) AS ci_lo,
+       ROUND(hi.rep_mean, 6) AS ci_hi
+FROM base b
+JOIN ranked lo ON lo.seg = b.seg AND lo.rk = 3
+JOIN ranked hi ON hi.seg = b.seg AND hi.rk = 98
+""",
+    tags=("aggregate", "bootstrap", "uncertainty", "statistics"),
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the per-segment
+    mean balance — the distributed bootstrap: instead of resampling n
+    rows WITH replacement (which needs global coordination), each row
+    draws an independent Poisson(1) weight per replica, which converges
+    to the multinomial bootstrap and is embarrassingly parallel — the
+    standard trick for uncertainty quantification over data too big to
+    resample (and the error bars every metrics pipeline should ship
+    with its point estimates).
+
+    Determinism: the Poisson draw is an inverse-CDF lookup on a uniform
+    derived from md5(custkey, replica) — the A-ES discipline
+    (text_weighted_sample), no RNG; replica means ride exact integer
+    cents over integer weight sums, so both engines rank IDENTICAL
+    doubles; the CI bounds are type-1 percentiles (rank 3 and 98 of
+    100) with a replica tie-break.
+
+    Scale: the replica dimension is a constant 100x map-side fan-out
+    (no shuffle growth: the aggregate collapses to seg x 100 partials),
+    and at 100 TB the same plan bootstraps any additive statistic in
+    one pass."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    reps = spark.range(0, 100).select(F.col("id").cast("int").alias("rep"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.col("c_custkey").cast("string"), F.col("rep").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 0.5) / float(1 << 32)
+    wt = (
+        F.when(u < 0.367879441171, 0)
+        .when(u < 0.735758882343, 1)
+        .when(u < 0.919698602929, 2)
+        .when(u < 0.980988177458, 3)
+        .when(u < 0.996340153091, 4)
+        .otherwise(5)
+    )
+    pw = cust.crossJoin(F.broadcast(reps)).select(
+        F.col("c_mktsegment").alias("seg"),
+        "rep",
+        scaled_long("c_acctbal").alias("cents"),
+        wt.alias("wt"),
+    )
+    means = pw.groupBy("seg", "rep").agg(
+        (
+            F.try_divide(
+                F.sum(F.col("wt") * F.col("cents")).cast("double"),
+                F.sum("wt"),
+            )
+            / 100.0
+        ).alias("rep_mean")
+    )
+    rk_w = Window.partitionBy("seg").orderBy("rep_mean", "rep")
+    ranked = means.withColumn("rk", F.row_number().over(rk_w))
+    base = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(scaled_long("c_acctbal")).cast("double")
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("mean_bal"),
+    )
+    lo = ranked.where(F.col("rk") == 3).select("seg", F.col("rep_mean").alias("lo"))
+    hi = ranked.where(F.col("rk") == 98).select("seg", F.col("rep_mean").alias("hi"))
+    return (
+        base.join(F.broadcast(lo), "seg")
+        .join(F.broadcast(hi), "seg")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n",
+            F.round("mean_bal", 6).alias("mean_bal"),
+            F.round("lo", 6).alias("ci_lo"),
+            F.round("hi", 6).alias("ci_hi"),
+        )
+    )

@@ -159,6 +159,9 @@ _composite(
           "d1": "z_stat"}),
         ("incremental_merge", "incremental_rollup_merge",
          {"grp": "event_type", "n1": "n_events", "d1": "total_value"}),
+        ("bootstrap_ci", "agg_bootstrap_ci",
+         {"grp": "c_mktsegment", "n1": "n", "d1": "mean_bal",
+          "d2": "ci_lo", "d3": "ci_hi"}),
         ("quantile_match", "feature_quantile_match",
          {"grp": "CAST(purchase_value AS STRING)", "d1": "quantile",
           "d2": "mapped_view_value"}),
@@ -498,6 +501,9 @@ _composite(
          {"k1": "o_orderstatus",
           "k2": "CAST(min_key AS STRING) || '-' || CAST(max_key AS STRING)",
           "n": "n_orders", "d1": "total_price"}),
+        ("agg_pushdown", "scan_agg_pushdown",
+         {"k1": "CAST(min_key AS STRING)", "k2": "CAST(max_key AS STRING)",
+          "n": "n_orders"}),
     ],
     tags=("scan", "sink", "csv", "json", "orc", "partition-pruning",
           "python-datasource", "schema-evolution", "observability",
@@ -633,8 +639,13 @@ _composite(
          {"i1": "arm", "s1": _cat("decision", "n_total"),
           "n": "n_at_decision", "d1": "llr_at_decision"}),
         ("mann_kendall", "events_mann_kendall",
-         {"i1": "CAST(n_days AS INT)", "s1": _cat("trend", "var_s"),
+         {"i1": "CAST(n_days AS INT)", "s1": _cat("trend"),
           "n": "s_stat", "d1": "z_stat"}),
+        ("holt_linear", "events_holt_linear",
+         {"i1": "CAST(n_days AS INT)", "n": "n_days", "d1": "forecast_7d"}),
+        ("changepoint", "events_changepoint",
+         {"s1": _cat("split_date", "n_left", "n_right"), "n": "n_left",
+          "d1": "sse_gain"}),
         ("decayed_topk", "events_decayed_leaderboard",
          {"i1": "rnk", "s1": "CAST(user_id AS STRING)", "n": "n_events",
           "d1": "decayed_score"}),
@@ -766,6 +777,9 @@ _composite(
           "d1": "jaccard"}),
         ("edit1_fastss", "text_edit1_fastss",
          {"s1": _cat("token_a", "token_b"), "i1": "dist"}),
+        ("dup_spans", "text_dup_spans",
+         {"a": "doc_a", "b": "doc_b", "i1": "CAST(max_span_tokens AS INT)",
+          "s1": _cat("n_spans", "first_start_a")}),
     ],
     tags=("text", "dedup", "ngram", "simhash", "containment", "iterative",
           "edit-distance", "composite"),
@@ -841,6 +855,9 @@ _composite(
           "d2": "exact_dist2"}),
         ("mmr", "vec_mmr_rerank",
          {"a": "vec_id", "i2": "rnk", "d1": "rel", "d2": "mmr"}),
+        ("matryoshka", "vec_matryoshka_rerank",
+         {"a": "vec_id", "i1": "label", "i2": "rn", "d1": "coarse_sim",
+          "d2": "cos_sim"}),
         ("embedding_drift", "vec_embedding_drift",
          {"a": "n_a", "b": "n_b", "d1": "centroid_l2",
           "d2": "centroid_cos", "d3": "max_dim_gap"}),
@@ -899,9 +916,13 @@ _composite(
           "d1": "total"}),
         ("parameterized", "sql_parameterized",
          {"s1": "o_orderpriority", "k1": "n_orders", "d1": "total"}),
+        ("cogrouped_asof", "udf_cogrouped_asof",
+         {"k1": "user_id", "k2": "n_purchases",
+          "s1": "CAST(n_view_ts AS STRING) || '|' || CAST(n_matched AS STRING)",
+          "d1": "CAST(matched_view_cents AS DOUBLE)"}),
     ],
     tags=("udf", "scalar", "pandas", "grouped-map", "udtf", "pipe-syntax",
-          "composite"),
+          "cogrouped-map", "composite"),
 )
 
 # --- domain -----------------------------------------------------------------

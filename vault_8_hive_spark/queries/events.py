@@ -2248,3 +2248,208 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+@register(
+    "events_holt_linear",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, total FROM daily
+),
+hw(rn, lvl, trend) AS (
+  SELECT 1,
+         (SELECT total FROM idx WHERE rn = 1),
+         (SELECT total FROM idx WHERE rn = 2)
+           - (SELECT total FROM idx WHERE rn = 1)
+  UNION ALL
+  SELECT hw.rn + 1,
+         i.total * 0.3 + (hw.lvl + hw.trend) * 0.7,
+         (i.total * 0.3 + (hw.lvl + hw.trend) * 0.7 - hw.lvl) * 0.2
+           + hw.trend * 0.8
+  FROM hw JOIN idx i ON i.rn = hw.rn + 1
+)
+SELECT CAST((SELECT MAX(rn) FROM idx) AS BIGINT) AS n_days,
+       ROUND(lvl, 6) AS level,
+       ROUND(trend, 6) AS trend,
+       ROUND(lvl + 7 * trend, 6) AS forecast_7d
+FROM hw
+WHERE rn = (SELECT MAX(rn) FROM idx) AND (SELECT MAX(rn) FROM idx) >= 2
+""",
+    tags=("events", "time-series", "forecast", "smoothing", "iterative"),
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing over the daily
+    event-value series, alpha=0.3 beta=0.2, textbook init (level=x1,
+    trend=x2-x1): the short-horizon forecaster a capacity/ingest planner
+    runs per metric — reported as the final level/trend plus a 7-day-out
+    projection.
+
+    The recursion is inherently sequential, so the engine runs it as ONE
+    JVM-side array fold (F.aggregate over the sorted daily array) after
+    the distributed part — the fact-to-daily reduction — has already
+    collapsed the data: the same reduce-then-recur shape as
+    events_autocorr and the k-means loop (iterate on the small thing,
+    never the fact table). The oracle is the literal recursive CTE; both
+    engines execute the identical sequence of IEEE ops (the update
+    expressions are written in the same operation order), so results
+    match to the 1e-6 rounding exactly. Draws with fewer than 2 days
+    yield zero rows on both engines.
+
+    Scale: at 100 TB the daily rollup is the only data-sized stage; the
+    fold runs on n_days elements (3653 for a decade) inside one task.
+    Per-key forecasting (millions of series) keeps the same plan with
+    the fold keyed per group — no driver loop either way."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        long_sum(F.sum(scaled_long("value")), 2).alias("total")
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "total"))).alias("arr")
+    ).select(F.transform("arr", lambda s: s["total"]).alias("xs"))
+    xs = F.col("xs")
+    init = F.struct(
+        F.element_at(xs, 1).alias("lvl"),
+        (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("trend"),
+    )
+    lvl_next = lambda acc, x: x * 0.3 + (acc["lvl"] + acc["trend"]) * 0.7  # noqa: E731
+    folded = F.aggregate(
+        F.slice(xs, 2, F.size(xs) - 1),
+        init,
+        lambda acc, x: F.struct(
+            lvl_next(acc, x).alias("lvl"),
+            ((lvl_next(acc, x) - acc["lvl"]) * 0.2 + acc["trend"] * 0.8).alias(
+                "trend"
+            ),
+        ),
+    )
+    return (
+        series.where(F.size(xs) >= 2)
+        .select(F.size(xs).cast("bigint").alias("n_days"), folded.alias("f"))
+        .select(
+            "n_days",
+            F.round(F.col("f.lvl"), 6).alias("level"),
+            F.round(F.col("f.trend"), 6).alias("trend"),
+            F.round(F.col("f.lvl") + 7 * F.col("f.trend"), 6).alias("forecast_7d"),
+        )
+    )
+
+
+@register(
+    "events_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT d, cents,
+         ROW_NUMBER() OVER (ORDER BY d) AS rn,
+         SUM(cents) OVER (ORDER BY d) AS cs,
+         SUM(cents * cents) OVER (ORDER BY d) AS css
+  FROM daily
+),
+tot AS (
+  SELECT COUNT(*) AS n, SUM(cents) AS s, SUM(cents * cents) AS ss FROM daily
+),
+splits AS (
+  SELECT i.d, i.rn, t.n,
+         (CAST(i.css AS DOUBLE) - CAST(i.cs AS DOUBLE) * i.cs / i.rn)
+         + (CAST(t.ss - i.css AS DOUBLE)
+            - CAST(t.s - i.cs AS DOUBLE) * (t.s - i.cs) / (t.n - i.rn))
+           AS cost,
+         CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / t.n AS sse_total,
+         CAST(i.cs AS DOUBLE) / i.rn / 100.0 AS mean_left,
+         CAST(t.s - i.cs AS DOUBLE) / (t.n - i.rn) / 100.0 AS mean_right
+  FROM idx i, tot t
+  WHERE i.rn < t.n
+),
+ranked AS (
+  SELECT d AS split_date, CAST(rn AS BIGINT) AS n_left,
+         CAST(n - rn AS BIGINT) AS n_right,
+         ROUND(mean_left, 6) AS mean_left,
+         ROUND(mean_right, 6) AS mean_right,
+         ROUND((sse_total - cost) / 10000.0, 6) AS sse_gain,
+         ROW_NUMBER() OVER (ORDER BY ROUND((sse_total - cost) / 10000.0, 6)
+                            DESC, d) AS rk
+  FROM splits
+)
+SELECT strftime(split_date, '%Y-%m-%d') AS split_date,
+       n_left, n_right, mean_left, mean_right, sse_gain
+FROM ranked WHERE rk = 1
+""",
+    tags=("events", "time-series", "changepoint", "statistics"),
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint detection by binary segmentation on the daily
+    event-value series: the split minimizing total within-segment SSE
+    (equivalently maximizing variance-explained gain) — the level-shift
+    detector a data-quality monitor runs when a producer deploy or
+    schema change bends a metric. Reports the last day of the left
+    segment, both segment means, and the SSE gain; recursing on each
+    side yields the standard multi-changepoint algorithm.
+
+    Determinism: daily totals ride integer CENTS and the cumulants
+    (sum, sum-of-squares) stay exact BIGINTs (30 days of 1e6-cent days
+    squares to ~3e13, far inside int64) — each candidate's cost is then
+    O(1) double arithmetic on identical integers in both engines,
+    rounded to 1e-6 before the argmax with a date tie-break.
+
+    Scale: one shuffle collapses the fact table to days; the candidate
+    scan is a window pass over the tiny series (same reduce-then-score
+    shape as events_anomaly_zscore). Per-key changepoints (millions of
+    metrics) partition the window by key, same plan."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(scaled_long("value")).alias("cents")
+    )
+    w = (
+        Window.partitionBy(F.spark_partition_id() * 0)
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    idx = daily.select(
+        "d",
+        "cents",
+        F.row_number().over(Window.partitionBy(F.spark_partition_id() * 0).orderBy("d")).alias("rn"),
+        F.sum("cents").over(w).alias("cs"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("css"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    sp = idx.crossJoin(F.broadcast(tot)).where(F.col("rn") < F.col("n"))
+    cs, css, rn = F.col("cs"), F.col("css"), F.col("rn")
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    cost = (
+        css.cast("double") - cs.cast("double") * cs / rn
+    ) + (
+        (ss - css).cast("double") - (s - cs).cast("double") * (s - cs) / (n - rn)
+    )
+    sse_total = ss.cast("double") - s.cast("double") * s / n
+    ranked = sp.select(
+        F.date_format("d", "yyyy-MM-dd").alias("split_date"),
+        rn.cast("bigint").alias("n_left"),
+        (n - rn).cast("bigint").alias("n_right"),
+        F.round(cs.cast("double") / rn / 100.0, 6).alias("mean_left"),
+        F.round((s - cs).cast("double") / (n - rn) / 100.0, 6).alias("mean_right"),
+        F.round((sse_total - cost) / 10000.0, 6).alias("sse_gain"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(F.spark_partition_id() * 0).orderBy(
+                F.desc("sse_gain"), "split_date"
+            )
+        ),
+    )
+    return ranked.where(F.col("rk") == 1).drop("rk")

@@ -624,3 +624,63 @@ def scan_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+def aggregate_pushdown_scan(spark: SparkSession, sf_dir: str):
+    """MIN/MAX/COUNT answered from parquet FOOTER STATISTICS (Spark's
+    DSv2 parquet aggregate pushdown): the scan reads row-group metadata,
+    not data pages — at 100 TB a full-table COUNT/MIN/MAX becomes a
+    manifest-sized metadata pass, the same class of win as zone-map
+    pruning but engine-native. Returns (row, physical plan string); the
+    plan must carry PushedAggregation (asserted in tests/test_plans.py).
+
+    DSv2-only surface: parquet must route off the v1 read path and the
+    query must be a bare global aggregate (no filter, no non-partition
+    grouping) — outside that envelope Spark silently falls back to a
+    data scan, which is why the plan assertion exists. Confs are
+    restored after the (eager) metadata-sized collect."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.parquet.aggregatePushdown",
+                  "spark.sql.sources.useV1SourceList")
+    }
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+            )
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows = df.collect()  # one metadata-derived row
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+    return rows, plan
+
+
+@register(
+    "scan_agg_pushdown",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+""",
+    tags=("scan", "aggregate-pushdown", "metadata", "pruning"),
+)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet aggregate pushdown (see aggregate_pushdown_scan): the
+    whole-table COUNT/MIN/MAX served from footer statistics. The oracle
+    checks the metadata answer equals the data answer — statistics that
+    disagree with the data would be a corruption bug, not a fast path."""
+    prep(spark)
+    rows, _plan = aggregate_pushdown_scan(spark, sf_dir)
+    return spark.createDataFrame(rows)

@@ -1728,3 +1728,111 @@ def text_edit1_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_b",
         F.levenshtein("token_a", "token_b").cast("int").alias("dist"),
     )
+
+
+@register(
+    "text_dup_spans",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, g.p AS p, g.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, len(ts) - 7),
+             i -> struct_pack(
+               p := i,
+               h := md5(array_to_string(list_slice(ts, i, i + 7), '|'))))) AS g
+    FROM toks WHERE len(ts) >= 8
+  )
+),
+matched AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+  FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+islands AS (
+  SELECT da, db, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
+           AS isl,
+         pa - pb AS diag
+  FROM matched
+),
+spans AS (
+  SELECT da, db, MAX(pa) - MIN(pa) + 8 AS span_tokens, MIN(pa) AS start_a
+  FROM islands GROUP BY da, db, diag, isl
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MIN(start_a) AS BIGINT) AS first_start_a
+FROM spans GROUP BY da, db
+""",
+    tags=("text", "dedup", "substring", "spans", "ngram"),
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans across documents — the exact-
+    substring dedup signal (the Lee et al. 2022 'Deduplicating Training
+    Data' recipe's relational dual): 8-gram shingles with POSITIONS,
+    matched across doc pairs, then runs of consecutive matches on the
+    same alignment diagonal (pa - pb) merged into maximal spans by the
+    gaps-and-islands trick. Reports, per overlapping pair, the longest
+    shared span in tokens, the span count, and the earliest start — the
+    evidence a span-level deduper needs to CUT the repeated text rather
+    than drop a whole document.
+
+    Scale: the only corpus-sized relation is the positional shingle
+    table (n_tokens rows/doc, one shuffle on the gram hash — the same
+    posting-join shape as text_decontaminate); matches are candidates
+    only, and the island merge runs per (pair, diagonal) partition. A
+    suffix-array build this is not — the shingle join IS the scalable
+    approximation production dedupers use.
+
+    Determinism: spans derive from integer positions and md5 equality
+    on exact token runs; no floats anywhere."""
+    from pyspark.sql import Window
+
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("ts"),
+    ).where(F.size("ts") >= 8)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 7), "
+                "i -> named_struct("
+                "'p', i, "
+                "'h', md5(concat_ws('|', slice(ts, i, 8)))))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    a, b = grams.alias("a"), grams.alias("b")
+    matched = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.p").alias("pa"),
+        F.col("b.p").alias("pb"),
+    )
+    diag = F.col("pa") - F.col("pb")
+    isl_w = Window.partitionBy("da", "db", diag).orderBy("pa")
+    islands = matched.select(
+        "da", "db", "pa", diag.alias("diag"),
+        (F.col("pa") - F.row_number().over(isl_w)).alias("isl"),
+    )
+    spans = islands.groupBy("da", "db", "diag", "isl").agg(
+        (F.max("pa") - F.min("pa") + 8).alias("span_tokens"),
+        F.min("pa").alias("start_a"),
+    )
+    return spans.groupBy(
+        F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+    ).agg(
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.min("start_a").cast("bigint").alias("first_start_a"),
+    )

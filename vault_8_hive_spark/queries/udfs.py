@@ -370,3 +370,99 @@ BEGIN
   WHERE o_totalprice > mean_price;
 END
 """)
+
+
+@register(
+    "udf_cogrouped_asof",
+    oracle="""
+WITH va AS (
+  SELECT user_id, ts, CAST(ROUND(MAX(value) * 100, 0) AS BIGINT) AS vcents
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT p.user_id, va.vcents
+  FROM p ASOF LEFT JOIN va ON p.user_id = va.user_id AND p.ts >= va.ts
+),
+vc AS (SELECT user_id, COUNT(*) AS n_view_ts FROM va GROUP BY user_id)
+SELECT m.user_id,
+       CAST(COALESCE(ANY_VALUE(vc.n_view_ts), 0) AS BIGINT) AS n_view_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(m.vcents) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(m.vcents), 0) AS BIGINT) AS matched_view_cents
+FROM m LEFT JOIN vc ON vc.user_id = m.user_id
+GROUP BY m.user_id
+""",
+    tags=("udf", "cogrouped-map", "asof", "pandas"),
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped applyInPandas (the two-sided grouped-map surface):
+    views and purchases co-grouped per user, each pair of per-user
+    pandas frames merged with pd.merge_asof — the shape for per-entity
+    logic that needs BOTH relations in one pass (custom conformance
+    checks, per-user replay, trajectory alignment) without a global
+    join. View-side ties are pre-aggregated per (user, ts) so the as-of
+    pick is deterministic; matched values ride integer cents.
+
+    Scale: ONE co-partitioned shuffle on the key for both inputs; each
+    user's pair of frames is Arrow-transferred to one python worker —
+    bounded by per-user activity, never corpus-sized. The batch as-of
+    dual (operators/asof.py) is the JVM-only twin; this row exercises
+    the cogroup API surface itself."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.round(F.max("value") * 100, 0).cast("bigint").alias("vcents")
+        )
+    )
+    # Fresh aliases break the shared-attribute lineage with the view
+    # side: both branches scan the same events attributes, and Spark's
+    # cogroup column pruning under a downstream projection resolves the
+    # colliding exprIds by dropping the right child's non-key columns
+    # (observed: the purchase frame arrives as ['user_id'] only). New
+    # exprIds make the prune see two independent relations.
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+
+    def conv(key: tuple, vdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.rename(columns={"p_user_id": "user_id", "p_ts": "ts"})
+        if len(pdf) == 0:
+            # views-only users contribute no output row (the oracle
+            # aggregates over purchases)
+            return pd.DataFrame(
+                columns=[
+                    "user_id", "n_view_ts", "n_purchases", "n_matched",
+                    "matched_view_cents",
+                ]
+            )
+        pdf = pdf.sort_values("ts")[["ts"]]
+        vdf = vdf.sort_values("ts")[["ts", "vcents"]]
+        if len(vdf) == 0:
+            n_matched, total = 0, 0
+        else:
+            merged = pd.merge_asof(pdf, vdf, on="ts", direction="backward")
+            n_matched = int(merged["vcents"].notna().sum())
+            total = int(merged["vcents"].fillna(0).sum())
+        return pd.DataFrame(
+            [[key[0], len(vdf), len(pdf), n_matched, total]],
+            columns=[
+                "user_id", "n_view_ts", "n_purchases", "n_matched",
+                "matched_view_cents",
+            ],
+        )
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("p_user_id"))
+        .applyInPandas(
+            conv,
+            schema=(
+                "user_id bigint, n_view_ts bigint, n_purchases bigint, "
+                "n_matched bigint, matched_view_cents bigint"
+            ),
+        )
+    )

@@ -1356,3 +1356,94 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_cos"),
         F.round(F.max(F.abs(diff)), 6).alias("max_dim_gap"),
     )
+
+
+_O_DOT16 = (
+    "list_sum(list_transform(generate_series(1, 16), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+_O_NORM16_E = (
+    "sqrt(list_sum(list_transform(generate_series(1, 16), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+)
+_O_NORM16_Q = (
+    "sqrt(list_sum(list_transform(generate_series(1, 16), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+)
+_O_COS16 = f"ROUND(({_O_DOT16}) / (({_O_NORM16_E}) * ({_O_NORM16_Q})), 6)"
+
+
+@register(
+    "vec_matryoshka_rerank",
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+coarse AS (
+  SELECT e.vec_id, e.label, {_O_COS16} AS coarse_sim,
+         ROW_NUMBER() OVER (ORDER BY {_O_COS16} DESC, e.vec_id) AS crn
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+),
+cand AS (SELECT vec_id, label, coarse_sim FROM coarse WHERE crn <= 50)
+SELECT vec_id, label, coarse_sim, cos_sim, CAST(rn AS INT) AS rn FROM (
+  SELECT c.vec_id, c.label, c.coarse_sim, {_O_COS} AS cos_sim,
+         ROW_NUMBER() OVER (ORDER BY {_O_COS} DESC, c.vec_id) AS rn
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, q
+) t WHERE rn <= 10
+""",
+    tags=("vectors", "similarity", "ann", "matryoshka", "rerank"),
+)
+def vec_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) two-stage ANN: coarse search on the
+    FIRST 16 of 64 dimensions selects 50 candidates, full-dimension
+    cosine reranks to the top-10 — the retrieval pattern MRL-trained
+    embedding models are built for, where the prefix is itself a valid
+    lower-resolution embedding. The cost shape at scale: the corpus scan
+    touches 16/64 of the vector bytes (with a columnar layout storing
+    the prefix separately, literally 1/4 the I/O), and the full vectors
+    are fetched for only 50 rows.
+
+    Both stages round to 1e-6 before ranking with vec_id tie-breaks, so
+    the candidate cut and the final order are bit-stable across engines.
+    The rerank joins candidates back to the corpus by key — at 100 TB
+    that is a broadcast of 50 ids, not a second scan."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    )
+    coarse = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine(
+                    F.slice(to_double("embedding"), 1, 16),
+                    F.slice(to_double("q_emb"), 1, 16),
+                ),
+                6,
+            ).alias("coarse_sim"),
+        )
+    )
+    cand = coarse.orderBy(F.desc("coarse_sim"), "vec_id").limit(50)
+    reranked = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            "coarse_sim",
+            F.round(cosine(to_double("embedding"), to_double("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    top = reranked.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+    w = Window.partitionBy(F.col("vec_id") % 1).orderBy(
+        F.desc("cos_sim"), "vec_id"
+    )
+    return top.select(
+        "vec_id", "label", "coarse_sim", "cos_sim",
+        F.row_number().over(w).alias("rn"),
+    )
