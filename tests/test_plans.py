@@ -447,3 +447,38 @@ def test_aggregate_pushdown_reaches_scan(spark, sf_dir):
     )
     got = rows[0]
     assert (got["n_orders"], got["min_key"], got["max_key"]) == tuple(want)
+
+
+def test_join_hints_pick_their_strategies(spark, sf_dir):
+    """Each hint variant must produce its named physical join — a hint
+    that silently falls back leaves the row testing nothing."""
+    from pyspark.sql import functions as F
+
+    from vault_8_hive_spark.catalog import table
+    from vault_8_hive_spark.session import prep
+
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    want = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for variant, node in want.items():
+        df = orders.join(
+            customer.hint(variant), F.col("o_custkey") == F.col("c_custkey")
+        ).groupBy("c_mktsegment").count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, f"{variant}: {plan[:1500]}"
+
+
+def test_cached_rollup_serves_second_consumer(spark, sf_dir):
+    """io_cached_plan_reuse must read the per-nation rollup from the
+    block store: both ranking branches scan InMemoryTableScan, and the
+    parquet scan appears at most once in the union's plan."""
+    from vault_8_hive_spark.queries.formats import io_cached_plan_reuse
+
+    df = io_cached_plan_reuse(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]

@@ -2476,3 +2476,181 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("hi", 6).alias("ci_hi"),
         )
     )
+
+
+# Multi-feature OLS: the closed-form pieces are shared strings so both
+# engines execute the TEXTUALLY IDENTICAL arithmetic over the same exact
+# integer sums — same IEEE op order, same doubles, hash-exact.
+_OLS_DET = (
+    "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+)
+_OLS_NUM0 = (
+    "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))"
+)
+_OLS_NUM1 = (
+    "(n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+)
+_OLS_NUM2 = (
+    "(n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+)
+_OLS_COEF = (
+    f"{_OLS_NUM0} / NULLIF({_OLS_DET}, 0.0) AS b0c",
+    f"{_OLS_NUM1} / NULLIF({_OLS_DET}, 0.0) AS b1",
+    f"{_OLS_NUM2} / NULLIF({_OLS_DET}, 0.0) AS b2",
+)
+_OLS_FIT = (
+    "syy - b0c*sy - b1*s1y - b2*s2y AS sse",
+    "syy - sy*sy/n AS sst",
+)
+_OLS_OUT = (
+    "CAST(n AS BIGINT) AS n",
+    "ROUND(b0c / 100.0, 6) AS b0",
+    "ROUND(b1, 6) AS b1",
+    "ROUND(b2, 6) AS b2",
+    "ROUND(1.0 - sse / NULLIF(sst, 0.0), 6) AS r2",
+)
+
+
+@register(
+    "agg_ols_multi",
+    oracle=f"""
+WITH p AS (
+  SELECT CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * x1 AS HUGEINT)) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 * x2 AS HUGEINT)) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 * x2 AS HUGEINT)) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * y AS HUGEINT)) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS HUGEINT)) AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+  FROM p
+),
+c AS (SELECT *, {', '.join(_OLS_COEF)} FROM s),
+e AS (SELECT *, {', '.join(_OLS_FIT)} FROM c)
+SELECT {', '.join(_OLS_OUT)} FROM e
+""",
+    tags=("aggregate", "regression", "statistics", "linear-algebra"),
+)
+def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature OLS by normal equations: extendedprice regressed on
+    quantity AND discount with an intercept, solved in closed form via
+    Cramer's rule on the 3x3 Gram matrix — the distributed linear-
+    regression primitive beyond the builtin regr_* (agg_regression),
+    which only does simple (one-x) regression. One pass accumulates the
+    ten Gram/moment sums; the solve is O(1) driver-free arithmetic on
+    the single aggregated row.
+
+    Determinism: features ride exact integer cents and every Gram sum
+    is an exact DECIMAL(38,0)/HUGEINT integer; both engines then run the
+    TEXTUALLY IDENTICAL Cramer formulas (shared strings above) on the
+    same doubles — same IEEE sequence, 1e-6 rounding at the edge.
+    Degenerate draws (constant feature => det 0, or constant target =>
+    sst 0) yield NULL coefficients/r2 via NULLIF on both engines.
+
+    Scale: this is THE pattern for fitting linear models at 100 TB —
+    X'X/X'y sums are map-side-combinable partials (one shuffle to one
+    row), and k features need k(k+3)/2 sums; the closed-form solve
+    stays O(k^3) on one row. Coefficients are in dollar units (b0
+    rescaled from cents)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    x1 = scaled_long("l_quantity")
+    x2 = scaled_long("l_discount")
+    y = scaled_long("l_extendedprice")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = (
+        li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(d38(F.col("x1"))).cast("double").alias("s1"),
+            F.sum(d38(F.col("x2"))).cast("double").alias("s2"),
+            F.sum(d38(F.col("y"))).cast("double").alias("sy"),
+            F.sum(d38(F.col("x1") * F.col("x1"))).cast("double").alias("s11"),
+            F.sum(d38(F.col("x1") * F.col("x2"))).cast("double").alias("s12"),
+            F.sum(d38(F.col("x2") * F.col("x2"))).cast("double").alias("s22"),
+            F.sum(d38(F.col("x1") * F.col("y"))).cast("double").alias("s1y"),
+            F.sum(d38(F.col("x2") * F.col("y"))).cast("double").alias("s2y"),
+            F.sum(d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        )
+    )
+    c = s.selectExpr("*", *_OLS_COEF)
+    e = c.selectExpr("*", *_OLS_FIT)
+    return e.selectExpr(*_OLS_OUT)
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT grp, cents,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, o_orderkey)
+           AS i
+  FROM v
+),
+s AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(CAST(cents AS HUGEINT)) AS sx,
+         SUM(CAST(i AS HUGEINT) * cents) AS six
+  FROM r GROUP BY grp
+)
+SELECT grp AS o_orderpriority, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 6) AS gini
+FROM s
+""",
+    tags=("aggregate", "statistics", "inequality", "gini"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per priority class
+    (the rank-sum identity G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) over ascending-sorted values): the inequality measure a
+    revenue or token-budget analysis pairs with HHI (agg_hhi measures
+    share concentration across named buckets; Gini measures dispersion
+    across the whole distribution). Values ride exact integer cents and
+    the rank weights stay exact DECIMAL/HUGEINT sums — one double
+    division at the edge, 1e-6 rounding.
+
+    Tie handling is pinned (rank by value then orderkey), so both
+    engines weight identical ranks. Scale: one window pass per group
+    (the per-group sort IS the cost — same shape as exact percentiles)
+    plus a partial-agg shuffle; sub-sorting within the group
+    distributes via range partitioning on the window key."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    v = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        scaled_long("o_totalprice").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    r = v.select("grp", "cents", F.row_number().over(w).alias("i"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("cents"))).alias("sx"),
+        F.sum(d38(F.col("i").cast("long") * F.col("cents"))).alias("six"),
+    )
+    return s.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

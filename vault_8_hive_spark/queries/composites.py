@@ -120,6 +120,8 @@ _composite(
         ("iqr_outliers", "agg_iqr_outliers",
          {"grp": "c_mktsegment", "n1": "n_outliers", "d1": "upper_fence",
           "d2": "max_outlier"}),
+        ("gini", "agg_gini_concentration",
+         {"grp": "o_orderpriority", "n1": "n", "d1": "gini"}),
         ("regression", "agg_regression",
          {"grp": "c_mktsegment", "n1": "n", "d1": "slope", "d2": "intercept",
           "d3": "r2", "d4": "avg_y"}),
@@ -247,8 +249,11 @@ _composite(
         ("moments_builtin", "agg_moments_builtin",
          {"grp": "l_returnflag", "d1": "stddev_qty", "d2": "var_qty",
           "d3": "covar_qty_price", "d4": "corr_qty_price"}),
+        ("ols_multi", "agg_ols_multi",
+         {"grp": "'lineitem'", "n1": "n", "d1": "b0", "d2": "b1",
+          "d3": "b2", "d4": "r2"}),
     ],
-    tags=("agg", "approx", "stats", "composite"),
+    tags=("agg", "approx", "stats", "regression", "composite"),
 )
 
 # --- joins ------------------------------------------------------------------
@@ -276,8 +281,11 @@ _composite(
          {"k1": "n_orders", "s1": "n_name", "d1": "revenue"}),
         ("null_safe_eq", "join_null_safe_eq",
          {"s1": "k", "k1": "n_left", "k2": "n_right"}),
+        ("hint_strategies", "join_hint_strategies",
+         {"s1": "strategy", "s2": "c_mktsegment", "k1": "n_orders",
+          "d1": "total"}),
     ],
-    tags=("join", "composite"),
+    tags=("join", "hints", "composite"),
 )
 
 _composite(
@@ -401,6 +409,9 @@ _composite(
         ("zorder", "layout_zorder",
          {"id1": "z_bucket", "id2": "n_rows",
           "txt": _cat("cust_span", "day_span")}),
+        ("winsorize", "feature_winsorize",
+         {"id1": "n", "txt": "c_mktsegment", "d1": "p05", "d2": "p95",
+          "d3": "mean_raw", "d4": "mean_winsorized"}),
     ],
     tags=("scalar", "string", "date", "math", "conditional", "profiling",
           "composite"),
@@ -504,6 +515,9 @@ _composite(
         ("agg_pushdown", "scan_agg_pushdown",
          {"k1": "CAST(min_key AS STRING)", "k2": "CAST(max_key AS STRING)",
           "n": "n_orders"}),
+        ("cached_reuse", "io_cached_plan_reuse",
+         {"k1": "crit", "k2": "CAST(c_nationkey AS STRING)",
+          "n": "n_cust", "d1": "total_bal"}),
     ],
     tags=("scan", "sink", "csv", "json", "orc", "partition-pruning",
           "python-datasource", "schema-evolution", "observability",
@@ -552,6 +566,9 @@ _composite(
         ("kcore", "graph_kcore",
          {"metric": "'kcore_r' || CAST(round AS STRING)",
           "value": "CAST(n_edges AS DOUBLE)", "n": "n_nodes"}),
+        ("sssp", "graph_sssp_weighted",
+         {"metric": "'sssp_' || CAST(node AS STRING)",
+          "value": "CAST(dist AS DOUBLE)", "n": "dist"}),
         ("item_cosine", "reco_item_cosine",
          {"metric": "'reco_' || item_a || '>' || item_b",
           "value": "cos_sim", "n": "n_ab"}),
@@ -643,6 +660,11 @@ _composite(
           "n": "s_stat", "d1": "z_stat"}),
         ("holt_linear", "events_holt_linear",
          {"i1": "CAST(n_days AS INT)", "n": "n_days", "d1": "forecast_7d"}),
+        ("kalman_level", "events_kalman_level",
+         {"i1": "CAST(n_days AS INT)", "n": "n_days", "d1": "level"}),
+        ("kaplan_meier", "events_kaplan_meier",
+         {"i1": "duration_days", "n": "n_risk", "d1": "survival",
+          "s1": "CAST(d_events AS STRING)"}),
         ("changepoint", "events_changepoint",
          {"s1": _cat("split_date", "n_left", "n_right"), "n": "n_left",
           "d1": "sse_gain"}),
@@ -751,6 +773,9 @@ _composite(
         ("keyphrase", "text_keyphrase_tfidf",
          {"k1": "doc_id", "s1": "term", "n1": "CAST(rnk AS BIGINT)",
           "n2": "tf", "d1": "tfidf"}),
+        ("pmi", "text_pmi_collocations",
+         {"s1": "w1", "s2": "w2", "n1": "c_xy", "n2": "CAST(rk AS BIGINT)",
+          "d1": "lift"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
           "redaction", "search", "composite"),
@@ -858,6 +883,8 @@ _composite(
         ("matryoshka", "vec_matryoshka_rerank",
          {"a": "vec_id", "i1": "label", "i2": "rn", "d1": "coarse_sim",
           "d2": "cos_sim"}),
+        ("hamming", "vec_hamming_topk",
+         {"a": "vec_id", "i1": "hamming", "i2": "rn", "d1": "cos_sim"}),
         ("embedding_drift", "vec_embedding_drift",
          {"a": "n_a", "b": "n_b", "d1": "centroid_l2",
           "d2": "centroid_cos", "d3": "max_dim_gap"}),

@@ -2453,3 +2453,208 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.where(F.col("rk") == 1).drop("rk")
+
+
+@register(
+    "events_kalman_level",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, x FROM daily
+),
+kf(rn, lvl, p) AS (
+  SELECT 1, (SELECT x FROM idx WHERE rn = 1), CAST(1.0 AS DOUBLE)
+  UNION ALL
+  SELECT kf.rn + 1,
+         kf.lvl + ((kf.p + 0.01) / (kf.p + 0.01 + 1.0)) * (i.x - kf.lvl),
+         (1.0 - (kf.p + 0.01) / (kf.p + 0.01 + 1.0)) * (kf.p + 0.01)
+  FROM kf JOIN idx i ON i.rn = kf.rn + 1
+)
+SELECT CAST((SELECT MAX(rn) FROM idx) AS BIGINT) AS n_days,
+       ROUND(lvl, 6) AS level,
+       ROUND(p, 6) AS p_var,
+       ROUND((p + 0.01) / (p + 0.01 + 1.0), 6) AS gain_next
+FROM kf
+WHERE rn = (SELECT MAX(rn) FROM idx)
+""",
+    tags=("events", "time-series", "kalman", "smoothing", "iterative"),
+)
+def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level (random-walk) Kalman filter over the daily event-value
+    series, process variance q=0.01, observation variance r=1.0, diffuse
+    init (level=x1, P=1): the optimal online denoiser for a drifting
+    metric — reports the final filtered level, the posterior variance,
+    and the steady-state-converging gain the NEXT observation would get.
+    Alongside events_holt_linear this completes the classic recursive
+    smoother pair (Holt = trend-aware EWMA; Kalman = variance-tracking
+    level with a principled gain schedule).
+
+    Same reduce-then-recur shape as Holt: the fact table collapses to
+    the daily series in one shuffle, then the inherently-sequential
+    recursion runs as ONE JVM-side F.aggregate fold over the sorted
+    array — never a driver loop, never an iteration over the fact. The
+    oracle is the literal recursive CTE with the update expressions in
+    the identical operation order, so both engines walk the same IEEE
+    sequence. Single-day draws emit the init row; empty draws emit
+    nothing, on both engines.
+
+    Scale: per-key filtering (one Kalman state per metric/entity at
+    100 TB) keeps the same plan with the fold keyed per group — the
+    state is two doubles regardless of series length."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        long_sum(F.sum(scaled_long("value")), 2).alias("x")
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("arr")
+    ).select(F.transform("arr", lambda s: s["x"]).alias("xs"))
+    xs = F.col("xs")
+    init = F.struct(
+        F.element_at(xs, 1).alias("lvl"), F.lit(1.0).alias("p")
+    )
+    gain = lambda acc: (acc["p"] + 0.01) / (acc["p"] + 0.01 + 1.0)  # noqa: E731
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (acc["lvl"] + gain(acc) * (x - acc["lvl"])).alias("lvl"),
+            ((F.lit(1.0) - gain(acc)) * (acc["p"] + 0.01)).alias("p"),
+        ),
+    )
+    return (
+        series.where(F.size(xs) >= 1)
+        .select(F.size(xs).cast("bigint").alias("n_days"), folded.alias("f"))
+        .select(
+            "n_days",
+            F.round(F.col("f.lvl"), 6).alias("level"),
+            F.round(F.col("f.p"), 6).alias("p_var"),
+            F.round(
+                (F.col("f.p") + 0.01) / (F.col("f.p") + 0.01 + 1.0), 6
+            ).alias("gain_next"),
+        )
+    )
+
+
+@register(
+    "events_kaplan_meier",
+    oracle="""
+WITH RECURSIVE per_user AS (
+  SELECT user_id,
+         CAST(CAST(MAX(ts) AS DATE) - CAST(MIN(ts) AS DATE) AS INT) AS dur,
+         CASE WHEN MAX(ts) < (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+steps AS (
+  SELECT dur, SUM(observed) AS d, COUNT(*) AS all_c
+  FROM per_user GROUP BY dur
+),
+ordered AS (
+  SELECT dur, d, ROW_NUMBER() OVER (ORDER BY dur) AS rn,
+         SUM(all_c) OVER (ORDER BY dur
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n
+  FROM steps
+),
+km(rn, s) AS (
+  SELECT 1, (SELECT 1.0 - CAST(d AS DOUBLE) / n FROM ordered WHERE rn = 1)
+  UNION ALL
+  SELECT km.rn + 1, km.s * (1.0 - CAST(o.d AS DOUBLE) / o.n)
+  FROM km JOIN ordered o ON o.rn = km.rn + 1
+)
+SELECT o.dur AS duration_days, CAST(o.n AS BIGINT) AS n_risk,
+       CAST(o.d AS BIGINT) AS d_events, ROUND(k.s, 6) AS survival
+FROM ordered o JOIN km k ON k.rn = o.rn
+WHERE o.d > 0
+""",
+    tags=("events", "survival", "statistics", "kaplan-meier", "iterative"),
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over user lifetimes (duration =
+    days between a user's first and last event), right-censoring users
+    still active within 7 days of the corpus horizon: the
+    retention/churn curve S(t) = prod(1 - d_i/n_i) every lifecycle
+    analysis starts from, emitted at each event time (d_i > 0 steps).
+
+    Same reduce-then-recur shape as the Holt/Kalman folds: one shuffle
+    collapses the fact table to per-user rows, a second to per-duration
+    (d_i, n_i) steps — exact integers via a cumulative window — and the
+    inherently-sequential survival product runs as ONE JVM-side
+    F.aggregate fold over the sorted step array (the fold multiplies
+    every step, censored-only steps by exactly 1.0, so both engines
+    walk the identical IEEE product; the oracle is the literal
+    recursive CTE). Draws where no user churns yield zero rows on both
+    engines.
+
+    Scale: the step array is one row per distinct lifetime (bounded by
+    the observation window in days), never user- or fact-sized; at
+    100 TB stratified curves (per cohort/segment) key the same fold
+    per group."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    horizon = F.broadcast(
+        ev.agg(F.max("ts").alias("mx")).select(
+            (F.col("mx") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+        )
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+            .cast("int")
+            .alias("dur"),
+            F.max("ts").alias("last_ts"),
+        )
+        .crossJoin(horizon)
+        .select(
+            "dur",
+            F.when(F.col("last_ts") < F.col("cutoff"), 1)
+            .otherwise(0)
+            .alias("observed"),
+        )
+    )
+    steps = per_user.groupBy("dur").agg(
+        F.sum("observed").alias("d"), F.count(F.lit(1)).alias("all_c")
+    )
+    # n_i (at risk) is the suffix sum of step counts — computed in the
+    # same window pass, no second fact reduction for a global count.
+    w = Window.partitionBy(F.lit(1)).orderBy("dur")
+    ordered = steps.select(
+        "dur",
+        "d",
+        F.sum("all_c")
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("n"),
+    )
+    arr = ordered.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "d", "n"))).alias("arr")
+    )
+    folded = arr.select(
+        F.expr(
+            "aggregate(arr, "
+            "named_struct('s', CAST(1.0 AS DOUBLE), "
+            "             'out', CAST(array() AS "
+            "array<struct<dur:int,d:bigint,n:bigint,s:double>>)), "
+            "(acc, x) -> named_struct("
+            "  's', acc.s * (1.0D - CAST(x.d AS DOUBLE) / x.n), "
+            "  'out', array_append(acc.out, named_struct("
+            "    'dur', x.dur, 'd', x.d, 'n', x.n, "
+            "    's', acc.s * (1.0D - CAST(x.d AS DOUBLE) / x.n)))), "
+            "acc -> acc.out) AS curve"
+        )
+    )
+    return (
+        folded.select(F.explode("curve").alias("c"))
+        .where(F.col("c.d") > 0)
+        .select(
+            F.col("c.dur").alias("duration_days"),
+            F.col("c.n").cast("bigint").alias("n_risk"),
+            F.col("c.d").cast("bigint").alias("d_events"),
+            F.round(F.col("c.s"), 6).alias("survival"),
+        )
+    )

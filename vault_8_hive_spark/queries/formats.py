@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -684,3 +684,75 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     rows, _plan = aggregate_pushdown_scan(spark, sf_dir)
     return spark.createDataFrame(rows)
+
+
+@register(
+    "io_cached_plan_reuse",
+    oracle="""
+WITH pernation AS (
+  SELECT c_nationkey,
+         COUNT(*) AS n_cust,
+         CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,4))), 4) AS DOUBLE)
+           AS total_bal
+  FROM customer GROUP BY c_nationkey
+),
+by_count AS (
+  SELECT 'by_count' AS crit, c_nationkey, n_cust, total_bal,
+         ROW_NUMBER() OVER (ORDER BY n_cust DESC, c_nationkey) AS rk
+  FROM pernation
+),
+by_bal AS (
+  SELECT 'by_bal' AS crit, c_nationkey, n_cust, total_bal,
+         ROW_NUMBER() OVER (ORDER BY total_bal DESC, c_nationkey) AS rk
+  FROM pernation
+)
+SELECT crit, c_nationkey, CAST(n_cust AS BIGINT) AS n_cust, total_bal
+FROM by_count WHERE rk <= 5
+UNION ALL
+SELECT crit, c_nationkey, CAST(n_cust AS BIGINT) AS n_cust, total_bal
+FROM by_bal WHERE rk <= 5
+""",
+    tags=("cache", "persist", "plan-reuse", "optimizer"),
+)
+def io_cached_plan_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.cache() plan reuse: the per-nation customer rollup is computed
+    ONCE, materialized in the block store, and served to two downstream
+    rankings (top-5 by count, top-5 by balance) from memory — the
+    explicit-reuse surface for a shared intermediate that several
+    consumers fan out from (Catalyst does not common-subexpression
+    entire subplans across actions; cache() is how a pipeline pins one).
+    The second consumer's scan is plan-asserted as InMemoryTableScan in
+    tests/test_plans.py.
+
+    Scale: cache the REDUCED relation (25 nation rows), never the fact —
+    a cached fact at 100 TB evicts itself into recomputation thrash;
+    MEMORY_AND_DISK on an aggregate is effectively free and saves a full
+    fact re-scan per consumer. The count() that populates the cache is
+    metadata-sized."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    pernation = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(28,4)")), 4)
+        .cast("double")
+        .alias("total_bal"),
+    )
+    pernation = pernation.cache()
+    pernation.count()  # materialize so both consumers read the cache
+    outs = []
+    for crit, order in (
+        ("by_count", [F.desc("n_cust"), F.asc("c_nationkey")]),
+        ("by_bal", [F.desc("total_bal"), F.asc("c_nationkey")]),
+    ):
+        w = Window.orderBy(*order)
+        outs.append(
+            pernation.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .select(
+                F.lit(crit).alias("crit"),
+                "c_nationkey",
+                F.col("n_cust").cast("bigint").alias("n_cust"),
+                "total_bal",
+            )
+        )
+    return outs[0].unionByName(outs[1])

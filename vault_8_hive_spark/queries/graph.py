@@ -524,3 +524,88 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _sssp_oracle() -> str:
+    edges = f"""
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+  SELECT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL
+  SELECT {_SUPP_BASE} + l_suppkey AS src, o_custkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+) GROUP BY src, dst
+"""
+    prev = "d0"
+    rounds = []
+    for i in range(1, 4):
+        rounds.append(f"""
+d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM {prev} p JOIN edges e ON e.src = p.node
+  ) GROUP BY node
+)""")
+        prev = f"d{i}"
+    return f"""
+WITH edges AS ({edges}),
+d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+{", ".join(r.strip() for r in rounds)}
+SELECT node, dist FROM {prev}
+"""
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle=_sssp_oracle(),
+    tags=("graph", "iterative", "shortest-path"),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford, 3 synchronous
+    relaxation rounds) from customer 1 over the symmetrized trading graph,
+    edge weight = interaction count — the least-traffic-path dual of
+    graph_recursive_bfs's hop count, and the min-plus template every
+    routing/attribution walk reuses. Distances stay exact BIGINTs; the
+    oracle unrolls the identical three rounds as CTEs.
+
+    Shape per round: frontier ⋈ edges (shuffle on src) -> union previous
+    -> min-groupBy on node — the textbook distributed Bellman-Ford step.
+    The edge relation is built once, cached across rounds (the iterative-
+    loop posture of graph_pagerank/components.py: cache the invariant,
+    iterate on the small frontier). Fixed rounds keep both engines
+    bit-identical; at 100 TB the loop runs until no distance improves,
+    with each round one shuffle."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    pairs = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_custkey").alias("cust"),
+        (F.lit(_SUPP_BASE) + F.col("l_suppkey")).alias("supp"),
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .persist()
+    )
+    dist = spark.createDataFrame([(1, 0)], "node bigint, dist bigint")
+    for _ in range(3):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (dist["dist"] + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.select("node", "dist")
+            .unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", "dist")

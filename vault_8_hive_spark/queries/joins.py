@@ -994,3 +994,62 @@ def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.unix_micros("pv_ts")).alias("view_age_us"),
         "segment",
     )
+
+
+_HINT_AGG_ORACLE = """
+SELECT '{v}' AS strategy, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE)
+         AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "join_hint_strategies",
+    oracle="\nUNION ALL\n".join(
+        _HINT_AGG_ORACLE.format(v=v)
+        for v in ("broadcast", "merge", "shuffle_hash")
+    ),
+    tags=("join", "hints", "optimizer", "physical-strategy"),
+)
+def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints: the SAME logical join (orders x customer,
+    rolled up per segment) executed under BROADCAST, MERGE (sort-merge)
+    and SHUFFLE_HASH hints — the surface an operator reaches for when
+    AQE's choice is wrong for a specific query (a dim just over the
+    broadcast threshold, a sort-merge whose sort dominates, a skewed
+    build side). Each variant's physical strategy is plan-asserted in
+    tests/test_plans.py (BroadcastHashJoin / SortMergeJoin /
+    ShuffledHashJoin); the oracle checks all three produce identical
+    results — a hint may only change the HOW, never the WHAT.
+
+    Scale: the hint rides the plan, so the guidance holds on a cluster:
+    BROADCAST caps the small side by executor memory, SHUFFLE_HASH
+    skips the sort at the cost of an in-memory hash build per
+    partition, MERGE is the spill-safe default for big-big."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    out = None
+    for variant in ("broadcast", "merge", "shuffle_hash"):
+        j = orders.join(
+            customer.hint(variant), F.col("o_custkey") == F.col("c_custkey")
+        )
+        agg = j.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4
+            )
+            .cast("double")
+            .alias("total"),
+        )
+        part = agg.select(
+            F.lit(variant).alias("strategy"),
+            "c_mktsegment",
+            "n_orders",
+            "total",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

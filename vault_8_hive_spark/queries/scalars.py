@@ -1039,3 +1039,107 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("lineitem.l_suppkey -> supplier", "n_li", "orph_s",
                          "n_supp", "un_s"))
     )
+
+
+@register(
+    "feature_winsorize",
+    oracle="""
+WITH v AS (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents,
+         c_custkey
+  FROM customer
+),
+r AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, c_custkey)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM v
+),
+cuts AS (
+  SELECT seg,
+         MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.05 * n) AS BIGINT), 1)
+                  THEN cents END) AS lo,
+         MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.95 * n) AS BIGINT), 1)
+                  THEN cents END) AS hi
+  FROM r GROUP BY seg
+)
+SELECT v.seg AS c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(c.lo AS DOUBLE) / 100.0 AS p05,
+       CAST(c.hi AS DOUBLE) / 100.0 AS p95,
+       CAST(SUM(CAST(v.cents AS HUGEINT)) AS DOUBLE) / COUNT(*) / 100.0
+         AS mean_raw,
+       CAST(SUM(CAST(LEAST(GREATEST(v.cents, c.lo), c.hi) AS HUGEINT))
+            AS DOUBLE) / COUNT(*) / 100.0 AS mean_winsorized
+FROM v JOIN cuts c ON c.seg = v.seg
+GROUP BY v.seg, c.lo, c.hi
+""",
+    tags=("scalar", "feature", "robust", "winsorize", "statistics"),
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: per-segment balances clipped at the exact 5th/95th
+    percentile (percentile_disc by pinned rank — smallest value at
+    ceil(p*n), ties irrelevant because the PICKED VALUE is what clips),
+    reporting the raw vs winsorized mean — the robust-preprocessing
+    step feature pipelines apply before scaling so one outlier doesn't
+    own the z-score (complements feature_scaling's minmax/z and the
+    MAD outlier screen, which flags instead of clipping).
+
+    Everything rides exact integer cents: the cut values are exact
+    order statistics, the clip is an integer LEAST/GREATEST, and both
+    means are exact-integer sums divided once at the edge — identical
+    doubles on both engines with no rounding step needed.
+
+    Scale: one window pass per segment for the ranks (the same
+    sort-per-group cost as exact percentiles), a tiny per-segment cuts
+    relation broadcast back onto the rows, one aggregate. At 100 TB the
+    cuts join is a broadcast of #segments rows."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    from ..functions.exact import scaled_long
+
+    v = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        scaled_long("c_acctbal").alias("cents"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "c_custkey")
+    wn = Window.partitionBy("seg")
+    r = v.select(
+        "seg",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.greatest(  # noqa: E731
+        F.ceil(F.lit(p) * F.col("n")).cast("bigint"), F.lit(1)
+    )
+    cuts = r.groupBy("seg").agg(
+        F.max(F.when(F.col("rn") == pick(0.05), F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == pick(0.95), F.col("cents"))).alias("hi"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(F.broadcast(cuts), "seg")
+        .groupBy("seg", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum(d38(F.col("cents"))).cast("double") / F.count(F.lit(1)) / 100.0)
+            .alias("mean_raw"),
+            (
+                F.sum(d38(clipped)).cast("double") / F.count(F.lit(1)) / 100.0
+            ).alias("mean_winsorized"),
+        )
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "n",
+            (F.col("lo").cast("double") / 100.0).alias("p05"),
+            (F.col("hi").cast("double") / 100.0).alias("p95"),
+            "mean_raw",
+            "mean_winsorized",
+        )
+    )

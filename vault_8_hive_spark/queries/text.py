@@ -1836,3 +1836,121 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.min("start_a").cast("bigint").alias("first_start_a"),
     )
+
+
+# Shared lift formula — identical text on both engines so the IEEE
+# multiply/divide sequence (and therefore the rounded value and the
+# rank) is bit-identical.
+_PMI_LIFT = (
+    "CAST(c_xy AS DOUBLE) * n_tok * n_tok"
+    " / (m_big * CAST(c_x AS DOUBLE) * c_y)"
+)
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(ts) AS w FROM toks)
+  GROUP BY w
+),
+big AS (
+  SELECT b['w1'] AS w1, b['w2'] AS w2, COUNT(*) AS c_xy FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                 i -> struct_pack(w1 := ts[i],
+                                                  w2 := ts[i + 1]))) AS b
+    FROM toks WHERE len(ts) >= 2
+  )
+  GROUP BY ALL
+),
+tot AS (
+  SELECT CAST((SELECT SUM(c) FROM uni) AS DOUBLE) AS n_tok,
+         CAST((SELECT SUM(c_xy) FROM big) AS DOUBLE) AS m_big
+),
+scored AS (
+  SELECT b.w1, b.w2, b.c_xy,
+         ROUND({_PMI_LIFT}, 6) AS lift
+  FROM big b
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN tot,
+  LATERAL (SELECT u1.c AS c_x, u2.c AS c_y) _x
+  WHERE b.c_xy >= 5
+)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy, lift,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rk
+  FROM scored
+) WHERE rk <= 20
+""",
+    tags=("text", "collocations", "pmi", "ngram", "statistics"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation extraction by pointwise mutual information:
+    adjacent token pairs whose co-occurrence beats the independence
+    expectation — reported as LIFT (exp(PMI) = P(xy)/(P(x)P(y))) so no
+    transcendental log enters the hash (Java and DuckDB libm logs can
+    differ in the last ulp; the ratio is pure IEEE multiply/divide from
+    exact integer counts, shared formula text on both engines). Minimum
+    support 5, top-20 by (lift, w1, w2) — the phrase-mining signal a
+    tokenizer-training or keyphrase pipeline computes corpus-wide.
+
+    Scale: two corpus-sized explodes (unigrams, bigrams), each collapsed
+    by a partial-agg shuffle; the scoring joins are vocabulary-sized and
+    broadcast. No all-pairs term anywhere — cost is linear in corpus
+    tokens."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("ts")
+    )
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        toks.where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> named_struct('w1', element_at(ts, i), "
+                    "'w2', element_at(ts, i + 1)))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    tot = F.broadcast(
+        uni.agg(F.sum("c").cast("double").alias("n_tok")).crossJoin(
+            big.agg(F.sum("c_xy").cast("double").alias("m_big"))
+        )
+    )
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")))
+    scored = (
+        big.where(F.col("c_xy") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(tot)
+        .selectExpr("w1", "w2", "c_xy", f"ROUND({_PMI_LIFT}, 6) AS lift")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("lift"), "w1", "w2")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select(
+            "w1", "w2", F.col("c_xy").cast("bigint").alias("c_xy"),
+            "lift", F.col("rk").cast("int").alias("rk"),
+        )
+    )

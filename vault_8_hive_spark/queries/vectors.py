@@ -1447,3 +1447,115 @@ def vec_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "coarse_sim", "cos_sim",
         F.row_number().over(w).alias("rn"),
     )
+
+
+def _o_signpack(rel: str, lo: int) -> str:
+    """DuckDB: pack 32 sign bits (dims lo..lo+31, 1-based) into a BIGINT."""
+    return (
+        f"list_sum(list_transform(generate_series(1, 32), i -> "
+        f"CASE WHEN {rel}.embedding[{lo} - 1 + i] > 0 "
+        f"THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END))"
+    )
+
+
+def _signpack(col: str, lo: int):
+    """Spark: same 32-bit sign pack via an integer fold (acc*2 + bit is
+    the shift-accumulate dual of the oracle's explicit shifts — identical
+    integers, and 32 bits stay far inside BIGINT under ANSI)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(F.element_at(F.col(col), F.lit(lo) - 1 + i) > 0, 1).otherwise(0),
+    )
+
+
+@register(
+    "vec_hamming_topk",
+    oracle=f"""
+WITH packed AS (
+  SELECT e.vec_id, e.label, e.embedding,
+         {_o_signpack('e', 1)} AS h1,
+         {_o_signpack('e', 33)} AS h2
+  FROM embeddings e
+),
+q AS (SELECT h1, h2, embedding FROM packed WHERE vec_id = 0),
+scored AS (
+  SELECT p.vec_id, p.label,
+         CAST(bit_count(xor(p.h1, q.h1)) + bit_count(xor(p.h2, q.h2))
+              AS INT) AS hamming,
+         p.embedding
+  FROM packed p, q
+  WHERE p.vec_id <> 0
+),
+top AS (
+  SELECT vec_id, label, hamming, embedding,
+         ROW_NUMBER() OVER (ORDER BY hamming, vec_id) AS rn
+  FROM scored
+)
+SELECT t.vec_id, t.label, t.hamming, CAST(t.rn AS INT) AS rn,
+       {_O_COS.replace('e.embedding', 'e2.embedding')} AS cos_sim
+FROM top t
+JOIN embeddings e2 ON e2.vec_id = t.vec_id,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE t.rn <= 10
+""",
+    tags=("vectors", "similarity", "ann", "hamming", "quantization"),
+)
+def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) embedding quantization + Hamming-distance top-k with
+    full-precision cosine alongside: each 64-dim float vector collapses
+    to TWO BIGINTs of sign bits (32x smaller than float32), candidate
+    distance is two XOR+popcount ops — the cheapest ANN tier (binary
+    quantization), below int8 (vec_int8_rerank) and PQ (vec_pq_topk) in
+    the engine's quantization ladder. Exact integers end-to-end for the
+    ranking; the cosine payload shows the rerank a production retriever
+    would apply to the binary candidates.
+
+    Scale: the packed corpus is 16 bytes/vector — a 1B-vector corpus is
+    16 GB, scannable in-memory per executor; XOR+popcount vectorizes in
+    whole-stage codegen. The pack is a one-time transform persisted at
+    ingest in a real deployment."""
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _signpack("embedding", 1).alias("h1"),
+        _signpack("embedding", 33).alias("h2"),
+    )
+    q = F.broadcast(
+        packed.where(F.col("vec_id") == 0).select(
+            F.col("h1").alias("q1"),
+            F.col("h2").alias("q2"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    scored = (
+        packed.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "q_emb",
+            (
+                F.bit_count(F.col("h1").bitwiseXOR(F.col("q1")))
+                + F.bit_count(F.col("h2").bitwiseXOR(F.col("q2")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    top = scored.orderBy("hamming", "vec_id").limit(10)
+    w = Window.partitionBy(F.col("vec_id") % 1).orderBy("hamming", "vec_id")
+    return top.select(
+        "vec_id",
+        "label",
+        "hamming",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.round(cosine(to_double("embedding"), to_double("q_emb")), 6).alias(
+            "cos_sim"
+        ),
+    )
