@@ -482,3 +482,32 @@ def test_cached_rollup_serves_second_consumer(spark, sf_dir):
     df = io_cached_plan_reuse(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+def test_local_checkpoint_truncates_lineage(spark, sf_dir):
+    """Iterative loops must be able to cut lineage growth: after
+    localCheckpoint(eager=True) the logical plan is a LogicalRDD scan,
+    not the accumulated join/agg tree — the posture graph_pagerank-style
+    loops rely on at cluster scale (SCALE.md 'iterative analytics')."""
+    from pyspark.sql import functions as F
+
+    from vault_8_hive_spark.catalog import table
+    from vault_8_hive_spark.session import prep
+
+    prep(spark)
+    df = table(spark, sf_dir, "orders")
+    # simulate 3 loop rounds, each stacking a join+agg on the last
+    cur = df.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    for _ in range(3):
+        cur = (
+            cur.join(df, "o_custkey")
+            .groupBy("o_custkey")
+            .agg(F.sum("n").alias("n"))
+        )
+    before = cur._jdf.queryExecution().analyzed().toString()
+    assert before.count("Join") >= 3
+    cut = cur.localCheckpoint(eager=True)
+    after = cut._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in after and "Join" not in after
+    # and the data survives the cut
+    assert cut.count() == cur.count()

@@ -2654,3 +2654,95 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_anova_f",
+    oracle="""
+WITH v AS (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+g AS (
+  SELECT seg, COUNT(*) AS n_g,
+         SUM(cents) AS s_g,
+         SUM(cents * cents) AS ss_g
+  FROM v GROUP BY seg
+),
+t AS (
+  SELECT COUNT(*) AS k,
+         SUM(n_g) AS n,
+         CAST(SUM(s_g) AS DOUBLE) AS s,
+         SUM(ROUND(CAST(ss_g AS DOUBLE)
+                   - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6))
+           AS ssw,
+         SUM(ROUND(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6))
+           AS sb_raw
+  FROM g
+)
+SELECT CAST(k AS INT) AS k_groups,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((sb_raw - s * s / n) / 1e4, 4) AS ss_between,
+       ROUND(ssw / 1e4, 4) AS ss_within,
+       ROUND(((sb_raw - s * s / n) / (k - 1)) / (ssw / (n - k)), 6)
+         AS f_stat
+FROM t
+WHERE k >= 2 AND n > k AND ssw > 0
+""",
+    tags=("aggregate", "statistics", "anova", "hypothesis-test"),
+)
+def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic: does mean account balance differ across
+    market segments? Complements the two-sample tests (Welch t,
+    Mann-Whitney, KS) with the k-group omnibus test.
+
+    Sufficient statistics only: each group reduces to (n, sum, sum-of-
+    squares) on EXACT integer cents (cents^2 <= 1.2e12 per row keeps the
+    int64 group sums safe past 7e6 rows per group; at cluster scale the
+    ss_g sum flips to DECIMAL(38,0) with identical output), then the
+    F decomposition runs on the k-row result. Per-group double terms are
+    rounded to 1e-6 BEFORE the k-way sum so both engines add identical
+    values in any order — the same round-before-sum discipline as
+    text_unigram_xent. SS columns are reported in dollar^2 units (/1e4).
+
+    Scale: one map-side-combinable groupBy over the fact; everything
+    after is k rows. The degenerate guards (k>=2, n>k, ssw>0) drop the
+    single-segment or zero-variance draw on both engines.
+    """
+    prep(spark)
+    cents = scaled_long("c_acctbal")
+    g = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("cents").alias("s_g"),
+            F.sum(F.col("cents") * F.col("cents")).alias("ss_g"),
+        )
+    )
+    sd = F.col("s_g").cast("double")
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").cast("double").alias("s"),
+        F.sum(
+            F.round(F.col("ss_g").cast("double") - sd * sd / F.col("n_g"), 6)
+        ).alias("ssw"),
+        F.sum(F.round(sd * sd / F.col("n_g"), 6)).alias("sb_raw"),
+    )
+    k, n, s = F.col("k"), F.col("n"), F.col("s")
+    ssb = F.col("sb_raw") - s * s / n
+    return (
+        t.where((k >= 2) & (n > k) & (F.col("ssw") > 0))
+        .select(
+            k.cast("int").alias("k_groups"),
+            n.cast("bigint").alias("n_rows"),
+            F.round(ssb / 1e4, 4).alias("ss_between"),
+            F.round(F.col("ssw") / 1e4, 4).alias("ss_within"),
+            F.round((ssb / (k - 1)) / (F.col("ssw") / (n - k)), 6).alias(
+                "f_stat"
+            ),
+        )
+    )

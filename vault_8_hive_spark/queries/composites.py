@@ -122,6 +122,9 @@ _composite(
           "d2": "max_outlier"}),
         ("gini", "agg_gini_concentration",
          {"grp": "o_orderpriority", "n1": "n", "d1": "gini"}),
+        ("anova", "agg_anova_f",
+         {"grp": "'anova'", "n1": "n_rows", "n2": "CAST(k_groups AS BIGINT)",
+          "d1": "ss_between", "d2": "ss_within", "d3": "f_stat"}),
         ("regression", "agg_regression",
          {"grp": "c_mktsegment", "n1": "n", "d1": "slope", "d2": "intercept",
           "d3": "r2", "d4": "avg_y"}),
@@ -399,6 +402,12 @@ _composite(
          {"id1": "n_groups", "id2": "n_low_diversity_groups",
           "txt": _cat("l_diversity", "n_exposed_rows"),
           "d1": "exposed_fraction"}),
+        ("t_closeness", "dq_t_closeness",
+         {"id1": "n_g", "txt": "qi_group || '|' || CAST(violates_t AS STRING)",
+          "d1": "t_closeness"}),
+        ("target_encode", "feature_target_encode_loo",
+         {"id1": "n", "txt": "cat", "d1": "min_enc", "d2": "max_enc",
+          "d3": "mean_enc"}),
         ("referential_integrity", "dq_referential_integrity",
          {"id1": "n_orphans", "id2": "n_unreferenced",
           "txt": _cat("relation", "n_child", "n_parent")}),
@@ -412,6 +421,9 @@ _composite(
         ("winsorize", "feature_winsorize",
          {"id1": "n", "txt": "c_mktsegment", "d1": "p05", "d2": "p95",
           "d3": "mean_raw", "d4": "mean_winsorized"}),
+        ("quantile_normalize", "feature_quantile_normalize",
+         {"id1": "n", "txt": "event_type", "d1": "mean_raw",
+          "d2": "mean_mapped", "d3": "min_mapped", "d4": "max_mapped"}),
     ],
     tags=("scalar", "string", "date", "math", "conditional", "profiling",
           "composite"),
@@ -569,9 +581,31 @@ _composite(
         ("sssp", "graph_sssp_weighted",
          {"metric": "'sssp_' || CAST(node AS STRING)",
           "value": "CAST(dist AS DOUBLE)", "n": "dist"}),
+        ("link_prediction", "graph_link_prediction",
+         {"metric": "'lp_' || CAST(src AS STRING) || '_' || CAST(dst AS STRING)",
+          "value": "ra", "n": "cn"}),
         ("item_cosine", "reco_item_cosine",
          {"metric": "'reco_' || item_a || '>' || item_b",
           "value": "cos_sim", "n": "n_ab"}),
+        ("q3", "shipping_priority",
+         {"metric": "'q3_' || CAST(l_orderkey AS STRING)",
+          "value": "revenue", "n": "l_orderkey"}),
+        ("q7", "volume_shipping",
+         {"metric": "'q7_' || supp_nation || '>' || cust_nation || '_' || CAST(l_year AS STRING)",
+          "value": "revenue", "n": "n_lineitems"}),
+        ("q8", "national_market_share",
+         {"metric": "'q8_' || CAST(o_year AS STRING)",
+          "value": "mkt_share", "n": "n_lineitems"}),
+        ("q10", "returned_item_reporting",
+         {"metric": "'q10_' || CAST(c_custkey AS STRING)",
+          "value": "revenue", "n": "c_custkey"}),
+        ("q17", "small_quantity_revenue",
+         {"metric": "'q17_small_qty'", "value": "avg_yearly", "n": "n_rows"}),
+        ("q19", "disjunctive_predicate_revenue",
+         {"metric": "'q19_disjunctive'", "value": "revenue", "n": "n_rows"}),
+        ("q21", "waiting_suppliers",
+         {"metric": "'q21_' || s_name",
+          "value": "CAST(numwait AS DOUBLE)", "n": "numwait"}),
     ],
     tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )
@@ -662,6 +696,8 @@ _composite(
          {"i1": "CAST(n_days AS INT)", "n": "n_days", "d1": "forecast_7d"}),
         ("kalman_level", "events_kalman_level",
          {"i1": "CAST(n_days AS INT)", "n": "n_days", "d1": "level"}),
+        ("holt_winters", "events_holt_winters",
+         {"i1": "CAST(n_days AS INT)", "n": "n_days", "d1": "forecast_1d"}),
         ("kaplan_meier", "events_kaplan_meier",
          {"i1": "duration_days", "n": "n_risk", "d1": "survival",
           "s1": "CAST(d_events AS STRING)"}),
@@ -776,6 +812,8 @@ _composite(
         ("pmi", "text_pmi_collocations",
          {"s1": "w1", "s2": "w2", "n1": "c_xy", "n2": "CAST(rk AS BIGINT)",
           "d1": "lift"}),
+        ("bigram_xent", "text_bigram_xent",
+         {"k1": "doc_id", "n1": "n_bigrams", "d1": "xent_per_bigram"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
           "redaction", "search", "composite"),
@@ -849,6 +887,9 @@ _composite(
         ("mixture_temperature", "text_mixture_temperature",
          {"s1": "lang", "n1": "n_docs", "n2": "alloc_per_100k",
           "d1": "temp_weight"}),
+        ("kfold", "sample_kfold_assign",
+         {"s1": "CAST(fold AS STRING)", "k1": "min_doc", "k2": "max_doc",
+          "n1": "n_docs", "n2": "n_langs"}),
     ],
     tags=("text", "pipeline", "sampling", "curation", "composite"),
 )
@@ -885,6 +926,11 @@ _composite(
           "d2": "cos_sim"}),
         ("hamming", "vec_hamming_topk",
          {"a": "vec_id", "i1": "hamming", "i2": "rn", "d1": "cos_sim"}),
+        ("eval_auc", "ml_eval_auc",
+         {"a": "n_pos", "b": "n_neg", "d1": "auc", "d2": "accuracy"}),
+        ("eval_calibration", "ml_eval_calibration",
+         {"a": "n", "i1": "bin", "d1": "mean_p", "d2": "frac_pos",
+          "d3": "gap"}),
         ("embedding_drift", "vec_embedding_drift",
          {"a": "n_a", "b": "n_b", "d1": "centroid_l2",
           "d2": "centroid_cos", "d3": "max_dim_gap"}),

@@ -2658,3 +2658,115 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c.s"), 6).alias("survival"),
         )
     )
+
+
+def _hw_oracle() -> str:
+    m1 = "(" + "+".join(f"a[{i}]" for i in range(1, 8)) + ")/7.0"
+    m2 = "(" + "+".join(f"a[{i}]" for i in range(8, 15)) + ")/7.0"
+    seas0 = "[" + ", ".join(f"a[{i}] - {m1}" for i in range(1, 8)) + "]"
+    lvl2 = "(x.total - hw.seas[1])*0.3 + (hw.lvl + hw.trend)*0.7"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+  FROM events GROUP BY 1
+),
+idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, total FROM daily),
+xs AS (SELECT LIST(total ORDER BY rn) AS a, MAX(rn) AS n FROM idx),
+init AS (
+  SELECT 14 AS rn,
+         {m1} AS lvl,
+         ({m2} - {m1}) / 7.0 AS trend,
+         {seas0} AS seas,
+         n
+  FROM xs WHERE n >= 15
+),
+hw(rn, lvl, trend, seas, n) AS (
+  SELECT rn, lvl, trend, seas, n FROM init
+  UNION ALL
+  SELECT hw.rn + 1,
+         {lvl2},
+         (({lvl2}) - hw.lvl)*0.2 + hw.trend*0.8,
+         list_append(hw.seas[2:7],
+                     (x.total - ({lvl2}))*0.1 + hw.seas[1]*0.9),
+         hw.n
+  FROM hw JOIN idx x ON x.rn = hw.rn + 1
+  WHERE hw.rn < hw.n
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(lvl, 6) AS level,
+       ROUND(trend, 6) AS trend,
+       ROUND(lvl + trend + seas[1], 6) AS forecast_1d
+FROM hw WHERE rn = n
+"""
+
+
+@register(
+    "events_holt_winters",
+    oracle=_hw_oracle(),
+    tags=("events", "time-series", "forecast", "seasonal", "iterative"),
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (period 7, alpha=0.3,
+    beta=0.2, gamma=0.1) over the daily event-value series — the
+    weekly-seasonality forecaster that completes the smoothing ladder
+    above events_holt_linear (level+trend) and events_kalman_level
+    (level+variance). Textbook init from the first two weeks: level =
+    week-1 mean, trend = (week-2 mean - week-1 mean)/7, seasonal_j =
+    x_j - week-1 mean.
+
+    The seasonal state is a 7-slot QUEUE carried inside the fold
+    accumulator (head = s_{{t-7}}, rotate-append each step), so the whole
+    recursion is still ONE JVM-side F.aggregate over the sorted daily
+    array — same reduce-then-recur shape as the siblings, and the oracle
+    is the literal recursive CTE maintaining the same LIST column with
+    the same op order (both engines run the identical IEEE sequence;
+    draws shorter than 15 days yield zero rows on both).
+
+    Scale: the daily rollup is the only data-sized stage; the fold is
+    O(n_days) in one task, per-key when forecasting many series.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        long_sum(F.sum(scaled_long("value")), 2).alias("total")
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "total"))).alias("arr")
+    ).select(F.transform("arr", lambda s: s["total"]).alias("xs"))
+    xs = F.col("xs")
+    e = lambda i: F.element_at(xs, i)  # noqa: E731
+    m1 = (e(1) + e(2) + e(3) + e(4) + e(5) + e(6) + e(7)) / 7.0
+    m2 = (e(8) + e(9) + e(10) + e(11) + e(12) + e(13) + e(14)) / 7.0
+    init = F.struct(
+        m1.alias("lvl"),
+        ((m2 - m1) / 7.0).alias("trend"),
+        F.array(*[(e(i) - m1) for i in range(1, 8)]).alias("seas"),
+    )
+
+    def step(acc, x):
+        s_old = F.element_at(acc["seas"], 1)
+        lvl2 = (x - s_old) * 0.3 + (acc["lvl"] + acc["trend"]) * 0.7
+        return F.struct(
+            lvl2.alias("lvl"),
+            ((lvl2 - acc["lvl"]) * 0.2 + acc["trend"] * 0.8).alias("trend"),
+            F.concat(
+                F.slice(acc["seas"], 2, 6),
+                F.array((x - lvl2) * 0.1 + s_old * 0.9),
+            ).alias("seas"),
+        )
+
+    folded = F.aggregate(F.slice(xs, 15, F.size(xs) - 14), init, step)
+    return (
+        series.where(F.size(xs) >= 15)
+        .select(F.size(xs).cast("bigint").alias("n_days"), folded.alias("f"))
+        .select(
+            "n_days",
+            F.round(F.col("f.lvl"), 6).alias("level"),
+            F.round(F.col("f.trend"), 6).alias("trend"),
+            F.round(
+                F.col("f.lvl") + F.col("f.trend") + F.element_at(F.col("f.seas"), 1),
+                6,
+            ).alias("forecast_1d"),
+        )
+    )

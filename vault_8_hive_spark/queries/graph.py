@@ -12,7 +12,7 @@ unrolled-CTE oracle uses for centroid distances).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -609,3 +609,117 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return dist.select("node", "dist")
+
+
+_LP_CAP = 24  # per-customer supplier cap before pair generation
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+WITH raw AS (
+  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS n_li
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT c, s FROM (
+    SELECT c, s,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY n_li DESC, s) AS r
+    FROM raw
+  ) WHERE r <= {_LP_CAP}
+),
+cdeg AS (SELECT c, COUNT(*) AS dc FROM e GROUP BY c),
+sdeg AS (SELECT s, COUNT(*) AS ds FROM e GROUP BY s),
+pairs AS (
+  SELECT a.s AS src, b.s AS dst, a.c
+  FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+),
+scored AS (
+  SELECT p.src, p.dst,
+         COUNT(*) AS cn,
+         SUM(ROUND(1.0 / cd.dc, 9)) AS ra
+  FROM pairs p JOIN cdeg cd ON cd.c = p.c
+  GROUP BY p.src, p.dst
+)
+SELECT src, dst, CAST(cn AS BIGINT) AS cn,
+       ROUND(ra, 6) AS ra,
+       ROUND(CAST(cn AS DOUBLE) / (da.ds + db.ds - cn), 6) AS jaccard
+FROM scored
+JOIN sdeg da ON da.s = src
+JOIN sdeg db ON db.s = dst
+ORDER BY cn DESC, src, dst
+LIMIT 20
+""",
+    tags=("graph", "link-prediction", "similarity", "bounded"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the customer-supplier bipartite graph:
+    supplier-supplier affinity scored three classic ways — common
+    neighbors (cn), the resource-allocation index (ra = sum over shared
+    customers of 1/deg(customer); the rational cousin of Adamic-Adar,
+    chosen so no per-term logarithm enters the hash), and Jaccard
+    overlap of neighbor sets. Top-20 pairs by cn with id tie-breaks.
+
+    The quadratic term is BOUNDED BY CONSTRUCTION: each customer keeps
+    only its top-{_LP_CAP} suppliers (by order count, deterministic
+    tie-break) before pair generation, so a hot customer emits at most
+    C({_LP_CAP},2)=276 pairs — the same heavy-node cap reco_item_cosine
+    codes, applied at the edge-list stage where it belongs. RA's 1/deg
+    terms are rounded to 1e-9 before the order-independent sum
+    (text_unigram_xent discipline).
+
+    Scale: pair generation shuffles on the mediating customer key and
+    aggregates straight to (src, dst) — partial aggregation collapses
+    each partition's pairs before exchange. Degree tables are
+    node-sized; at any SF the supplier-pair result is at most
+    |suppliers|^2/2 rows and in practice LSH-sparse.
+    """
+    prep(spark)
+    raw = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_li"))
+    )
+    w = Window.partitionBy("c").orderBy(F.desc("n_li"), "s")
+    e = (
+        raw.select("c", "s", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= _LP_CAP)
+        .select("c", "s")
+    )
+    cdeg = e.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    sdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    a = e.select(F.col("c"), F.col("s").alias("src"))
+    b = e.select(F.col("c").alias("cb"), F.col("s").alias("dst"))
+    pairs = a.join(b, (F.col("c") == F.col("cb")) & (F.col("src") < F.col("dst")))
+    scored = (
+        pairs.join(cdeg, "c")
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.round(F.lit(1.0) / F.col("dc"), 9)).alias("ra"),
+        )
+    )
+    da = sdeg.select(F.col("s").alias("src"), F.col("ds").alias("ds_a"))
+    db = sdeg.select(F.col("s").alias("dst"), F.col("ds").alias("ds_b"))
+    return (
+        scored.join(F.broadcast(da), "src")
+        .join(F.broadcast(db), "dst")
+        .select(
+            "src",
+            "dst",
+            F.col("cn").cast("bigint").alias("cn"),
+            F.round("ra", 6).alias("ra"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("ds_a") + F.col("ds_b") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("cn"), "src", "dst")
+        .limit(20)
+    )

@@ -823,3 +823,256 @@ def text_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(w * 100000) DIV tw").cast("bigint").alias("alloc_per_100k"),
         F.round(weight / F.col("share"), 6).alias("boost"),
     )
+
+
+# Linear score over the first 8 embedding dims, written as an EXPLICIT
+# left-to-right chain on both engines so the float additions happen in
+# the identical IEEE order (no list-reduce whose order an engine picks).
+_SCORE_DIMS = 8
+
+
+def _o_score() -> str:
+    return " + ".join(
+        f"CAST(embedding[{i}] AS DOUBLE)" for i in range(1, _SCORE_DIMS + 1)
+    )
+
+
+@register(
+    "ml_eval_auc",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id,
+         ROUND({_o_score()}, 9) AS s,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+ranked AS (
+  SELECT y, s,
+         RANK() OVER (ORDER BY s) AS r,
+         COUNT(*) OVER (PARTITION BY s) AS tied
+  FROM scored
+),
+agg AS (
+  SELECT SUM(CASE WHEN y = 1 THEN r + (tied - 1) / 2.0 ELSE 0 END) AS r1,
+         SUM(y) AS n_pos,
+         SUM(1 - y) AS n_neg,
+         SUM(CASE WHEN y = 1 AND s > 0 THEN 1
+                  WHEN y = 0 AND s <= 0 THEN 1 ELSE 0 END) AS n_correct
+  FROM ranked
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       ROUND((r1 - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc,
+       ROUND(CAST(n_correct AS DOUBLE) / (n_pos + n_neg), 6) AS accuracy
+FROM agg
+WHERE n_pos > 0 AND n_neg > 0
+""",
+    tags=("ml", "evaluation", "auc", "ranking", "pipeline"),
+)
+def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation metrics without MLlib: tie-aware ROC AUC (the
+    rank-sum identity AUC = (R1 - n1(n1+1)/2) / (n1*n0), i.e. the
+    Mann-Whitney U statistic normalized) plus threshold-0 accuracy, for
+    a deterministic linear score over the embedding table against the
+    binary task label<5.
+
+    Exactness: the score is an EXPLICIT 8-term left-to-right float sum
+    (identical IEEE order in both engines), rounded to 1e-9; ranks are
+    integers and the tie adjustment (tied-1)/2 is a half-integer, so R1
+    is an exactly-representable half-integer sum — order-independent —
+    and AUC is one division at the edge.
+
+    Scale: ranking a score column is ONE global sort (range-partitioned
+    at cluster scale); everything else is a scalar aggregate. This is
+    the evaluation pass a training pipeline runs per checkpoint on a
+    held-out shard, so it must not shuffle the features — only
+    (score, label) pairs ever leave the scan.
+    """
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    score = F.round(
+        sum(
+            F.element_at("embedding", i).cast("double")
+            for i in range(1, _SCORE_DIMS + 1)
+        ),
+        9,
+    )
+    scored = emb.select(
+        score.alias("s"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    w = Window.orderBy("s")
+    ranked = scored.select(
+        "y",
+        "s",
+        F.rank().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("s")).alias("tied"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.col("r") + (F.col("tied") - 1) / F.lit(2.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("r1"),
+        F.sum("y").alias("n_pos"),
+        F.sum(1 - F.col("y")).alias("n_neg"),
+        F.sum(
+            F.when((F.col("y") == 1) & (F.col("s") > 0), 1)
+            .when((F.col("y") == 0) & (F.col("s") <= 0), 1)
+            .otherwise(0)
+        ).alias("n_correct"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    return agg.where((np_ > 0) & (nn > 0)).select(
+        np_.cast("bigint").alias("n_pos"),
+        nn.cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("r1") - np_ * (np_ + 1) / F.lit(2.0)) / (np_ * nn), 6
+        ).alias("auc"),
+        F.round(F.col("n_correct").cast("double") / (np_ + nn), 6).alias(
+            "accuracy"
+        ),
+    )
+
+
+@register(
+    "sample_kfold_assign",
+    oracle="""
+WITH folds AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('kf|' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 5 AS fold
+  FROM documents
+)
+SELECT CAST(fold AS INT) AS fold,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM folds
+GROUP BY fold
+ORDER BY fold
+""",
+    tags=("sampling", "cross-validation", "pipeline", "deterministic"),
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5) for cross-validation: fold
+    = md5('kf|' || doc_id) mod k — a pure function of the key, so the
+    folds are reproducible across runs, engines, and cluster sizes with
+    NO stored split table and no driver-side randomness (same contract
+    as sample_train_test_split, which this generalizes from 2 to k
+    partitions of the keyspace).
+
+    Verified per fold: document count, language coverage, and the id
+    range — the leakage check a pipeline runs before training k models.
+
+    Scale: fold assignment is a map-only expression (zero shuffle); the
+    per-fold audit is one small groupBy. Grouped variants (all of one
+    author/source in the same fold to stop leakage) swap the hash input
+    for the group key — same plan.
+    """
+    prep(spark)
+    doc = table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("kf|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 5
+    )
+    return (
+        doc.select("doc_id", "lang", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .select(F.col("fold").cast("int").alias("fold"), "n_docs", "n_langs",
+                "min_doc", "max_doc")
+        .orderBy("fold")
+    )
+
+
+@register(
+    "ml_eval_calibration",
+    oracle=f"""
+WITH scored AS (
+  SELECT vec_id,
+         ROUND({_o_score()}, 9) AS s,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+probs AS (
+  SELECT vec_id, y,
+         ROUND(0.5 * (1.0 + s / (1.0 + ABS(s))), 9) AS p
+  FROM scored
+),
+binned AS (
+  SELECT y, p, NTILE(10) OVER (ORDER BY p, vec_id) AS bin
+  FROM probs
+)
+SELECT CAST(bin AS INT) AS bin,
+       COUNT(*) AS n,
+       ROUND(SUM(p) / COUNT(*), 6) AS mean_p,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+       ROUND(SUM(p) / COUNT(*) - CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)
+         AS gap
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+    tags=("ml", "evaluation", "calibration", "pipeline"),
+)
+def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability bins for the same deterministic linear
+    score ml_eval_auc ranks: scores squash through the RATIONAL sigmoid
+    surrogate p = (1 + s/(1+|s|))/2 (algebraic — no exp whose last-ulp
+    behavior could differ between engines), probabilities split into
+    NTILE(10) deciles with id tie-breaks, and each bin reports mean
+    predicted probability vs realized positive rate — the
+    miscalibration gap a training pipeline tracks per checkpoint
+    alongside AUC.
+
+    Exactness: p is rounded to 1e-9 per row before the per-bin sum
+    (round-before-sum discipline); positives are exact integers; the
+    three reported ratios divide once at the edge.
+
+    Scale: one global sort for the deciles (range-partitioned window);
+    per-bin reduction is map-side combinable. Feature vectors never
+    shuffle — only (p, y) pairs leave the scan.
+    """
+    prep(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    s = F.round(
+        sum(
+            F.element_at("embedding", i).cast("double")
+            for i in range(1, _SCORE_DIMS + 1)
+        ),
+        9,
+    )
+    probs = emb.select(
+        "vec_id",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+        F.round(
+            0.5 * (F.lit(1.0) + s / (F.lit(1.0) + F.abs(s))), 9
+        ).alias("p"),
+    )
+    binned = probs.select(
+        "y", "p", F.ntile(10).over(Window.orderBy("p", "vec_id")).alias("bin")
+    )
+    n = F.count(F.lit(1))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            n.alias("n"),
+            F.round(F.sum("p") / n, 6).alias("mean_p"),
+            F.round(F.sum("y").cast("double") / n, 6).alias("frac_pos"),
+            F.round(
+                F.sum("p") / n - F.sum("y").cast("double") / n, 6
+            ).alias("gap"),
+        )
+        .select(F.col("bin").cast("int").alias("bin"), "n", "mean_p",
+                "frac_pos", "gap")
+        .orderBy("bin")
+    )

@@ -1143,3 +1143,299 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_winsorized",
         )
     )
+
+
+@register(
+    "feature_quantile_normalize",
+    oracle="""
+WITH v AS (
+  SELECT event_type AS grp, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT grp, cents,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n_g
+  FROM v
+),
+g AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, event_id) AS grn
+  FROM v
+),
+tot AS (SELECT COUNT(*) AS n FROM v),
+mapped AS (
+  SELECT r.grp, r.cents,
+         g.cents AS mapped_cents
+  FROM r CROSS JOIN tot
+  JOIN g ON g.grn = (rn * n + n_g - 1) // n_g
+)
+SELECT grp AS event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / COUNT(*) / 100.0
+         AS mean_raw,
+       CAST(SUM(CAST(mapped_cents AS HUGEINT)) AS DOUBLE) / COUNT(*) / 100.0
+         AS mean_mapped,
+       CAST(MIN(mapped_cents) AS DOUBLE) / 100.0 AS min_mapped,
+       CAST(MAX(mapped_cents) AS DOUBLE) / 100.0 AS max_mapped
+FROM mapped
+GROUP BY grp
+ORDER BY grp
+""",
+    tags=("scalar", "feature", "quantile", "normalization", "statistics"),
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: each group's value distribution is mapped
+    onto the GLOBAL distribution by rank — the value at within-group
+    rank rn of n_g maps to the global order statistic at ceil(rn*N/n_g)
+    — so after mapping every event_type has (up to ties) the same
+    distribution. The cross-group alignment step feature pipelines use
+    when per-source score scales drift (the unequal-size generalization
+    of microarray quantile normalization).
+
+    Exactness: ranks are integers with id tie-breaks, the target rank is
+    pure integer arithmetic (ceil via (rn*N + n_g - 1) div n_g), and the
+    mapped value is a PICKED order statistic — no interpolation, no
+    float averaging; group means ride exact integer cents.
+
+    Scale: two rank windows (one per-group, one global). The global
+    row_number is the only total-order step — at 100 TB it becomes a
+    range-partitioned sort (Spark's window already range-partitions on
+    the order key); the rank join is an equi-join on the target rank.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import scaled_long
+
+    prep(spark)
+    v = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        scaled_long("value").alias("cents"),
+    )
+    r = v.select(
+        "grp",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("cents", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_g"),
+    )
+    g = v.select(
+        F.col("cents").alias("gcents"),
+        F.row_number().over(Window.orderBy("cents", "event_id")).alias("grn"),
+    )
+    tot = v.agg(F.count(F.lit(1)).alias("n"))
+    mapped = (
+        r.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "t_rank",
+            F.expr("(rn * n + n_g - 1) DIV n_g"),
+        )
+        .join(g, F.col("grn") == F.col("t_rank"))
+    )
+    cents_sum = F.sum(F.col("cents").cast("decimal(38,0)"))
+    mapped_sum = F.sum(F.col("gcents").cast("decimal(38,0)"))
+    return (
+        mapped.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (cents_sum.cast("double") / F.count(F.lit(1)) / 100.0).alias("_mr"),
+            (mapped_sum.cast("double") / F.count(F.lit(1)) / 100.0).alias("_mm"),
+            (F.min("gcents").cast("double") / 100.0).alias("min_mapped"),
+            (F.max("gcents").cast("double") / 100.0).alias("max_mapped"),
+        )
+        .select(
+            F.col("grp").alias("event_type"),
+            "n",
+            F.col("_mr").alias("mean_raw"),
+            F.col("_mm").alias("mean_mapped"),
+            "min_mapped",
+            "max_mapped",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dq_t_closeness",
+    oracle="""
+WITH v AS (
+  SELECT c_mktsegment AS qi_group, c_nationkey AS sensitive FROM customer
+),
+global_d AS (
+  SELECT sensitive, COUNT(*) AS g_cnt FROM v GROUP BY sensitive
+),
+tot AS (SELECT COUNT(*) AS n FROM v),
+grp AS (
+  SELECT qi_group, sensitive, COUNT(*) AS c FROM v GROUP BY 1, 2
+),
+gn AS (SELECT qi_group, SUM(c) AS n_g FROM grp GROUP BY 1),
+cells AS (
+  SELECT gn.qi_group, gd.sensitive, gn.n_g, gd.g_cnt, t.n,
+         COALESCE(g.c, 0) AS c
+  FROM gn CROSS JOIN global_d gd CROSS JOIN tot t
+  LEFT JOIN grp g ON g.qi_group = gn.qi_group AND g.sensitive = gd.sensitive
+),
+dists AS (
+  SELECT qi_group, sensitive, n_g,
+         SUM(CAST(c AS DOUBLE) * n - CAST(g_cnt AS DOUBLE) * n_g)
+           OVER (PARTITION BY qi_group ORDER BY sensitive) AS cum_scaled,
+         CAST(n_g AS DOUBLE) * n AS denom
+  FROM cells
+),
+emd AS (
+  SELECT qi_group, MAX(n_g) AS n_g,
+         SUM(ABS(cum_scaled)) / MAX(denom) AS t_raw
+  FROM dists GROUP BY qi_group
+)
+SELECT qi_group, CAST(n_g AS BIGINT) AS n_g,
+       ROUND(t_raw, 6) AS t_closeness,
+       t_raw > 0.15 AS violates_t
+FROM emd
+ORDER BY qi_group
+""",
+    tags=("scalar", "privacy", "data-quality", "t-closeness"),
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (the privacy rung above k-anonymity and
+    l-diversity, both already in the suite): for each quasi-identifier
+    group, the earth-mover's distance between its sensitive-attribute
+    distribution and the global one, for an ORDERED sensitive attribute
+    (EMD = sum of |cumulative probability gaps|, the 1-Wasserstein
+    closed form). Groups with t > 0.15 leak distributional information
+    even when every group is k-anonymous and l-diverse.
+
+    Exactness: the cumulative gap is kept as SCALED INTEGERS
+    (c*N - g_cnt*n_g — both products exact int64), summed |.| per
+    group, and divided ONCE by n_g*N at the edge — no per-cell float.
+
+    Scale: two hash aggregates (cell counts, global counts) + a
+    group×domain dense grid via cross join of the two SMALL reductions
+    (never the fact), one window over the sensitive domain per group.
+    """
+    from pyspark.sql import Window
+
+    prep(spark)
+    v = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("qi_group"),
+        F.col("c_nationkey").alias("sensitive"),
+    )
+    global_d = v.groupBy("sensitive").agg(F.count(F.lit(1)).alias("g_cnt"))
+    tot = v.agg(F.count(F.lit(1)).alias("n"))
+    grp = v.groupBy("qi_group", "sensitive").agg(F.count(F.lit(1)).alias("c"))
+    gn = grp.groupBy("qi_group").agg(F.sum("c").alias("n_g"))
+    cells = (
+        gn.crossJoin(F.broadcast(global_d))
+        .crossJoin(F.broadcast(tot))
+        .join(grp, ["qi_group", "sensitive"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w = Window.partitionBy("qi_group").orderBy("sensitive")
+    dists = cells.select(
+        "qi_group",
+        "n_g",
+        F.sum(
+            F.col("c").cast("double") * F.col("n")
+            - F.col("g_cnt").cast("double") * F.col("n_g")
+        )
+        .over(w)
+        .alias("cum_scaled"),
+        (F.col("n_g").cast("double") * F.col("n")).alias("denom"),
+    )
+    emd = dists.groupBy("qi_group").agg(
+        F.max("n_g").alias("n_g"),
+        (F.sum(F.abs("cum_scaled")) / F.max("denom")).alias("t_raw"),
+    )
+    return emd.select(
+        "qi_group",
+        F.col("n_g").cast("bigint").alias("n_g"),
+        F.round("t_raw", 6).alias("t_closeness"),
+        (F.col("t_raw") > 0.15).alias("violates_t"),
+    ).orderBy("qi_group")
+
+
+@register(
+    "feature_target_encode_loo",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS cat,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y_cents,
+         o_orderkey
+  FROM orders
+),
+stats AS (
+  SELECT cat, COUNT(*) AS n_c, SUM(y_cents) AS s_c FROM base GROUP BY cat
+),
+enc AS (
+  SELECT b.cat, b.o_orderkey,
+         CASE WHEN s.n_c > 1
+              THEN CAST(s.s_c - b.y_cents AS DOUBLE) / (s.n_c - 1) / 100.0
+         END AS loo_enc
+  FROM base b JOIN stats s ON s.cat = b.cat
+)
+SELECT cat,
+       COUNT(*) AS n,
+       ROUND(MIN(loo_enc), 6) AS min_enc,
+       ROUND(MAX(loo_enc), 6) AS max_enc,
+       ROUND(CAST(SUM(CAST(ROUND(loo_enc * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1e6, 6) AS mean_enc
+FROM enc
+GROUP BY cat
+ORDER BY cat
+""",
+    tags=("scalar", "feature", "target-encoding", "leakage", "pipeline"),
+)
+def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical value is
+    replaced by the mean target of OTHER rows in the same category
+    ((sum_c - y_i) / (n_c - 1)) — the leakage-safe mean encoding a
+    feature pipeline applies to high-cardinality categoricals before
+    gradient-boosted training; naive mean encoding leaks the row's own
+    label and this is the standard fix.
+
+    Exactness: category sums ride exact integer cents so every row's
+    LOO numerator is an exact integer and the encode is ONE double
+    divide; the per-category audit re-quantizes each encode to 1e-6
+    integers before the mean so the verification sum is
+    order-independent. Singleton categories encode NULL (no other rows
+    to borrow from) on both engines.
+
+    Scale: one map-side-combinable aggregate to category stats,
+    broadcast back onto the fact — zero extra shuffles of the fact; at
+    100 TB this is the same single-pass shape whatever |categories| is.
+    """
+    from ..functions.exact import scaled_long
+
+    prep(spark)
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        scaled_long("o_totalprice").alias("y_cents"),
+        "o_orderkey",
+    )
+    stats = base.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("y_cents").alias("s_c")
+    )
+    enc = base.join(F.broadcast(stats), "cat").select(
+        "cat",
+        F.when(
+            F.col("n_c") > 1,
+            (F.col("s_c") - F.col("y_cents")).cast("double")
+            / (F.col("n_c") - 1)
+            / 100.0,
+        ).alias("loo_enc"),
+    )
+    q6 = F.floor(F.col("loo_enc") * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        enc.groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("loo_enc"), 6).alias("min_enc"),
+            F.round(F.max("loo_enc"), 6).alias("max_enc"),
+            F.round(
+                F.sum(q6).cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("mean_enc"),
+        )
+        .orderBy("cat")
+    )

@@ -1954,3 +1954,79 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift", F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@register(
+    "text_bigram_xent",
+    oracle="""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM arrs, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+),
+lm AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c12) AS c1 FROM lm GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(ROUND(-ln(lm.c12 / CAST(ctx.c1 AS DOUBLE)), 9)) AS nll
+  FROM big b
+  JOIN lm ON lm.w1 = b.w1 AND lm.w2 = b.w2
+  JOIN ctx ON ctx.w1 = b.w1
+  GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(nll / n_bigrams, 6) AS xent_per_bigram
+FROM scored
+WHERE n_bigrams > 0
+""",
+    tags=("text", "quality", "language-model", "bigram", "pipeline"),
+)
+def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus bigram language model
+    (MLE p(w2|w1) = c12/c1): the next rung up from text_unigram_xent on
+    the perplexity-filter ladder — context-sensitive, so word salad with
+    a typical vocabulary (which fools the unigram score) still scores
+    high. Same round-to-1e-9-before-sum float discipline.
+
+    Plan: bigrams come from each document's token array positionally
+    (slice+zip — no self-join of the token stream on position); the LM
+    is two hash aggregates (c12, then c1 as its rollup), joined back
+    broadcast. At 100 TB the LM table outgrows broadcast and the joins
+    flip to shuffle-on-w1 — same plan shape, AQE picks the strategy.
+    """
+    prep(spark)
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    arrs = table(spark, sf_dir, "documents").select("doc_id", ws.alias("ws"))
+    big = arrs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice(
+                    F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    lm = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    term = F.round(-F.log(F.col("c12") / F.col("c1").cast("double")), 9)
+    return (
+        big.join(F.broadcast(lm), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(term).alias("nll"))
+        .where(F.col("n_bigrams") > 0)
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(F.col("nll") / F.col("n_bigrams"), 6).alias(
+                "xent_per_bigram"
+            ),
+        )
+    )

@@ -679,3 +679,443 @@ GROUP BY o_orderpriority
 """,
         args={"min_price": 1000.0, "status": "O"},
     )
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(ROUND(SUM({_O_DISC}), 4) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30'
+  AND l_shipdate  > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("scan", "join", "agg", "sort", "limit"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: top-10 unshipped orders (ordered
+    before the cutoff, shipping after it) by discounted revenue, for one
+    market segment.
+
+    Scale: both date predicates push into the parquet scans (row-group
+    pruning kills most of lineitem and orders before any join); the
+    segment filter reduces customer to ~1/5 — small enough to broadcast —
+    so the only shuffle is lineitem⋈orders on orderkey, and the top-10 is
+    a TakeOrdered (per-partition heap, no global sort).
+    """
+    prep(spark)
+    cutoff = F.lit("1997-06-30").cast("timestamp")
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(long_sum(F.sum(_disc100x100()), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+       CAST(ROUND(SUM({_O_DISC}), 4) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("scan", "join", "agg", "sort", "broadcast"),
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: two years of trade revenue between
+    one nation pair, split by direction and ship year.
+
+    Scale: the nation-pair predicate lands on the two BROADCAST nation
+    joins, so supplier and customer shrink to ~2/25 each right after
+    their (broadcast) nation lookups — AQE then broadcasts those filtered
+    dims too, leaving the date-pruned lineitem as the only streamed fact
+    and its orderkey join as the only exchange.
+    """
+    from ..catalog import dim
+
+    prep(spark)
+    pair = ("NATION_1", "NATION_2")
+    n1 = dim(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    n2 = dim(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == n1.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == n2.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            long_sum(F.sum(_disc100x100()), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "national_market_share",
+    oracle=f"""
+WITH all_nations AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         {_O_DISC} AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(28,4)) END), 4) AS DOUBLE)
+         / CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS mkt_share,
+       CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS total_volume,
+       COUNT(*) AS n_lineitems
+FROM all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    tags=("scan", "join", "agg", "conditional", "broadcast"),
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: one supplier nation's share
+    of a region's imports of one part type, by order year.
+
+    Scale: part (type-filtered), supplier+nation, and customer+nation+
+    region are all broadcast dims; lineitem is streamed once with the
+    order-date window pruned at the scan. The share is two exact decimal
+    sums (conditional numerator, total denominator) divided ONCE as
+    doubles — the same IEEE op on both engines.
+    """
+    from ..catalog import dim
+
+    prep(spark)
+    part = dim(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n1 = dim(spark, sf_dir, "nation")
+    region = dim(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cust_nat = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    n2 = dim(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    vol = _disc100x100()
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cust_nat, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                long_sum(F.sum(target), 4) / long_sum(F.sum(vol), 4)
+            ).alias("mkt_share"),
+            long_sum(F.sum(vol), 4).alias("total_volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "returned_item_reporting",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM({_O_DISC}), 4) AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("scan", "join", "agg", "sort", "limit"),
+)
+def returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: the 20 customers who
+    returned the most revenue in one quarter.
+
+    Scale: returnflag + the quarter window prune lineitem/orders at the
+    scan; the grouped aggregate keys on custkey so the customer/nation
+    (broadcast) joins attach AFTER the reduction — dims join ~|customers|
+    rows, not |lineitems|. Top-20 is a TakeOrdered heap.
+    """
+    from ..catalog import dim
+
+    prep(spark)
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    by_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(long_sum(F.sum(_disc100x100()), 4).alias("revenue"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = dim(spark, sf_dir, "nation")
+    return (
+        by_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+WITH thresh AS (
+  SELECT l_partkey AS t_partkey,
+         SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sum_q100,
+         COUNT(*) AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part   ON p_partkey = l_partkey
+JOIN thresh ON t_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND CAST(ROUND(l_quantity * 100, 0) AS BIGINT) * n_li * 5 < sum_q100
+""",
+    tags=("scan", "join", "agg", "correlated", "broadcast"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: yearly revenue lost
+    if orders below 20% of a part's average order quantity were dropped.
+
+    The correlated scalar subquery (per-part AVG) decorrelates into a
+    per-partkey aggregate joined back to lineitem; the 20%-of-average
+    comparison rides EXACT integers (qty_cents * n * 5 < sum_cents, since
+    q < 0.2*sum/n <=> 5qn < sum) so no engine disagrees on the boundary.
+
+    Scale: the threshold aggregate is a map-side-combinable groupBy on
+    partkey; the brand filter broadcasts part so only matching partkeys'
+    lineitems survive to the threshold join — which AQE also broadcasts
+    once the brand cut shrinks it under the threshold.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    q100 = scaled_long("l_quantity")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(q100).alias("sum_q100"), F.count(F.lit(1)).alias("n_li")
+    )
+    part = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .where(q100 * F.col("n_li") * F.lit(5) < F.col("sum_q100"))
+        .agg(
+            (
+                F.sum(dec("l_extendedprice", "decimal(28,4)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    oracle=f"""
+SELECT CAST(ROUND(SUM({_O_DISC}), 4) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("scan", "join", "filter", "agg", "disjunction"),
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: an OR of three
+    brand/size/quantity conjunctions across the part join.
+
+    Scale: Catalyst extracts the common sub-predicates across the OR arms
+    (quantity 1-30 pushes to the lineitem scan, size 1-15 and the 3-brand
+    IN-list to the part scan) BEFORE evaluating the residual disjunction
+    on join output — the classic derived-predicate optimization Q19
+    exists to test. part broadcasts; lineitem never shuffles.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & qty.between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            long_sum(F.sum(_disc100x100()), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM f WHERE late)
+SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM f l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("scan", "join", "exists", "anti", "agg", "sort", "limit"),
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting: in finished
+    orders with at least two suppliers, count per supplier the orders
+    where they were the ONLY late shipper (late = shipped more than 90
+    days after the order date — this schema has no receipt/commit dates;
+    reference contract SURVEY.md §2B).
+
+    The EXISTS / NOT EXISTS pair decorrelates into ONE per-order
+    aggregate: n_supp >= 2 (another supplier exists) and exactly one
+    distinct late supplier (no OTHER late supplier exists for a late
+    row). That replaces Q21's two correlated self-joins of the fact with
+    a single map-side-combinable groupBy(orderkey) — at 100 TB the fact
+    is scanned once and reduced 4:1 before any join, where the literal
+    EXISTS plan scans it three times.
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    f = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_order = f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = per_order.where(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    late_pairs = (
+        f.where("late").select("l_orderkey", "l_suppkey").distinct()
+    )
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        late_pairs.join(waiting, "l_orderkey")
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
