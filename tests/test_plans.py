@@ -511,3 +511,28 @@ def test_local_checkpoint_truncates_lineage(spark, sf_dir):
     assert "LogicalRDD" in after and "Join" not in after
     # and the data survives the cut
     assert cut.count() == cur.count()
+
+
+def test_global_rank_is_range_partitioned(spark, sf_dir):
+    """operators/rank.py must sort in parallel: the plan shows a
+    rangepartitioning exchange and the per-partition window keys on
+    _pid — NOT the single-partition bare-ORDER-BY WindowExec path."""
+    from vault_8_hive_spark.catalog import table
+    from vault_8_hive_spark.operators.rank import global_row_number
+    from vault_8_hive_spark.session import prep
+
+    prep(spark)
+    v = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_row_number(v, ["o_totalprice", "o_orderkey"])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
+    # uniqueness + density prove the partition offsets stitch correctly
+    import pyspark.sql.functions as F
+
+    stats = ranked.agg(
+        F.count("rn").alias("n"),
+        F.countDistinct("rn").alias("nd"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == stats["nd"] == stats["hi"] and stats["lo"] == 1

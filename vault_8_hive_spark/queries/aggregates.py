@@ -2746,3 +2746,185 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+b AS (
+  SELECT cents, NTILE(10) OVER (ORDER BY cents, o_orderkey) AS bucket
+  FROM v
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(cents) AS DOUBLE) / 100.0 AS lo,
+       CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / COUNT(*) / 100.0
+         AS mean_in_bucket
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+    tags=("aggregate", "histogram", "statistics", "optimizer-stats"),
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order values: 10 buckets
+    with (as near as possible) equal row counts, reporting each
+    bucket's bounds and mean — the optimizer-statistics shape (ANALYZE
+    collects exactly these) and the robust complement of the existing
+    equal-WIDTH histogram row, which a skewed money column renders
+    useless (one bucket holds everything).
+
+    Exactness: bucket assignment is NTILE over exact integer cents with
+    an id tie-break — a pure rank computation both engines share; the
+    bounds are picked integers and the mean divides exact sums once.
+
+    Scale: NTILE over a bare ORDER BY would drag the whole table into
+    ONE task (WindowExec single-partition path); instead the rank comes
+    from operators/rank.py's two-pass range-partitioned row number and
+    the bucket from the SQL NTILE remainder rule on that rank — same
+    values, parallel sort. For 100 TB optimizer stats, swap for the KLL
+    sketch row (agg_sketch_merge) — approximate bounds, no sort at all;
+    this op is the exact dual.
+    """
+    from ..operators.rank import global_row_number, ntile_from_rank
+
+    prep(spark)
+    v = table(spark, sf_dir, "orders").select(
+        scaled_long("o_totalprice").alias("cents"), "o_orderkey"
+    )
+    tot = v.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = global_row_number(v, ["cents", "o_orderkey"])
+    b = ranked.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("bucket"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            n.alias("n"),
+            (F.min("cents").cast("double") / 100.0).alias("lo"),
+            (F.max("cents").cast("double") / 100.0).alias("hi"),
+            (
+                F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+                / n
+                / 100.0
+            ).alias("mean_in_bucket"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi",
+                "mean_in_bucket")
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+WITH v AS (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS c
+  FROM customer
+),
+s AS (
+  SELECT seg,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4
+  FROM v GROUP BY seg
+),
+m AS (
+  SELECT seg, n,
+         s1 / n AS m1,
+         (s2 - s1 * s1 / n) / n AS m2,
+         (s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n))
+           / n AS m3,
+         (s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+          - 3 * n * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / n AS m4
+  FROM s
+)
+SELECT seg AS c_mktsegment,
+       CAST(n AS BIGINT) AS n,
+       ROUND(m1 / 100.0, 6) AS mean,
+       ROUND(m3 / (m2 * SQRT(m2)), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+FROM m
+WHERE m2 > 0
+ORDER BY c_mktsegment
+""",
+    tags=("aggregate", "statistics", "moments", "skewness", "kurtosis"),
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per segment from raw
+    power sums — the 3rd/4th-moment completion of the stddev/var/corr
+    family (is the balance distribution lopsided? heavy-tailed?).
+
+    One pass builds EXACT integer power sums (Sx..Sx^4; cents^4 ~ 1e24
+    needs 128-bit — DECIMAL(38,0) on Spark, HUGEINT on DuckDB), then
+    the central-moment expansion runs on k rows with the TEXTUALLY
+    IDENTICAL expression order in both engines, so every intermediate
+    double matches bit-for-bit. Spark's builtin skewness/kurtosis use
+    streaming float updates whose order varies per partitioning — the
+    sufficient-statistics spelling is both the deterministic AND the
+    mergeable (map-side combinable) one.
+
+    Scale: one grouped aggregate over the fact; everything after is
+    k-row arithmetic. The same shape powers any moment-based screen
+    (Jarque-Bera, tail flags) without touching the fact again.
+    """
+    prep(spark)
+    c = scaled_long("c_acctbal")
+    cd = F.col("c").cast("decimal(38,0)")
+    s = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"), c.alias("c"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cd).cast("double").alias("s1"),
+            F.sum(cd * F.col("c")).cast("double").alias("s2"),
+            F.sum(cd * F.col("c") * F.col("c")).cast("double").alias("s3"),
+            F.sum(cd * F.col("c") * F.col("c") * F.col("c"))
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    m1 = s1 / n
+    m2 = (s2 - s1 * s1 / n) / n
+    m3 = (s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n
+    m4 = (
+        s4
+        - 4 * (s1 / n) * s3
+        + 6 * (s1 / n) * (s1 / n) * s2
+        - 3 * n * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+    ) / n
+    m = s.select(
+        F.col("seg"),
+        n,
+        m1.alias("m1"),
+        m2.alias("m2"),
+        m3.alias("m3"),
+        m4.alias("m4"),
+    )
+    return (
+        m.where(F.col("m2") > 0)
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("m1") / 100.0, 6).alias("mean"),
+            F.round(
+                F.col("m3") / (F.col("m2") * F.sqrt("m2")), 6
+            ).alias("skewness"),
+            F.round(
+                F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 6
+            ).alias("excess_kurtosis"),
+        )
+        .orderBy("c_mktsegment")
+    )

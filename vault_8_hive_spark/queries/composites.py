@@ -125,6 +125,12 @@ _composite(
         ("anova", "agg_anova_f",
          {"grp": "'anova'", "n1": "n_rows", "n2": "CAST(k_groups AS BIGINT)",
           "d1": "ss_between", "d2": "ss_within", "d3": "f_stat"}),
+        ("equidepth", "agg_equidepth_histogram",
+         {"grp": "CAST(bucket AS STRING)", "n1": "n", "d1": "lo",
+          "d2": "hi", "d3": "mean_in_bucket"}),
+        ("higher_moments", "agg_higher_moments",
+         {"grp": "c_mktsegment", "n1": "n", "d1": "mean",
+          "d2": "skewness", "d3": "excess_kurtosis"}),
         ("regression", "agg_regression",
          {"grp": "c_mktsegment", "n1": "n", "d1": "slope", "d2": "intercept",
           "d3": "r2", "d4": "avg_y"}),
@@ -606,6 +612,9 @@ _composite(
         ("q21", "waiting_suppliers",
          {"metric": "'q21_' || s_name",
           "value": "CAST(numwait AS DOUBLE)", "n": "numwait"}),
+        ("group_by_all", "sql_group_by_all",
+         {"metric": "'gba_' || o_orderpriority || '_' || o_orderstatus",
+          "value": "total", "n": "n_orders"}),
     ],
     tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )
@@ -698,6 +707,15 @@ _composite(
          {"i1": "CAST(n_days AS INT)", "n": "n_days", "d1": "level"}),
         ("holt_winters", "events_holt_winters",
          {"i1": "CAST(n_days AS INT)", "n": "n_days", "d1": "forecast_1d"}),
+        ("bollinger", "events_bollinger",
+         {"ts1": "d", "s1": "CAST(above_upper AS STRING)",
+          "n": "CAST(ROUND(sma7 * 100, 0) AS BIGINT)", "d1": "sd7"}),
+        ("max_drawdown", "events_max_drawdown",
+         {"i1": "CAST(n_days AS INT)", "n": "max_drawdown_cents",
+          "d1": "final_equity"}),
+        ("peaks", "events_peak_detection",
+         {"ts1": "d", "n": "CAST(ROUND(total * 100, 0) AS BIGINT)",
+          "d1": "prominence"}),
         ("kaplan_meier", "events_kaplan_meier",
          {"i1": "duration_days", "n": "n_risk", "d1": "survival",
           "s1": "CAST(d_events AS STRING)"}),
@@ -814,6 +832,9 @@ _composite(
           "d1": "lift"}),
         ("bigram_xent", "text_bigram_xent",
          {"k1": "doc_id", "n1": "n_bigrams", "d1": "xent_per_bigram"}),
+        ("lexical_diversity", "text_lexical_diversity",
+         {"k1": "doc_id", "n1": "n_tokens", "n2": "n_types",
+          "d1": "ttr", "d2": "hapax_frac"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
           "redaction", "search", "composite"),
@@ -931,6 +952,12 @@ _composite(
         ("eval_calibration", "ml_eval_calibration",
          {"a": "n", "i1": "bin", "d1": "mean_p", "d2": "frac_pos",
           "d3": "gap"}),
+        ("nearest_centroid", "ml_nearest_centroid",
+         {"a": "CAST(actual AS BIGINT)", "b": "CAST(predicted AS BIGINT)",
+          "n1": "n"}),
+        ("pca", "vec_pca_power",
+         {"a": "CAST(dim AS BIGINT)", "i1": "rk", "d1": "loading",
+          "d2": "eigval_cov"}),
         ("embedding_drift", "vec_embedding_drift",
          {"a": "n_a", "b": "n_b", "d1": "centroid_l2",
           "d2": "centroid_cos", "d3": "max_dim_gap"}),

@@ -2770,3 +2770,242 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("forecast_1d"),
         )
     )
+
+
+@register(
+    "events_bollinger",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT d, cents,
+         SUM(cents) OVER win AS s,
+         SUM(cents * cents) OVER win AS ss,
+         COUNT(*) OVER win AS n
+  FROM daily
+  WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(d AS TIMESTAMP) AS d,
+       CAST(cents AS DOUBLE) / 100.0 AS total,
+       ROUND(CAST(s AS DOUBLE) / n / 100.0, 6) AS sma7,
+       ROUND(SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+             / 100.0, 6) AS sd7,
+       CAST(cents AS DOUBLE) * n > CAST(s AS DOUBLE)
+         + 2.0 * n * SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+         AS above_upper
+FROM w
+WHERE n = 7
+ORDER BY d
+""",
+    tags=("events", "time-series", "rolling", "volatility"),
+)
+def events_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily event-value series: 7-day rolling
+    mean and population standard deviation, plus an above-upper-band
+    flag (value > sma + 2*sd) — the rolling volatility envelope behind
+    both trading signals and operational anomaly banding (a windowed
+    sibling of the global z-score screen events_anomaly_z).
+
+    Exactness: the window carries EXACT integer sums (cents, cents^2);
+    mean/sd derive from them per row with the identical expression text
+    on both engines, and the band test multiplies through by n instead
+    of dividing — the flag compares the same two doubles everywhere.
+    Rows before the window fills (n < 7) are dropped on both engines.
+
+    Scale: daily reduction first (map-side combinable), then ONE
+    ROWS-frame window over the date order — at 100 TB the window runs
+    per key-range partition; no self-join formulation.
+    """
+    from pyspark.sql import Window
+
+    prep(spark)
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(scaled_long("value")).alias("cents"))
+    )
+    win = Window.orderBy("d").rowsBetween(-6, 0)
+    w = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(win).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("ss"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    sd_expr = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / F.col("n")
+    )
+    return (
+        w.where(F.col("n") == 7)
+        .select(
+            F.col("d").cast("timestamp").alias("d"),
+            (F.col("cents").cast("double") / 100.0).alias("total"),
+            F.round(
+                F.col("s").cast("double") / F.col("n") / 100.0, 6
+            ).alias("sma7"),
+            F.round(sd_expr / 100.0, 6).alias("sd7"),
+            (
+                F.col("cents").cast("double") * F.col("n")
+                > F.col("s").cast("double") + 2.0 * F.col("n") * sd_expr
+            ).alias("above_upper"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "events_max_drawdown",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT d,
+         SUM(cents) OVER (ORDER BY d) AS equity
+  FROM daily
+),
+dd AS (
+  SELECT d, equity,
+         MAX(equity) OVER (ORDER BY d) AS peak
+  FROM cum
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents,
+       ROUND(CAST(MAX(peak - equity) AS DOUBLE) / 100.0, 2) AS max_drawdown,
+       CAST(MAX(equity) AS DOUBLE) / 100.0 AS final_equity
+FROM dd
+""",
+    tags=("events", "time-series", "cumulative", "drawdown"),
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily value series: the
+    largest peak-to-trough fall of the running total — THE risk metric
+    for any cumulative quantity (P&L, storage headroom, quota burn).
+    Computed as max(running_max - running_total), all on exact integer
+    cents, so the answer is an exact integer both engines agree on.
+
+    Scale: after the daily rollup, two cumulative windows over the date
+    order (running sum, running max) and a scalar max — each is one
+    range-partitioned pass; nothing quadratic, no self-join.
+    """
+    from pyspark.sql import Window
+
+    prep(spark)
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(scaled_long("value")).alias("cents"))
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select("d", F.sum("cents").over(wcum).alias("equity"))
+    withpeak = cum.select(
+        "equity",
+        F.max("equity")
+        .over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("peak"),
+    )
+    return withpeak.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max(F.col("peak") - F.col("equity")).cast("bigint").alias(
+            "max_drawdown_cents"
+        ),
+        F.round(
+            F.max(F.col("peak") - F.col("equity")).cast("double") / 100.0, 2
+        ).alias("max_drawdown"),
+        (F.max("equity").cast("double") / 100.0).alias("final_equity"),
+    )
+
+
+@register(
+    "events_peak_detection",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+nb AS (
+  SELECT d, cents,
+         MAX(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+           AS max_before,
+         MAX(cents) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+           AS max_after,
+         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+           AS n_before,
+         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+           AS n_after
+  FROM daily
+)
+SELECT CAST(d AS TIMESTAMP) AS d, CAST(cents AS DOUBLE) / 100.0 AS total,
+       ROUND(CAST(cents - GREATEST(max_before, max_after) AS DOUBLE) / 100.0,
+             2) AS prominence
+FROM nb
+WHERE n_before = 3 AND n_after = 3
+  AND cents > max_before AND cents > max_after
+ORDER BY d
+""",
+    tags=("events", "time-series", "peaks", "anomaly"),
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection on the daily series: days strictly
+    above every neighbor within ±3 days (interior days only — the
+    window must be full on both sides), with a min-neighbor prominence
+    measure. The discrete peak-finder behind seasonality eyeballing and
+    burst triage; complements events_changepoint (level shifts) and the
+    CUSUM drift screen (slow creep).
+
+    Exactness: all comparisons are on exact integer cents; prominence
+    divides once at the edge.
+
+    Scale: two bounded ROWS-frame windows over the daily rollup — same
+    single-pass posture as the other rolling ops; at millions of series
+    add the key to the partition clause.
+    """
+    from pyspark.sql import Window
+
+    prep(spark)
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(scaled_long("value")).alias("cents"))
+    )
+    wb = Window.orderBy("d").rowsBetween(-3, -1)
+    wa = Window.orderBy("d").rowsBetween(1, 3)
+    nb = daily.select(
+        "d",
+        "cents",
+        F.max("cents").over(wb).alias("max_before"),
+        F.max("cents").over(wa).alias("max_after"),
+        F.count(F.lit(1)).over(wb).alias("n_before"),
+        F.count(F.lit(1)).over(wa).alias("n_after"),
+    )
+    return (
+        nb.where(
+            (F.col("n_before") == 3)
+            & (F.col("n_after") == 3)
+            & (F.col("cents") > F.col("max_before"))
+            & (F.col("cents") > F.col("max_after"))
+        )
+        .select(
+            F.col("d").cast("timestamp").alias("d"),
+            (F.col("cents").cast("double") / 100.0).alias("total"),
+            F.round(
+                (
+                    F.col("cents")
+                    - F.greatest("max_before", "max_after")
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias("prominence"),
+        )
+        .orderBy("d")
+    )

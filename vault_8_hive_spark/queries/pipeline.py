@@ -882,12 +882,16 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exactly-representable half-integer sum — order-independent —
     and AUC is one division at the edge.
 
-    Scale: ranking a score column is ONE global sort (range-partitioned
-    at cluster scale); everything else is a scalar aggregate. This is
-    the evaluation pass a training pipeline runs per checkpoint on a
-    held-out shard, so it must not shuffle the features — only
-    (score, label) pairs ever leave the scan.
+    Scale: the rank-sum needs only PER-SCORE sufficient statistics, so
+    the table first reduces to one row per distinct score (n, positives
+    — map-side combinable), ranks come from a range-partitioned running
+    sum over that reduction (operators/rank.py — never a bare
+    ORDER-BY-window, which serializes into one task), and R1 assembles
+    from min_rank + (n-1)/2 per score. Feature vectors never shuffle —
+    only (score, label) pairs leave the scan.
     """
+    from ..operators.rank import global_cumsum
+
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
     score = F.round(
@@ -901,26 +905,23 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("s"),
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
     )
-    w = Window.orderBy("s")
-    ranked = scored.select(
-        "y",
-        "s",
-        F.rank().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy("s")).alias("tied"),
+    per_score = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("y").alias("pos_s"),
     )
-    agg = ranked.agg(
+    cum = global_cumsum(per_score, ["s"], "n_s")
+    # tie-aware average rank for every row sharing score s
+    avg_rank = (
+        (F.col("cum") - F.col("n_s") + 1) + (F.col("n_s") - 1) / F.lit(2.0)
+    )
+    agg = cum.agg(
+        F.sum(F.col("pos_s") * avg_rank).alias("r1"),
+        F.sum("pos_s").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("pos_s")).alias("n_neg"),
         F.sum(
-            F.when(
-                F.col("y") == 1,
-                F.col("r") + (F.col("tied") - 1) / F.lit(2.0),
-            ).otherwise(F.lit(0.0))
-        ).alias("r1"),
-        F.sum("y").alias("n_pos"),
-        F.sum(1 - F.col("y")).alias("n_neg"),
-        F.sum(
-            F.when((F.col("y") == 1) & (F.col("s") > 0), 1)
-            .when((F.col("y") == 0) & (F.col("s") <= 0), 1)
-            .otherwise(0)
+            F.when(F.col("s") > 0, F.col("pos_s")).otherwise(
+                F.col("n_s") - F.col("pos_s")
+            )
         ).alias("n_correct"),
     )
     np_, nn = F.col("n_pos"), F.col("n_neg")
@@ -1038,10 +1039,14 @@ def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-before-sum discipline); positives are exact integers; the
     three reported ratios divide once at the edge.
 
-    Scale: one global sort for the deciles (range-partitioned window);
+    Scale: deciles via operators/rank.py's two-pass range-partitioned
+    global rank + the SQL NTILE remainder rule — NOT a bare
+    ORDER-BY-window, which would serialize the table into one task;
     per-bin reduction is map-side combinable. Feature vectors never
     shuffle — only (p, y) pairs leave the scan.
     """
+    from ..operators.rank import global_row_number, ntile_from_rank
+
     prep(spark)
     emb = table(spark, sf_dir, "embeddings")
     s = F.round(
@@ -1058,8 +1063,15 @@ def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.5 * (F.lit(1.0) + s / (F.lit(1.0) + F.abs(s))), 9
         ).alias("p"),
     )
-    binned = probs.select(
-        "y", "p", F.ntile(10).over(Window.orderBy("p", "vec_id")).alias("bin")
+    tot = probs.agg(F.count(F.lit(1)).alias("n_total"))
+    binned = (
+        global_row_number(probs, ["p", "vec_id"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "y",
+            "p",
+            ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("bin"),
+        )
     )
     n = F.count(F.lit(1))
     return (
@@ -1075,4 +1087,104 @@ def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bin").cast("int").alias("bin"), "n", "mean_p",
                 "frac_pos", "gap")
         .orderBy("bin")
+    )
+
+
+@register(
+    "ml_nearest_centroid",
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS x4,
+         g.d
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(d)
+),
+cent AS (
+  SELECT label AS c_label, d, SUM(x4) AS s, COUNT(*) AS n_l
+  FROM dims GROUP BY label, d
+),
+-- n_l is per (label, dim) but constant across dims of one label
+scores AS (
+  SELECT v.vec_id, v.label AS actual, c.c_label,
+         SUM((v.x4 * c.n_l - c.s) * (v.x4 * c.n_l - c.s)) AS dist2_scaled,
+         MAX(c.n_l) AS n_l
+  FROM dims v JOIN cent c ON c.d = v.d
+  GROUP BY v.vec_id, v.label, c.c_label
+),
+ranked AS (
+  SELECT vec_id, actual, c_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(dist2_scaled AS DOUBLE) / (n_l * n_l), c_label
+         ) AS rk
+  FROM scores
+)
+SELECT actual, c_label AS predicted, COUNT(*) AS n
+FROM ranked WHERE rk = 1
+GROUP BY actual, predicted
+ORDER BY actual, predicted
+""",
+    tags=("ml", "classification", "centroid", "confusion-matrix"),
+)
+def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier trained and scored in one plan: per-
+    label centroids from the embedding table (exact scaled-integer dim
+    sums), every vector assigned to the closest centroid by squared
+    L2, reported as the confusion matrix (actual x predicted counts) —
+    the train+score+eval loop beside ml_logistic_inference and
+    ml_naive_bayes, and the label-supervised dual of the k-means row.
+
+    Exactness: distance comparisons need sum_d (x_d - s_d/n)^2 across
+    labels with different n. Vectors quantize to a DECLARED 1e-4 grid
+    (x4) and each term is kept as the EXACT integer (x4*n - s)^2 —
+    int64-safe while d*(n*max|x|*1e4)^2 < 2^63, i.e. per-label n up to
+    ~7e4 at d=64, |x|<=0.6 (measured 25x probe headroom ~30x; past
+    that, square through DECIMAL(38,0)/HUGEINT — same values, slower
+    agg) — summed exactly per (vec, label), and divided by n^2 as ONE
+    double op for the cross-label argmin with a label tie-break.
+
+    Scale: centroids are a |labels|x|dims| table — broadcast; scoring
+    explodes each vector once and reduces (vec,label) partial sums
+    map-side. The resulting confusion matrix is |labels|^2 rows. No
+    all-pairs anything.
+    """
+    prep(spark)
+    dims = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("x").cast("double") * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("x4"),
+    )
+    cent = dims.groupBy(F.col("label").alias("c_label"), "d").agg(
+        F.sum("x4").alias("s"), F.count(F.lit(1)).alias("n_l")
+    )
+    diff = F.col("x4") * F.col("n_l") - F.col("s")
+    scores = (
+        dims.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", F.col("label").alias("actual"), "c_label")
+        .agg(
+            F.sum(diff * diff).alias("dist2_scaled"),
+            F.max("n_l").alias("n_l"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2_scaled").cast("double") / (F.col("n_l") * F.col("n_l")),
+        "c_label",
+    )
+    return (
+        scores.select(
+            "actual", "c_label", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") == 1)
+        .groupBy("actual", F.col("c_label").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
     )

@@ -1199,14 +1199,17 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped value is a PICKED order statistic — no interpolation, no
     float averaging; group means ride exact integer cents.
 
-    Scale: two rank windows (one per-group, one global). The global
-    row_number is the only total-order step — at 100 TB it becomes a
-    range-partitioned sort (Spark's window already range-partitions on
-    the order key); the rank join is an equi-join on the target rank.
+    Scale: two rank passes. The per-group rank is an ordinary
+    partitioned window; the GLOBAL rank uses operators/rank.py's
+    two-pass range-partitioned row number — a bare ORDER-BY-window here
+    would serialize the whole table into one task (WindowExec's
+    single-partition warning), the scale bug this module class exists
+    to avoid. The rank join is an equi-join on the target rank.
     """
     from pyspark.sql import Window
 
     from ..functions.exact import scaled_long
+    from ..operators.rank import global_row_number
 
     prep(spark)
     v = table(spark, sf_dir, "events").select(
@@ -1222,9 +1225,8 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_g"),
     )
-    g = v.select(
-        F.col("cents").alias("gcents"),
-        F.row_number().over(Window.orderBy("cents", "event_id")).alias("grn"),
+    g = global_row_number(v, ["cents", "event_id"], out="grn").select(
+        F.col("cents").alias("gcents"), "grn"
     )
     tot = v.agg(F.count(F.lit(1)).alias("n"))
     mapped = (

@@ -2030,3 +2030,64 @@ def text_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_lexical_diversity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+wf AS (SELECT doc_id, w, COUNT(*) AS c FROM tok2 GROUP BY doc_id, w)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_frac
+FROM wf
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "lexical-diversity", "pipeline"),
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio (distinct words
+    / total words) and hapax fraction (share of vocabulary used exactly
+    once) — the vocabulary-richness quality signals that catch
+    template/boilerplate text (low TTR) and OCR noise or codejunk (high
+    hapax) where length and stopword ratios look normal. Complements
+    text_repetition_signals (which looks at the top of the frequency
+    curve; this looks at the bottom).
+
+    Both ratios are integer-over-integer single divides — no float
+    discipline needed at all.
+
+    Scale: one explode + one (doc, word) aggregate with map-side
+    combine, then a per-doc rollup; everything co-partitions on doc_id
+    after the first shuffle.
+    """
+    prep(spark)
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    wf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wf.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+            ).alias("ttr"),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_frac"),
+        )
+        .orderBy("doc_id")
+    )

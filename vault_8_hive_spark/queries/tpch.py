@@ -1119,3 +1119,47 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY ALL
+ORDER BY ALL
+""",
+    tags=("sql-text", "group-by-all", "agg"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 SQL surface): every
+    non-aggregate select item becomes a grouping key and the full
+    select list becomes the sort order — the analyst-ergonomics syntax
+    a migrating DuckDB/BigQuery user expects to keep working. The
+    oracle runs the IDENTICAL text (DuckDB pioneered the syntax), so
+    this row also proves the dialect-level parity, not just the result.
+
+    Scale: desugars to an ordinary grouped aggregate — same partial-agg
+    + exchange plan as the explicit spelling; ORDER BY ALL adds one
+    final sort of the reduced rows.
+    """
+    from ..catalog import register_views
+
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY ALL
+ORDER BY ALL
+"""
+    )

@@ -1559,3 +1559,167 @@ def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim"
         ),
     )
+
+
+_PCA_ITERS = 8
+
+
+def _pca_oracle() -> str:
+    iters = []
+    prev = "v0"
+    for i in range(1, _PCA_ITERS + 1):
+        # MATERIALIZED is load-bearing: inlined CTEs double per round
+        # (v_i reads u_i twice) and DuckDB would re-expand the whole
+        # chain exponentially.
+        iters.append(f"""
+u{i} AS MATERIALIZED (
+  SELECT g.dd AS d, SUM(g.gv * {prev}.val) AS u
+  FROM g JOIN {prev} ON {prev}.d = g.ee GROUP BY g.dd
+),
+m{i} AS MATERIALIZED (SELECT MAX(ABS(u)) AS m FROM u{i}),
+v{i} AS MATERIALIZED (SELECT d, ROUND(u / m, 9) AS val
+                      FROM u{i} CROSS JOIN m{i})""")
+        prev = f"v{i}"
+    return f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id,
+         g.d,
+         CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS x6
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)
+),
+mu AS (
+  SELECT d,
+         CAST(FLOOR(CAST(SUM(x6) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+           AS mean6,
+         COUNT(*) AS n
+  FROM dims GROUP BY d
+),
+y AS MATERIALIZED (
+  SELECT vec_id, dims.d, x6 - mean6 AS yv
+  FROM dims JOIN mu ON mu.d = dims.d
+),
+g AS MATERIALIZED (
+  SELECT a.d AS dd, b.d AS ee,
+         CAST(SUM(a.yv * b.yv) AS DOUBLE) AS gv
+  FROM y a JOIN y b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS MATERIALIZED (SELECT DISTINCT d, 1.0 AS val FROM dims),
+{",".join(i.strip() for i in iters)},
+ray AS (
+  SELECT SUM(ROUND(u{_PCA_ITERS}.u * {prev}.val, 0)) AS num,
+         (SELECT SUM(ROUND(val * val, 9)) FROM {prev}) AS den
+  FROM u{_PCA_ITERS} JOIN {prev} ON {prev}.d = u{_PCA_ITERS}.d
+),
+nvec AS (SELECT MAX(n) AS n FROM mu)
+SELECT {prev}.d AS dim,
+       ROUND({prev}.val, 6) AS loading,
+       CAST(ROW_NUMBER() OVER (ORDER BY ABS({prev}.val) DESC, {prev}.d)
+            AS INT) AS rk,
+       ROUND(num / den / n / 1e12, 4) AS eigval_cov
+FROM {prev} CROSS JOIN ray CROSS JOIN nvec
+QUALIFY rk <= 10
+ORDER BY rk
+"""
+
+
+@register(
+    "vec_pca_power",
+    oracle=_pca_oracle(),
+    tags=("vectors", "pca", "linear-algebra", "iterative"),
+)
+def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration: the 64x64 covariance Gram matrix is built as ONE
+    pass over the exploded (vector, dim) stream — centered on exact
+    integer mu6 grids so every Gram cell is an EXACT int64 — then 8
+    power iterations (matvec = 4096-row join + 64-row reduce, each
+    component rounded to 1e-9, graph_pagerank discipline) converge the
+    dominant eigenvector. Output: top-10 dims by |loading| plus the
+    Rayleigh-quotient eigenvalue in raw covariance units — the
+    dimensionality-reduction / dominant-direction probe an embedding
+    pipeline runs beside vec_embedding_drift (is one axis eating the
+    variance? did a fine-tune collapse the space?).
+
+    Exactness: x6 and the per-dim mean are deterministic integer grids;
+    Gram cells are exact int64 (|y| <= ~4e6, 5e3 vectors -> |G| <= 8e16
+    < 2^63; int->double conversion is correctly rounded in both
+    engines); matvec reduction-order drift (~1e-14 relative) is
+    absorbed by the 1e-9 per-iteration rounding.
+
+    Scale: the Gram build is the only data-sized stage — d^2-cell
+    partial aggregates, map-side combined (at 100 TB this is the
+    normal-equations pattern of agg_ols_multi at d=64); iterations run
+    on 4096+64 rows. d too large for d^2 cells -> switch to randomized
+    sketched PCA; noted, not needed at embedding dims.
+    """
+    prep(spark)
+    dims = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d0", "x"))
+        .select(
+            "vec_id",
+            (F.col("d0") + 1).alias("d"),
+            F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("x6"),
+        )
+    )
+    mu = dims.groupBy("d").agg(
+        F.floor(F.sum("x6").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("mean6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    y = dims.join(F.broadcast(mu), "d").select(
+        "vec_id", "d", (F.col("x6") - F.col("mean6")).alias("yv")
+    )
+    a = y.select("vec_id", F.col("d").alias("dd"), F.col("yv").alias("ya"))
+    b = y.select(
+        F.col("vec_id").alias("vb"), F.col("d").alias("ee"), F.col("yv").alias("yb")
+    )
+    g = (
+        a.join(b, F.col("vec_id") == F.col("vb"))
+        .groupBy("dd", "ee")
+        .agg(F.sum(F.col("ya") * F.col("yb")).cast("double").alias("gv"))
+        .persist()
+    )
+    v = mu.select("d", F.lit(1.0).alias("val"))
+    u = None
+    for _ in range(_PCA_ITERS):
+        u = (
+            g.join(v, F.col("ee") == F.col("d"))
+            .groupBy(F.col("dd").alias("ud"))
+            .agg(F.sum(F.col("gv") * F.col("val")).alias("u"))
+            # materialize each 64-row iterate: without the cut the 8
+            # stacked join/agg rounds blow up Catalyst's optimization
+            # time (the lineage posture pinned by
+            # test_local_checkpoint_truncates_lineage)
+            .localCheckpoint(eager=True)
+        )
+        m = u.agg(F.max(F.abs("u")).alias("m"))
+        v = u.crossJoin(F.broadcast(m)).select(
+            F.col("ud").alias("d"), F.round(F.col("u") / F.col("m"), 9).alias("val")
+        )
+    ray = (
+        u.join(v, F.col("ud") == F.col("d"))
+        .agg(F.sum(F.round(F.col("u") * F.col("val"), 0)).alias("num"))
+        .crossJoin(v.agg(F.sum(F.round(F.col("val") * F.col("val"), 9)).alias("den")))
+    )
+    nvec = mu.agg(F.max("n").alias("n"))
+    w = Window.orderBy(F.desc(F.abs("val")), "d")
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(nvec))
+        .select(
+            F.col("d").alias("dim"),
+            F.round("val", 6).alias("loading"),
+            F.row_number().over(w).cast("int").alias("rk"),
+            F.round(
+                F.col("num") / F.col("den") / F.col("n") / 1e12, 4
+            ).alias("eigval_cov"),
+        )
+        .where(F.col("rk") <= 10)
+        .orderBy("rk")
+    )
