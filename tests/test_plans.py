@@ -536,3 +536,42 @@ def test_global_rank_is_range_partitioned(spark, sf_dir):
         F.max("rn").alias("hi"),
     ).collect()[0]
     assert stats["n"] == stats["nd"] == stats["hi"] and stats["lo"] == 1
+
+
+def test_shipping_priority_plan_shape(spark, sf_dir):
+    """Q3 must finish with a TakeOrdered top-10 (per-partition heap, no
+    global sort) and broadcast both dimension sides."""
+    from vault_8_hive_spark.queries.tpch import shipping_priority
+
+    plan = (
+        shipping_priority(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark, sf_dir):
+    """Q19's OR-of-ANDs must yield derived predicates at BOTH parquet
+    scans: the quantity disjunction on lineitem, brand/size on part —
+    the common-subpredicate extraction the query exists to test."""
+    from vault_8_hive_spark.queries.tpch import disjunctive_predicate_revenue
+
+    plan = (
+        disjunctive_predicate_revenue(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    li_scan = [
+        line for line in plan.splitlines()
+        if "PushedFilters" in line and "l_quantity" in line
+    ]
+    part_scan = [
+        line for line in plan.splitlines()
+        if "PushedFilters" in line and "p_brand" in line
+    ]
+    assert li_scan and "GreaterThanOrEqual(l_quantity,1.0)" in li_scan[0]
+    assert part_scan and "EqualTo(p_brand" in part_scan[0]

@@ -414,6 +414,12 @@ _composite(
         ("target_encode", "feature_target_encode_loo",
          {"id1": "n", "txt": "cat", "d1": "min_enc", "d2": "max_enc",
           "d3": "mean_enc"}),
+        ("softmax", "feature_softmax_weights",
+         {"id1": "c_custkey", "id2": "CAST(rk AS BIGINT)",
+          "txt": "c_mktsegment", "d1": "acctbal", "d2": "softmax_w"}),
+        ("string_index", "feature_string_index",
+         {"id1": "CAST(brand_idx AS BIGINT)", "id2": "n", "txt": "p_brand",
+          "d1": "CAST(cum_rows AS DOUBLE)"}),
         ("referential_integrity", "dq_referential_integrity",
          {"id1": "n_orphans", "id2": "n_unreferenced",
           "txt": _cat("relation", "n_child", "n_parent")}),
@@ -590,6 +596,9 @@ _composite(
         ("link_prediction", "graph_link_prediction",
          {"metric": "'lp_' || CAST(src AS STRING) || '_' || CAST(dst AS STRING)",
           "value": "ra", "n": "cn"}),
+        ("ppr", "graph_personalized_pagerank",
+         {"metric": "'ppr_' || CAST(node AS STRING)", "value": "rank",
+          "n": "node"}),
         ("item_cosine", "reco_item_cosine",
          {"metric": "'reco_' || item_a || '>' || item_b",
           "value": "cos_sim", "n": "n_ab"}),
@@ -632,6 +641,9 @@ _composite(
          {"ts1": "window_start", "n": "n_events"}),
         ("funnel", "events_funnel",
          {"i1": "stage", "s1": "name", "n": "n_users"}),
+        ("funnel_exclusion", "events_funnel_exclusion",
+         {"n": "n_clean_converters", "i1": "CAST(first_user AS INT)",
+          "d1": "avg_minutes_to_convert"}),
         ("gapfill_locf", "events_gapfill_locf",
          {"ts1": "hour", "i1": "CAST(user_id AS INT)",
           "n": "n_events", "d1": "locf_value"}),
@@ -958,6 +970,8 @@ _composite(
         ("pca", "vec_pca_power",
          {"a": "CAST(dim AS BIGINT)", "i1": "rk", "d1": "loading",
           "d2": "eigval_cov"}),
+        ("jl", "vec_jl_projection",
+         {"a": "vec_id", "i1": "rn", "n1": "dist2"}),
         ("embedding_drift", "vec_embedding_drift",
          {"a": "n_a", "b": "n_b", "d1": "centroid_l2",
           "d2": "centroid_cos", "d3": "max_dim_gap"}),

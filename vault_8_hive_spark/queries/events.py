@@ -3009,3 +3009,111 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "events_funnel_exclusion",
+    oracle="""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+conv AS (
+  -- first qualifying (view, purchase) pair per user: purchase within
+  -- 24h of the view and NO error strictly between them
+  SELECT v.user_id, v.ts AS view_ts, MIN(p.ts) AS purchase_ts
+  FROM v JOIN p ON p.user_id = v.user_id
+              AND p.ts > v.ts
+              AND p.ts <= v.ts + INTERVAL 24 HOUR
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e
+    WHERE e.user_id = v.user_id AND e.ts > v.ts AND e.ts < p.ts
+  )
+  GROUP BY v.user_id, v.ts
+),
+best AS (
+  SELECT user_id, MIN(view_ts) AS view_ts FROM conv GROUP BY user_id
+)
+SELECT COUNT(*) AS n_clean_converters,
+       CAST(MIN(b.user_id) AS BIGINT) AS first_user,
+       CAST(MAX(b.user_id) AS BIGINT) AS last_user,
+       ROUND(SUM(date_diff('second', b.view_ts, c.purchase_ts))
+             / COUNT(*) / 60.0, 4) AS avg_minutes_to_convert
+FROM best b JOIN conv c ON c.user_id = b.user_id AND c.view_ts = b.view_ts
+""",
+    tags=("events", "funnel", "sequence", "exclusion", "behavioral"),
+)
+def events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a NEGATIVE condition (MATCH_RECOGNIZE-lite): users
+    whose view converted to a purchase within 24h with NO error event
+    strictly in between — the exclusion pattern plain funnels cannot
+    express (events_funnel counts ordered stage hits; this one must
+    also prove an absence). Reported as clean-converter count and mean
+    minutes-to-convert over each user's earliest clean pair.
+
+    The NOT-EXISTS decorrelates into an as-of shape: for each candidate
+    (view, purchase) pair the blocking error is the FIRST error after
+    the view — one MIN aggregate per view joined back, so the absence
+    proof is 'first error after view is NULL or >= purchase', never a
+    per-pair subquery. Spark runs exactly that rewrite; the oracle
+    keeps the literal NOT EXISTS, proving the rewrite's equivalence.
+
+    Scale: three type-pruned scans of the fact (pushed filters), a
+    time-banded pair join per user, and per-user MIN reductions — all
+    co-partitioned on user_id after one shuffle; the 24h band bounds
+    pair fan-out per view.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("purchase_ts")
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.col("ts").alias("error_ts")
+    )
+    pairs = v.join(
+        p,
+        (F.col("pu") == F.col("user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")
+        ),
+    )
+    # first error after each view (per user): the absence witness
+    first_err = (
+        v.join(
+            e,
+            (F.col("eu") == F.col("user_id"))
+            & (F.col("error_ts") > F.col("view_ts")),
+        )
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("error_ts").alias("first_err_ts"))
+    )
+    conv = (
+        pairs.join(first_err, ["user_id", "view_ts"], "left")
+        .where(
+            F.col("first_err_ts").isNull()
+            | (F.col("first_err_ts") >= F.col("purchase_ts"))
+        )
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("purchase_ts").alias("purchase_ts"))
+    )
+    best = conv.groupBy("user_id").agg(F.min("view_ts").alias("view_ts"))
+    joined = best.join(conv, ["user_id", "view_ts"])
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_clean_converters"),
+        F.min("user_id").cast("bigint").alias("first_user"),
+        F.max("user_id").cast("bigint").alias("last_user"),
+        F.round(
+            F.sum(
+                F.col("purchase_ts").cast("long")
+                - F.col("view_ts").cast("long")
+            )
+            / F.count(F.lit(1))
+            / 60.0,
+            4,
+        ).alias("avg_minutes_to_convert"),
+    )

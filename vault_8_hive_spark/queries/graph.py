@@ -723,3 +723,119 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cn"), "src", "dst")
         .limit(20)
     )
+
+
+def _ppr_oracle() -> str:
+    edges = f"""
+SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+UNION
+SELECT DISTINCT {_SUPP_BASE} + l_suppkey AS src, o_custkey AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+    iters = []
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        iters.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         ROUND(CASE WHEN n.node >= {_SUPP_BASE}
+                    THEN 0.15 / (SELECT COUNT(*) FROM seeds) ELSE 0 END
+               + {_DAMP} * COALESCE(SUM({prev}.rank / d.outdeg), 0), 9)
+           AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN {prev} ON {prev}.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS MATERIALIZED ({edges}),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+seeds AS MATERIALIZED (SELECT node FROM nodes WHERE node >= {_SUPP_BASE}),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node,
+         ROUND(CASE WHEN node >= {_SUPP_BASE}
+                    THEN 1.0 / (SELECT COUNT(*) FROM seeds) ELSE 0.0 END, 9)
+           AS rank
+  FROM nodes
+),
+{", ".join(i.strip() for i in iters)}
+SELECT node, rank FROM {prev}
+WHERE node < {_SUPP_BASE}
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    tags=("graph", "iterative", "pagerank", "personalization"),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: the teleport mass restarts at a SEED SET
+    (the supplier side of the trading graph) instead of uniformly, so
+    ranks measure proximity TO the seeds — the relevance-propagation
+    primitive behind recommendation candidates and fraud blast-radius
+    scoring. Output: the 20 customers closest to the supplier base.
+
+    Same loop, oracle, and 1e-9 per-iteration rounding discipline as
+    graph_pagerank; the only deltas are the seed-restricted r0 and
+    teleport term (nodes outside the seed set get 0, not 0.15/N).
+
+    Scale: identical to PageRank — per-iteration shuffle on dst; seeds
+    make r0 sparse, so early iterations move less data (contributions
+    from zero-rank nodes vanish under the partial aggregate).
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.lit(_SUPP_BASE) + F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_seeds = nodes.where(F.col("node") >= _SUPP_BASE).count()
+    is_seed = F.col("node") >= _SUPP_BASE
+    ranks = nodes.select(
+        "node",
+        F.round(
+            F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)), 9
+        ).alias("rank"),
+    )
+    for _ in range(_ITERS):
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+            "node",
+            F.round(
+                F.when(is_seed, F.lit(0.15 / n_seeds)).otherwise(F.lit(0.0))
+                + _DAMP * F.coalesce("contrib", F.lit(0.0)),
+                9,
+            ).alias("rank"),
+        )
+    return (
+        ranks.where(F.col("node") < _SUPP_BASE)
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

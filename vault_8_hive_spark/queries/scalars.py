@@ -1441,3 +1441,150 @@ def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cat")
     )
+
+
+@register(
+    "feature_softmax_weights",
+    oracle="""
+WITH v AS (
+  SELECT c_mktsegment AS seg, c_custkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+top5 AS (
+  SELECT seg, c_custkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents DESC, c_custkey)
+           AS rk
+  FROM v
+  QUALIFY rk <= 5
+),
+mx AS (SELECT seg, MAX(cents) AS mx FROM top5 GROUP BY seg),
+e AS (
+  SELECT t.seg, t.c_custkey, t.rk, t.cents,
+         ROUND(exp(CAST(t.cents - m.mx AS DOUBLE) / 100000.0), 9) AS ew
+  FROM top5 t JOIN mx m ON m.seg = t.seg
+),
+z AS (SELECT seg, SUM(ew) AS z FROM e GROUP BY seg)
+SELECT e.seg AS c_mktsegment, e.c_custkey, CAST(e.rk AS INT) AS rk,
+       CAST(e.cents AS DOUBLE) / 100.0 AS acctbal,
+       ROUND(e.ew / z.z, 6) AS softmax_w
+FROM e JOIN z ON z.seg = e.seg
+ORDER BY c_mktsegment, rk
+""",
+    tags=("scalar", "feature", "softmax", "mixture"),
+)
+def feature_softmax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically-stable softmax weighting: each segment's top-5
+    balances become mixture weights via exp((x - max)/T)/Z with the
+    max-subtraction shift (the stabilization every softmax at scale
+    needs — raw exp(x/T) overflows as soon as one score is large) and
+    temperature T = $1000. The weighting primitive behind
+    softmax-sampled mixtures, alongside text_mixture_temperature's
+    power-law variant.
+
+    Exactness: the shifted exponent is an exact integer ratio; each
+    exp term is rounded to 1e-9 BEFORE the 5-term partition sum
+    (round-before-sum discipline), and the final weight divides once.
+
+    Scale: the top-5-per-group window is the only data-sized pass
+    (partitioned, bounded output); exp runs on k*5 rows. Softmax over
+    MILLIONS of rows per group follows the same shape with the
+    group-max as a broadcast join — never a global sort.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.exact import scaled_long
+
+    prep(spark)
+    v = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        scaled_long("c_acctbal").alias("cents"),
+    )
+    w = Window.partitionBy("seg").orderBy(F.desc("cents"), "c_custkey")
+    top5 = v.select(
+        "seg", "c_custkey", "cents", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= 5)
+    mx = top5.groupBy("seg").agg(F.max("cents").alias("mx"))
+    e = top5.join(F.broadcast(mx), "seg").select(
+        "seg",
+        "c_custkey",
+        "rk",
+        "cents",
+        F.round(
+            F.exp((F.col("cents") - F.col("mx")).cast("double") / 100000.0), 9
+        ).alias("ew"),
+    )
+    z = e.groupBy("seg").agg(F.sum("ew").alias("z"))
+    return (
+        e.join(F.broadcast(z), "seg")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            "c_custkey",
+            F.col("rk").cast("int").alias("rk"),
+            (F.col("cents").cast("double") / 100.0).alias("acctbal"),
+            F.round(F.col("ew") / F.col("z"), 6).alias("softmax_w"),
+        )
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+@register(
+    "feature_string_index",
+    oracle="""
+WITH freq AS (
+  SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand
+),
+idx AS (
+  SELECT p_brand, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, p_brand) - 1 AS brand_idx
+  FROM freq
+)
+SELECT p_brand, CAST(brand_idx AS INT) AS brand_idx, CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (ORDER BY brand_idx) AS BIGINT) AS cum_rows
+FROM idx
+ORDER BY brand_idx
+""",
+    tags=("scalar", "feature", "string-indexer", "categorical"),
+)
+def feature_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringIndexer parity: categorical values map to dense integer
+    ids ordered by descending frequency (ties broken lexically — the
+    MLlib frequencyDesc contract), with the cumulative row coverage per
+    index — the encoding step before any embedding-table or tree model,
+    done as a pure DataFrame build with NO fitted-model object: the
+    index IS a small DataFrame you broadcast-join onto the fact.
+
+    Scale: one hash aggregate over the fact builds the frequency table;
+    the rank window runs on |categories| rows. Applying the index back
+    is a broadcast join, exactly like feature_target_encode_loo's
+    stats; at 100 TB nothing here grows past the category count.
+    """
+    from pyspark.sql import Window
+
+    prep(spark)
+    freq = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    idx = freq.select(
+        "p_brand",
+        "n",
+        (
+            F.row_number().over(Window.orderBy(F.desc("n"), "p_brand")) - 1
+        ).alias("brand_idx"),
+    )
+    return idx.select(
+        "p_brand",
+        F.col("brand_idx").cast("int").alias("brand_idx"),
+        F.col("n").cast("bigint").alias("n"),
+        F.sum("n")
+        .over(
+            Window.orderBy("brand_idx").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("cum_rows"),
+    ).orderBy("brand_idx")

@@ -1082,9 +1082,10 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate: n_supp >= 2 (another supplier exists) and exactly one
     distinct late supplier (no OTHER late supplier exists for a late
     row). That replaces Q21's two correlated self-joins of the fact with
-    a single map-side-combinable groupBy(orderkey) — at 100 TB the fact
-    is scanned once and reduced 4:1 before any join, where the literal
-    EXISTS plan scans it three times.
+    a single map-side-combinable groupBy(orderkey) — the fact is read
+    twice (once for the per-order reduction, once for the surviving
+    late pairs) instead of the literal EXISTS plan's three times, and
+    both reads reduce before any join touches them.
     """
     prep(spark)
     orders = table(spark, sf_dir, "orders").where(

@@ -1648,41 +1648,62 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines); matvec reduction-order drift (~1e-14 relative) is
     absorbed by the 1e-9 per-iteration rounding.
 
-    Scale: the Gram build is the only data-sized stage — d^2-cell
-    partial aggregates, map-side combined (at 100 TB this is the
-    normal-equations pattern of agg_ols_multi at d=64); iterations run
-    on 4096+64 rows. d too large for d^2 cells -> switch to randomized
-    sketched PCA; noted, not needed at embedding dims.
+    Scale: the Gram build is the only data-sized stage, and it is
+    JOIN-FREE: each vector row keeps its centered integer array and the
+    d exploded rows aggregate 64 sum-expressions each (the
+    agg_ols_multi normal-equations pattern at d=64) — only d x d cells
+    ever cross the exchange. The first spelling self-joined the
+    exploded stream on vec_id (d^2 rows per vector THROUGH A SHUFFLE
+    JOIN); the 25x probe caught it stuck materializing 512M join rows
+    — the lesson is recorded here deliberately. Iterations run on
+    4096+64 rows. d too large for d^2 cells -> randomized sketched
+    PCA; noted, not needed at embedding dims.
     """
     prep(spark)
-    dims = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("d0", "x"))
-        .select(
-            "vec_id",
-            (F.col("d0") + 1).alias("d"),
-            F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("x6"),
-        )
+    emb = table(spark, sf_dir, "embeddings")
+    x6arr = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast(
+            "long"
+        ),
     )
+    vecs = emb.select("vec_id", x6arr.alias("x6arr"))
+    dims = vecs.select(
+        "vec_id", F.posexplode("x6arr").alias("d0", "x6")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "x6")
     mu = dims.groupBy("d").agg(
         F.floor(F.sum("x6").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
         .cast("long")
         .alias("mean6"),
         F.count(F.lit(1)).alias("n"),
     )
-    y = dims.join(F.broadcast(mu), "d").select(
-        "vec_id", "d", (F.col("x6") - F.col("mean6")).alias("yv")
+    muarr = mu.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "mean6"))),
+            lambda s: s["mean6"],
+        ).alias("muarr")
     )
-    a = y.select("vec_id", F.col("d").alias("dd"), F.col("yv").alias("ya"))
-    b = y.select(
-        F.col("vec_id").alias("vb"), F.col("d").alias("ee"), F.col("yv").alias("yb")
+    yrows = vecs.crossJoin(F.broadcast(muarr)).select(
+        F.zip_with("x6arr", "muarr", lambda x, m: x - m).alias("yrow")
+    )
+    exploded = yrows.select(
+        F.posexplode("yrow").alias("d0", "yd"), "yrow"
+    ).select((F.col("d0") + 1).alias("dd"), "yd", "yrow")
+    n_dims = 64
+    g_wide = exploded.groupBy("dd").agg(
+        *[
+            F.sum(F.element_at("yrow", e) * F.col("yd")).alias(f"g{e}")
+            for e in range(1, n_dims + 1)
+        ]
     )
     g = (
-        a.join(b, F.col("vec_id") == F.col("vb"))
-        .groupBy("dd", "ee")
-        .agg(F.sum(F.col("ya") * F.col("yb")).cast("double").alias("gv"))
+        g_wide.select(
+            "dd",
+            F.posexplode(
+                F.array(*[F.col(f"g{e}") for e in range(1, n_dims + 1)])
+            ).alias("e0", "gv_long"),
+        )
+        .select("dd", (F.col("e0") + 1).alias("ee"), F.col("gv_long").cast("double").alias("gv"))
         .persist()
     )
     v = mu.select("d", F.lit(1.0).alias("val"))
@@ -1722,4 +1743,127 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 10)
         .orderBy("rk")
+    )
+
+
+_JL_K = 16  # projected dimensionality
+
+
+def _jl_sign(j: str, d: str) -> str:
+    # deterministic +-1 from md5 parity — the shared "random" matrix
+    return (
+        f"CASE WHEN CAST(('0x' || substr(md5('jl|' || CAST({j} AS VARCHAR)"
+        f" || '|' || CAST({d} AS VARCHAR)), 1, 1)) AS INT) % 2 = 0"
+        " THEN 1 ELSE -1 END"
+    )
+
+
+@register(
+    "vec_jl_projection",
+    oracle=f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id,
+         g.d,
+         CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS x6
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)
+),
+proj AS MATERIALIZED (
+  SELECT vec_id, j.j,
+         SUM(({_jl_sign('j.j', 'd')}) * x6) AS p
+  FROM dims, unnest(generate_series(1, {_JL_K})) AS j(j)
+  GROUP BY vec_id, j.j
+),
+q AS (SELECT j, p AS qp FROM proj WHERE vec_id = 0),
+d2 AS (
+  SELECT proj.vec_id,
+         SUM((p - qp) * (p - qp)) AS dist2
+  FROM proj JOIN q ON q.j = proj.j
+  WHERE proj.vec_id <> 0
+  GROUP BY proj.vec_id
+)
+SELECT vec_id, dist2,
+       CAST(ROW_NUMBER() OVER (ORDER BY dist2, vec_id) AS INT) AS rn
+FROM d2
+QUALIFY rn <= 10
+ORDER BY rn
+""",
+    tags=("vectors", "dimensionality-reduction", "jl", "ann"),
+)
+def vec_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-dim embeddings drop
+    to {_JL_K} dims through a DETERMINISTIC +-1 projection matrix
+    (sign = md5('jl|j|d') parity — no stored matrix, any executor
+    regenerates any entry), then the 10 nearest neighbors of query
+    vector 0 are ranked in the projected space — the cheap-distance
+    tier that sits between the sign-bit sketch (vec_hamming_topk) and
+    int8 quantization on the ANN ladder.
+
+    Exactness: inputs quantize to the 1e-6 grid, the projection is a
+    +-1-weighted integer sum (exact int64), and projected L2^2 is an
+    exact integer — the whole pipeline is integer arithmetic, so both
+    engines agree bit-for-bit with no rounding step at all.
+
+    Scale: projection is one explode + (vec, j) aggregate — linear in
+    corpus size, map-side combinable, and embarrassingly column-
+    parallel; the k-dim vectors then feed any downstream ANN stage at
+    1/4 the bytes. The query-side join broadcasts {_JL_K} rows.
+    """
+    prep(spark)
+    dims = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d0", "x"))
+        .select(
+            "vec_id",
+            (F.col("d0") + 1).alias("d"),
+            F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("x6"),
+        )
+    )
+    js = spark.range(1, _JL_K + 1).select(F.col("id").cast("int").alias("j"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("jl|"),
+                        F.col("j").cast("string"),
+                        F.lit("|"),
+                        F.col("d").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    proj = (
+        dims.join(F.broadcast(js))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(sign * F.col("x6")).alias("p"))
+    )
+    q = proj.where(F.col("vec_id") == 0).select(
+        F.col("j").alias("qj"), F.col("p").alias("qp")
+    )
+    d2 = (
+        proj.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("j") == F.col("qj"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("p") - F.col("qp")) * (F.col("p") - F.col("qp"))).alias(
+                "dist2"
+            )
+        )
+    )
+    w = Window.orderBy("dist2", "vec_id")
+    return (
+        d2.select("vec_id", "dist2", F.row_number().over(w).cast("int").alias("rn"))
+        .where(F.col("rn") <= 10)
+        .orderBy("rn")
     )
