@@ -1165,11 +1165,15 @@ g AS (
   FROM v
 ),
 tot AS (SELECT COUNT(*) AS n FROM v),
-mapped AS (
-  SELECT r.grp, r.cents,
-         g.cents AS mapped_cents
+rt AS (
+  -- materialize the target rank FIRST so the g lookup is a plain
+  -- equi-join (computed-key-inside-join forced a nested loop)
+  SELECT grp, cents, (rn * n + n_g - 1) // n_g AS t_rank
   FROM r CROSS JOIN tot
-  JOIN g ON g.grn = (rn * n + n_g - 1) // n_g
+),
+mapped AS (
+  SELECT rt.grp, rt.cents, g.cents AS mapped_cents
+  FROM rt JOIN g ON g.grn = rt.t_rank
 )
 SELECT grp AS event_type,
        COUNT(*) AS n,
