@@ -728,6 +728,9 @@ _composite(
         ("peaks", "events_peak_detection",
          {"ts1": "d", "n": "CAST(ROUND(total * 100, 0) AS BIGINT)",
           "d1": "prominence"}),
+        ("rolling_corr", "events_rolling_correlation",
+         {"ts1": "d", "i1": "n", "n": "CAST(n AS BIGINT)",
+          "d1": "rolling_corr"}),
         ("kaplan_meier", "events_kaplan_meier",
          {"i1": "duration_days", "n": "n_risk", "d1": "survival",
           "s1": "CAST(d_events AS STRING)"}),
@@ -847,6 +850,9 @@ _composite(
         ("lexical_diversity", "text_lexical_diversity",
          {"k1": "doc_id", "n1": "n_tokens", "n2": "n_types",
           "d1": "ttr", "d2": "hapax_frac"}),
+        ("readability", "text_readability",
+         {"k1": "doc_id", "n1": "n_words", "n2": "n_syllables",
+          "d1": "flesch"}),
     ],
     tags=("text", "stats", "quality", "langid", "tokenize", "fingerprint",
           "redaction", "search", "composite"),
@@ -923,6 +929,9 @@ _composite(
         ("kfold", "sample_kfold_assign",
          {"s1": "CAST(fold AS STRING)", "k1": "min_doc", "k2": "max_doc",
           "n1": "n_docs", "n2": "n_langs"}),
+        ("systematic", "sample_systematic",
+         {"k1": "first_doc", "k2": "last_doc", "n1": "n_sampled",
+          "n2": "n_total", "n3": "n_langs", "n4": "sampled_chars"}),
     ],
     tags=("text", "pipeline", "sampling", "curation", "composite"),
 )
@@ -964,6 +973,11 @@ _composite(
         ("eval_calibration", "ml_eval_calibration",
          {"a": "n", "i1": "bin", "d1": "mean_p", "d2": "frac_pos",
           "d3": "gap"}),
+        ("eval_prf", "ml_eval_prf",
+         {"a": "tp", "b": "support", "i1": "cls", "d1": "precision_",
+          "d2": "recall_", "d3": "f1"}),
+        ("conformal", "ml_conformal_interval",
+         {"a": "n", "d1": "q_hat", "d2": "coverage"}),
         ("nearest_centroid", "ml_nearest_centroid",
          {"a": "CAST(actual AS BIGINT)", "b": "CAST(predicted AS BIGINT)",
           "n1": "n"}),

@@ -3117,3 +3117,107 @@ def events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_minutes_to_convert"),
     )
+
+
+@register(
+    "events_rolling_correlation",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+           AS v,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+           AS p
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+),
+w AS (
+  SELECT d,
+         COUNT(*) OVER win AS n,
+         SUM(v) OVER win AS sv,
+         SUM(p) OVER win AS sp,
+         SUM(v * v) OVER win AS svv,
+         SUM(p * p) OVER win AS spp,
+         SUM(v * p) OVER win AS svp
+  FROM daily
+  WINDOW win AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(d AS TIMESTAMP) AS d,
+       CAST(n AS INT) AS n,
+       ROUND(
+         (CAST(n AS DOUBLE) * svp - CAST(sv AS DOUBLE) * sp)
+         / NULLIF(SQRT((CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv)
+                       * (CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)),
+                  0.0),
+         6) AS rolling_corr
+FROM w
+WHERE n = 14
+ORDER BY d
+""",
+    tags=("events", "time-series", "rolling", "correlation"),
+)
+def events_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day Pearson correlation between the daily view-value
+    and purchase-value series: does engagement track conversion THIS
+    month (not on average over all time — that is agg_moments_exact's
+    global corr; the windowed version shows the relationship drifting).
+
+    Exactness: the window carries SIX exact integer sums (n, Sv, Sp,
+    Svv, Spp, Svp — cents^2 * 14 days stays far inside int64) and the
+    correlation assembles from them per row with identical expression
+    text in both engines; the zero-variance window (one series flat for
+    14 days) yields NULL via NULLIF on both.
+
+    Scale: one conditional-sum daily rollup (single fact pass), one
+    bounded ROWS window over the date series — per-key partitioning
+    when correlating millions of series pairs.
+    """
+    from pyspark.sql import Window
+
+    prep(spark)
+    cents = scaled_long("value")
+    daily = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", cents).otherwise(
+                    F.lit(0)
+                )
+            ).alias("v"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(
+                    F.lit(0)
+                )
+            ).alias("p"),
+        )
+    )
+    win = Window.orderBy("d").rowsBetween(-13, 0)
+    w = daily.select(
+        "d",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("v").over(win).alias("sv"),
+        F.sum("p").over(win).alias("sp"),
+        F.sum(F.col("v") * F.col("v")).over(win).alias("svv"),
+        F.sum(F.col("p") * F.col("p")).over(win).alias("spp"),
+        F.sum(F.col("v") * F.col("p")).over(win).alias("svp"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("svp") - F.col("sv").cast("double") * F.col("sp")
+    den = F.sqrt(
+        (n * F.col("svv") - F.col("sv").cast("double") * F.col("sv"))
+        * (n * F.col("spp") - F.col("sp").cast("double") * F.col("sp"))
+    )
+    return (
+        w.where(F.col("n") == 14)
+        .select(
+            F.col("d").cast("timestamp").alias("d"),
+            F.col("n").cast("int").alias("n"),
+            F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("rolling_corr"),
+        )
+        .orderBy("d")
+    )

@@ -1188,3 +1188,234 @@ def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+@register(
+    "ml_eval_prf",
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS x4,
+         g.d
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(d)
+),
+cent AS (
+  SELECT label AS c_label, d, SUM(x4) AS s, COUNT(*) AS n_l
+  FROM dims GROUP BY label, d
+),
+scores AS (
+  SELECT v.vec_id, v.label AS actual, c.c_label,
+         SUM((v.x4 * c.n_l - c.s) * (v.x4 * c.n_l - c.s)) AS dist2_scaled,
+         MAX(c.n_l) AS n_l
+  FROM dims v JOIN cent c ON c.d = v.d
+  GROUP BY v.vec_id, v.label, c.c_label
+),
+pred AS (
+  SELECT vec_id, actual, c_label AS predicted,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(dist2_scaled AS DOUBLE) / (n_l * n_l), c_label
+         ) AS rk
+  FROM scores
+),
+p1 AS (SELECT actual, predicted FROM pred WHERE rk = 1),
+cls AS (SELECT DISTINCT actual AS cls FROM p1),
+m AS (
+  SELECT cls,
+         (SELECT COUNT(*) FROM p1 WHERE actual = cls AND predicted = cls)
+           AS tp,
+         (SELECT COUNT(*) FROM p1 WHERE predicted = cls) AS pred_n,
+         (SELECT COUNT(*) FROM p1 WHERE actual = cls) AS actual_n
+  FROM cls
+)
+SELECT CAST(cls AS INT) AS cls,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(actual_n AS BIGINT) AS support,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(pred_n, 0), 6) AS precision_,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(actual_n, 0), 6) AS recall_,
+       ROUND(2.0 * tp / NULLIF(pred_n + actual_n, 0), 6) AS f1
+FROM m
+ORDER BY cls
+""",
+    tags=("ml", "evaluation", "precision-recall", "pipeline"),
+)
+def ml_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 over the nearest-centroid
+    classifier's predictions — the class-level report card that the
+    confusion matrix (ml_nearest_centroid) rolls up to, using the
+    ties-stable F1 = 2tp/(pred_n + actual_n) identity so no
+    intermediate precision/recall float feeds another divide.
+
+    All three ratios are integer-over-integer single divides; empty
+    denominators (a class never predicted) yield NULL via NULLIF on
+    both engines.
+
+    Scale: same single-pass centroid scoring as ml_nearest_centroid
+    (broadcast centroid table, map-side partial sums); the per-class
+    rollup is |labels| rows wide.
+    """
+    prep(spark)
+    pred = QUERIES["ml_nearest_centroid"].fn(spark, sf_dir)
+    # pred = (actual, predicted, n) confusion cells
+    tp = pred.where(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("cls"), F.col("n").alias("tp")
+    )
+    pred_n = pred.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").alias("pred_n")
+    )
+    actual_n = pred.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("n").alias("actual_n")
+    )
+    m = (
+        actual_n.join(pred_n, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+            F.coalesce("actual_n", F.lit(0)).alias("actual_n"),
+        )
+    )
+    return m.select(
+        F.col("cls").cast("int").alias("cls"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("actual_n").cast("bigint").alias("support"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("pred_n"), F.lit(0)), 6
+        ).alias("precision_"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("actual_n"), F.lit(0)),
+            6,
+        ).alias("recall_"),
+        F.round(
+            2.0 * F.col("tp") / F.nullif(F.col("pred_n") + F.col("actual_n"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    ).orderBy("cls")
+
+
+@register(
+    "ml_conformal_interval",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+  FROM v
+),
+fit AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+  FROM s
+),
+res AS (
+  SELECT CAST(ROUND(ABS(y - (a + b * x)), 0) AS BIGINT) AS r,
+         l_orderkey, l_linenumber
+  FROM v CROSS JOIN fit
+),
+ranked AS (
+  SELECT r,
+         ROW_NUMBER() OVER (ORDER BY r, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER () AS n
+  FROM res
+),
+q AS (
+  SELECT r AS q_cents, n
+  FROM ranked
+  WHERE rn = LEAST(CAST(CEIL((n + 1) * 0.9) AS BIGINT), n)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(q_cents AS DOUBLE) / 100.0 AS q_hat,
+       ROUND((SELECT CAST(SUM(CASE WHEN r <= q_cents THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*) FROM res), 6) AS coverage
+FROM q
+""",
+    tags=("ml", "conformal", "uncertainty", "regression", "pipeline"),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the price~quantity
+    regression: fit OLS from exact sufficient statistics, take the
+    ceil((n+1)*0.9)-th order statistic of the absolute residuals as
+    the 90% conformal radius q_hat, and report realized coverage —
+    the distribution-free uncertainty wrapper modern ML eval puts
+    around ANY point predictor (here the linear model doubles as the
+    demo predictor).
+
+    Exactness: the slope/intercept come from exact integer sums via
+    identical expression text; residuals quantize back to an exact
+    integer cents grid BEFORE ranking, so the conformal quantile is a
+    PICKED integer (order statistic by pinned rank with id tie-breaks)
+    and coverage is an integer ratio.
+
+    Scale: one sufficient-statistics pass (scalar), one residual map,
+    and ONE order statistic — found with operators/rank.py's
+    range-partitioned rank, not a single-partition sort; coverage is
+    a second map-side aggregate. Nothing quadratic, nothing driver-side.
+    """
+    from ..functions.exact import scaled_long
+    from ..operators.rank import global_row_number
+
+    prep(spark)
+    v = table(spark, sf_dir, "lineitem").select(
+        scaled_long("l_quantity").alias("x"),
+        scaled_long("l_extendedprice").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    s = v.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = s.select(n.alias("n"), b.alias("b"), ((sy - b * sx) / n).alias("a"))
+    res = v.crossJoin(F.broadcast(fit)).select(
+        F.round(F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))), 0)
+        .cast("long")
+        .alias("r"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_row_number(res, ["r", "l_orderkey", "l_linenumber"])
+    tot = res.agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("rn")
+            == F.least(
+                F.ceil((F.col("n") + 1) * 0.9).cast("long"), F.col("n")
+            )
+        )
+        .select(F.col("r").alias("q_cents"), "n")
+    )
+    cov = res.crossJoin(F.broadcast(q)).agg(
+        F.round(
+            F.sum(F.when(F.col("r") <= F.col("q_cents"), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("coverage")
+    )
+    return q.crossJoin(F.broadcast(cov)).select(
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("q_cents").cast("double") / 100.0).alias("q_hat"),
+        "coverage",
+    )

@@ -2091,3 +2091,144 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+picked AS (
+  SELECT * FROM r WHERE (rn - 1) % 20 = 0
+)
+SELECT COUNT(*) AS n_sampled,
+       CAST(MAX(n) AS BIGINT) AS n_total,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM picked
+""",
+    tags=("sampling", "systematic", "pipeline", "deterministic"),
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th, k=20) sampling over the doc_id order: the
+    evenly-spaced audit sample QA pulls when it wants coverage across
+    the WHOLE id range rather than hash-uniform randomness
+    (sample_kfold_assign / train_test_split are the hash family; this
+    is the rank family). Deterministic: rank over a total order, take
+    (rn-1) % k = 0.
+
+    Scale: the global rank rides operators/rank.py's range-partitioned
+    two-pass (never the single-partition window); the modulo filter and
+    audit rollup are map-side. The oracle's bare OVER () is fine — it
+    is DuckDB, not the engine.
+    """
+    from ..operators.rank import global_row_number
+
+    prep(spark)
+    doc = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tot = doc.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_row_number(doc, ["doc_id"])
+    picked = ranked.where((F.col("rn") - 1) % 20 == 0).crossJoin(
+        F.broadcast(tot)
+    )
+    return picked.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("n").cast("bigint").alias("n_total"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+@register(
+    "text_readability",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS n_words,
+         GREATEST(len(list_filter(
+           regexp_split_to_array(text, '[.!?]+'),
+           x -> trim(x) <> '')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syll AS BIGINT) AS n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syll AS DOUBLE) / NULLIF(n_words, 0)), 4)
+         AS flesch
+FROM d
+WHERE n_words > 0
+ORDER BY doc_id
+""",
+    tags=("text", "quality", "readability", "pipeline"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the standard cheap
+    syllable proxy (vowel-group count): the readability screen a
+    curation pipeline runs beside perplexity — too-easy text is
+    boilerplate, unreadable text is OCR junk — with words from the
+    whitespace tokenizer and sentences from [.!?]+ runs (min 1, so
+    fragment documents don't divide by zero).
+
+    Every count is an integer from the same regexes on both engines;
+    the Flesch formula is two integer-ratio divides assembled with
+    identical expression text.
+
+    Scale: pure map-side expression work (three regex passes per doc,
+    zero shuffles before the per-doc projection) — whole-stage codegen
+    keeps it JVM-side; at 100 TB this is scan-bound, exactly what a
+    quality screen should be.
+    """
+    prep(spark)
+    doc = table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    n_sent = F.greatest(
+        F.size(
+            F.filter(
+                F.split("text", "[.!?]+"), lambda x: F.trim(x) != ""
+            )
+        ),
+        F.lit(1),
+    )
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    d = doc.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syll"),
+    )
+    return (
+        d.where(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_sentences").cast("bigint").alias("n_sentences"),
+            F.col("n_syll").cast("bigint").alias("n_syllables"),
+            F.round(
+                F.lit(206.835)
+                - 1.015
+                * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                - 84.6
+                * (
+                    F.col("n_syll").cast("double")
+                    / F.nullif(F.col("n_words"), F.lit(0))
+                ),
+                4,
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
