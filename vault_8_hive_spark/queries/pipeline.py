@@ -1315,14 +1315,18 @@ s AS (
 ),
 fit AS (
   SELECT n,
-         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
-         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+         (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS b,
+         (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) * sx)
+           / n AS a
   FROM s
 ),
 res AS (
+  -- r IS NOT NULL: a zero-variance x draw NULLs the fit, and NULL rank
+  -- order differs across engines — drop before ranking on both
   SELECT CAST(ROUND(ABS(y - (a + b * x)), 0) AS BIGINT) AS r,
          l_orderkey, l_linenumber
   FROM v CROSS JOIN fit
+  WHERE a + b * x IS NOT NULL
 ),
 ranked AS (
   SELECT r,
@@ -1385,14 +1389,17 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
     )
     n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
-    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     fit = s.select(n.alias("n"), b.alias("b"), ((sy - b * sx) / n).alias("a"))
-    res = v.crossJoin(F.broadcast(fit)).select(
-        F.round(F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))), 0)
-        .cast("long")
-        .alias("r"),
-        "l_orderkey",
-        "l_linenumber",
+    pred = F.col("a") + F.col("b") * F.col("x")
+    res = (
+        v.crossJoin(F.broadcast(fit))
+        .where(pred.isNotNull())
+        .select(
+            F.round(F.abs(F.col("y") - pred), 0).cast("long").alias("r"),
+            "l_orderkey",
+            "l_linenumber",
+        )
     )
     ranked = global_row_number(res, ["r", "l_orderkey", "l_linenumber"])
     tot = res.agg(F.count(F.lit(1)).alias("n"))
