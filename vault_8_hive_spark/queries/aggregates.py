@@ -2928,3 +2928,105 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "agg_numeric_mi",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS q,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc
+  FROM lineitem
+),
+bounds AS (
+  SELECT MIN(q) AS qlo, MAX(q) AS qhi, MIN(disc) AS dlo, MAX(disc) AS dhi,
+         COUNT(*) AS n
+  FROM v
+),
+binned AS (
+  SELECT LEAST((q - qlo) * 10 // NULLIF(qhi - qlo + 1, 0), 9) AS qb,
+         LEAST((disc - dlo) * 10 // NULLIF(dhi - dlo + 1, 0), 9) AS db,
+         n
+  FROM v CROSS JOIN bounds
+),
+joint AS (SELECT qb, db, MAX(n) AS n, COUNT(*) AS c FROM binned GROUP BY qb, db),
+mq AS (SELECT qb, SUM(c) AS cq FROM joint GROUP BY qb),
+md AS (SELECT db, SUM(c) AS cd FROM joint GROUP BY db),
+terms AS (
+  SELECT j.c, j.n,
+         ROUND((CAST(j.c AS DOUBLE) / j.n)
+               * ln((CAST(j.c AS DOUBLE) * j.n)
+                    / (CAST(mq.cq AS DOUBLE) * md.cd)), 9) AS t
+  FROM joint j JOIN mq ON mq.qb = j.qb JOIN md ON md.db = j.db
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_cells,
+       ROUND(SUM(t), 6) AS mi_nats
+FROM terms
+""",
+    tags=("aggregate", "statistics", "mutual-information", "binning"),
+)
+def agg_numeric_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two NUMERIC columns (quantity,
+    discount) via 10x10 equi-width binning — the numeric companion of
+    agg_entropy_mi's categorical MI, and the screen that catches
+    nonlinear dependence corr/covar miss entirely.
+
+    Bin ids are pure integer arithmetic from exact integer bounds
+    ((x-lo)*10 DIV (hi-lo+1), clamped — integer floor division on BOTH
+    engines: DuckDB ROUNDS double->int casts where Spark truncates, so a
+    float-divide-then-cast spelling shifts boundary rows), so the
+    contingency table is
+    identical on both engines; each cell's p*ln(p/(px*py)) term is
+    rounded to 1e-9 before the <=100-term sum (round-before-sum), and
+    the empty-range NULLIF guards the constant-column draw.
+
+    Scale: one bounds pass + one 100-cell contingency aggregate over
+    the fact (both map-side combinable); everything after is cell math.
+    """
+    prep(spark)
+    v = table(spark, sf_dir, "lineitem").select(
+        scaled_long("l_quantity").alias("q"),
+        scaled_long("l_discount").alias("disc"),
+    )
+    bounds = v.agg(
+        F.min("q").alias("qlo"),
+        F.max("q").alias("qhi"),
+        F.min("disc").alias("dlo"),
+        F.max("disc").alias("dhi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qb = F.least(
+        F.expr("(q - qlo) * 10 DIV nullif(qhi - qlo + 1, 0)"), F.lit(9)
+    )
+    db = F.least(
+        F.expr("(disc - dlo) * 10 DIV nullif(dhi - dlo + 1, 0)"), F.lit(9)
+    )
+    binned = v.crossJoin(F.broadcast(bounds)).select(
+        qb.alias("qb"), db.alias("db"), "n"
+    )
+    joint = binned.groupBy("qb", "db").agg(
+        F.max("n").alias("n"), F.count(F.lit(1)).alias("c")
+    )
+    mq = joint.groupBy("qb").agg(F.sum("c").alias("cq"))
+    md = joint.groupBy("db").agg(F.sum("c").alias("cd"))
+    terms = (
+        joint.join(F.broadcast(mq), "qb")
+        .join(F.broadcast(md), "db")
+        .select(
+            "n",
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("c").cast("double") * F.col("n"))
+                    / (F.col("cq").cast("double") * F.col("cd"))
+                ),
+                9,
+            ).alias("t"),
+        )
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("t"), 6).alias("mi_nats"),
+    )

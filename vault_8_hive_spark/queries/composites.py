@@ -261,6 +261,9 @@ _composite(
         ("ols_multi", "agg_ols_multi",
          {"grp": "'lineitem'", "n1": "n", "d1": "b0", "d2": "b1",
           "d3": "b2", "d4": "r2"}),
+        ("numeric_mi", "agg_numeric_mi",
+         {"grp": "'numeric_mi'", "n1": "n_rows", "n2": "n_cells",
+          "d1": "mi_nats"}),
     ],
     tags=("agg", "approx", "stats", "regression", "composite"),
 )
@@ -731,6 +734,9 @@ _composite(
         ("rolling_corr", "events_rolling_correlation",
          {"ts1": "d", "i1": "n", "n": "CAST(n AS BIGINT)",
           "d1": "rolling_corr"}),
+        ("burstiness", "events_burstiness",
+         {"i1": "CAST(user_id AS INT)", "n": "n_gaps",
+          "d1": "burstiness"}),
         ("kaplan_meier", "events_kaplan_meier",
          {"i1": "duration_days", "n": "n_risk", "d1": "survival",
           "s1": "CAST(d_events AS STRING)"}),
@@ -986,6 +992,9 @@ _composite(
           "d2": "eigval_cov"}),
         ("jl", "vec_jl_projection",
          {"a": "vec_id", "i1": "rn", "n1": "dist2"}),
+        ("separability", "vec_class_separability",
+         {"a": "CAST(label_a AS BIGINT)", "b": "CAST(label_b AS BIGINT)",
+          "d1": "centroid_dist2", "d2": "separability"}),
         ("embedding_drift", "vec_embedding_drift",
          {"a": "n_a", "b": "n_b", "d1": "centroid_l2",
           "d2": "centroid_cos", "d3": "max_dim_gap"}),

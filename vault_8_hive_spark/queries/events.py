@@ -3221,3 +3221,101 @@ def events_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "events_burstiness",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events
+),
+gaps AS (
+  SELECT user_id,
+         date_diff('second', prev_ts, ts) AS gap
+  FROM o WHERE prev_ts IS NOT NULL
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(gap) AS sg, SUM(gap * gap) AS sgg
+  FROM gaps GROUP BY user_id
+  HAVING COUNT(*) >= 20
+),
+b AS (
+  SELECT user_id, n,
+         CAST(sg AS DOUBLE) / n AS mu,
+         SQRT((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n) / n)
+           AS sigma
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       ROUND(mu, 6) AS mean_gap_s,
+       ROUND((sigma - mu) / NULLIF(sigma + mu, 0.0), 6) AS burstiness
+FROM b
+ORDER BY burstiness DESC, user_id
+LIMIT 20
+""",
+    tags=("events", "time-series", "burstiness", "inter-arrival"),
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness of inter-arrival times: B = (sigma - mu) /
+    (sigma + mu) over the gaps between consecutive events (Goh-Barabasi
+    coefficient; -1 = metronome, 0 = Poisson, ->1 = bursty). The
+    temporal-shape screen that separates scripted/bot traffic (B near
+    -1) from bursty humans at identical event COUNTS — a signal rate
+    limiting and bot-detection both key on.
+
+    Gaps are exact integer seconds (LAG over a user-partitioned window
+    with event_id tie-breaks); (n, sum, sum-of-squares) are exact
+    int64 sufficient statistics; sigma/mu assemble per user with
+    identical text, and one-gap-flat users hit the NULLIF. Users need
+    >= 20 gaps so the statistic means something.
+
+    Scale: one user-partitioned window pass + one grouped reduction —
+    co-partitioned after a single shuffle on user_id; top-20 is a
+    TakeOrdered heap.
+    """
+    from pyspark.sql import Window
+
+    prep(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gaps = o.where(F.col("prev_ts").isNotNull()).select(
+        "user_id",
+        (
+            F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+        ).alias("gap"),
+    )
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+        )
+        .where(F.col("n") >= 20)
+    )
+    mu = F.col("sg").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (
+            F.col("sgg").cast("double")
+            - F.col("sg").cast("double") * F.col("sg") / F.col("n")
+        )
+        / F.col("n")
+    )
+    return (
+        s.select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.round(
+                (sigma - mu) / F.nullif(sigma + mu, F.lit(0.0)), 6
+            ).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), "user_id")
+        .limit(20)
+    )

@@ -1867,3 +1867,139 @@ def vec_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .orderBy("rn")
     )
+
+
+@register(
+    "vec_class_separability",
+    oracle="""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id, label,
+         g.d,
+         CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS x4
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)
+),
+cent AS MATERIALIZED (
+  SELECT label, d, SUM(x4) AS s, COUNT(*) AS n_l
+  FROM dims GROUP BY label, d
+),
+-- mean-based double arithmetic: (x - s/n)^2 with the identical IEEE
+-- op order in both engines; no integer product can overflow at scale
+within AS (
+  SELECT v.label,
+         SUM(ROUND((v.x4 - CAST(c.s AS DOUBLE) / c.n_l)
+                   * (v.x4 - CAST(c.s AS DOUBLE) / c.n_l), 6)) AS ssw,
+         MAX(c.n_l) AS n_l
+  FROM dims v JOIN cent c ON c.label = v.label AND c.d = v.d
+  GROUP BY v.label
+),
+pairs AS (
+  SELECT a.label AS la, b.label AS lb,
+         SUM(ROUND((CAST(a.s AS DOUBLE) / a.n_l
+                    - CAST(b.s AS DOUBLE) / b.n_l)
+                   * (CAST(a.s AS DOUBLE) / a.n_l
+                      - CAST(b.s AS DOUBLE) / b.n_l), 6)) AS dist2
+  FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(p.la AS INT) AS label_a, CAST(p.lb AS INT) AS label_b,
+       ROUND(p.dist2 / 1e8, 6) AS centroid_dist2,
+       ROUND(p.dist2 / NULLIF(wa.ssw / wa.n_l + wb.ssw / wb.n_l, 0.0), 6)
+         AS separability
+FROM pairs p
+JOIN within wa ON wa.label = p.la
+JOIN within wb ON wb.label = p.lb
+ORDER BY separability DESC, label_a, label_b
+LIMIT 15
+""",
+    tags=("vectors", "separability", "diagnostics", "fisher"),
+)
+def vec_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability diagnostic over the embedding space: for each
+    label pair, squared centroid distance vs the sum of mean
+    within-class scatters (a Fisher-criterion flavor) — the
+    embedding-quality check that says WHICH classes a fine-tune
+    actually separated, beside vec_embedding_drift (same space over
+    time) and ml_nearest_centroid (the classifier those centroids
+    power). Top-15 most separable pairs.
+
+    Exactness: per-dim terms are (x - s/n)^2 in doubles with the
+    IDENTICAL op order on both engines (s and n exact integers; the
+    first integer-product spelling overflowed int64 at 25x scale —
+    mean-based arithmetic has no overflow at any corpus size), each
+    rounded to 1e-6 before the 64-term sum, and the final ratio
+    divides once with a NULLIF zero-scatter guard.
+
+    Scale: one exploded pass for centroids, one for within-class
+    scatter (both map-side combinable); pairwise distances run on the
+    |labels| x |dims| centroid table — never row-pairs.
+    """
+    prep(spark)
+    dims = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("d0", "x"))
+        .select(
+            "label",
+            (F.col("d0") + 1).alias("d"),
+            F.floor(F.col("x").cast("double") * 10_000 + F.lit(0.5))
+            .cast("long")
+            .alias("x4"),
+        )
+    )
+    cent = dims.groupBy("label", "d").agg(
+        F.sum("x4").alias("s"), F.count(F.lit(1)).alias("n_l")
+    )
+    wdiff = F.col("x4") - F.col("s").cast("double") / F.col("n_l")
+    within = (
+        dims.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.round(wdiff * wdiff, 6)).alias("ssw"),
+            F.max("n_l").alias("n_l"),
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "d",
+        F.col("s").alias("sa"), F.col("n_l").alias("na"),
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), F.col("d").alias("db"),
+        F.col("s").alias("sb"), F.col("n_l").alias("nb"),
+    )
+    cdiff = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    pairs = (
+        a.join(b, (F.col("d") == F.col("db")) & (F.col("la") < F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.round(cdiff * cdiff, 6)).alias("dist2"))
+    )
+    wa = within.select(
+        F.col("label").alias("la"), F.col("ssw").alias("ssw_a"),
+        F.col("n_l").alias("nla"),
+    )
+    wb = within.select(
+        F.col("label").alias("lb"), F.col("ssw").alias("ssw_b"),
+        F.col("n_l").alias("nlb"),
+    )
+    return (
+        pairs.join(F.broadcast(wa), "la")
+        .join(F.broadcast(wb), "lb")
+        .select(
+            F.col("la").cast("int").alias("label_a"),
+            F.col("lb").cast("int").alias("label_b"),
+            F.round(F.col("dist2") / 1e8, 6).alias("centroid_dist2"),
+            F.round(
+                F.col("dist2")
+                / F.nullif(
+                    F.col("ssw_a") / F.col("nla")
+                    + F.col("ssw_b") / F.col("nlb"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("separability"),
+        )
+        .orderBy(F.desc("separability"), "label_a", "label_b")
+        .limit(15)
+    )
