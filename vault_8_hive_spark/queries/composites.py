@@ -737,6 +737,12 @@ _composite(
         ("burstiness", "events_burstiness",
          {"i1": "CAST(user_id AS INT)", "n": "n_gaps",
           "d1": "burstiness"}),
+        ("ab_test", "events_ab_proportion_test",
+         {"n": "n_a", "i1": "CAST(n_b AS INT)", "d1": "z_stat",
+          "s1": "CAST(ROUND(srm_chi2, 4) AS STRING)"}),
+        ("cuped", "events_cuped",
+         {"s1": "arm", "n": "n_users", "d1": "variance_reduction",
+          "i1": "CAST(ROUND(mean_cuped, 0) AS INT)"}),
         ("kaplan_meier", "events_kaplan_meier",
          {"i1": "duration_days", "n": "n_risk", "d1": "survival",
           "s1": "CAST(d_events AS STRING)"}),

@@ -3319,3 +3319,286 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "events_ab_proportion_test",
+    oracle="""
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events
+  GROUP BY user_id
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+  FROM users GROUP BY arm
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+         MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+         MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+  FROM arms
+),
+z AS (
+  SELECT na, ca, nb, cb,
+         CAST(ca AS DOUBLE) / na AS pa,
+         CAST(cb AS DOUBLE) / nb AS pb,
+         CAST(ca + cb AS DOUBLE) / (na + nb) AS pp
+  FROM w
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(pa, 6) AS conv_a,
+       ROUND(pb, 6) AS conv_b,
+       ROUND((pa - pb)
+             / NULLIF(SQRT(pp * (1.0 - pp)
+                           * (1.0 / na + 1.0 / nb)), 0.0), 6) AS z_stat,
+       ROUND((CAST(na - nb AS DOUBLE) * (na - nb))
+             / (CAST(na + nb AS DOUBLE)), 6) AS srm_chi2
+FROM z
+WHERE na > 0 AND nb > 0
+""",
+    tags=("events", "ab-test", "experimentation", "hypothesis-test"),
+)
+def events_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment (arms = user-id
+    parity, metric = converted-to-purchase), plus the sample-ratio-
+    mismatch chi-square on arm sizes (chi2 = (na-nb)^2/(na+nb) for the
+    50/50 design — the FIRST check an experimentation platform runs;
+    a significant SRM invalidates the experiment before any metric is
+    read). The core experimentation primitive beside Welch t (means)
+    and chi-square independence (categoricals).
+
+    Per-user conversion flags are exact integers via one grouped MAX;
+    both test statistics assemble from four exact counts with identical
+    expression text and NULLIF degenerate guards.
+
+    Scale: ONE reduction of the fact to per-user flags (map-side
+    combinable), then a 2-row arm rollup — the entire test reads the
+    fact once whatever its size.
+    """
+    prep(spark)
+    users = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+            "converted",
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    na, ca, nb, cb = (F.col(c) for c in ("na", "ca", "nb", "cb"))
+    pa = ca.cast("double") / na
+    pb = cb.cast("double") / nb
+    pp = (ca + cb).cast("double") / (na + nb)
+    return w.where((na > 0) & (nb > 0)).select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(pa, 6).alias("conv_a"),
+        F.round(pb, 6).alias("conv_b"),
+        F.round(
+            (pa - pb)
+            / F.nullif(
+                F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), F.lit(0.0)
+            ),
+            6,
+        ).alias("z_stat"),
+        F.round(
+            ((na - nb).cast("double") * (na - nb))
+            / (na + nb).cast("double"),
+            6,
+        ).alias("srm_chi2"),
+    )
+
+
+@register(
+    "events_cuped",
+    oracle="""
+WITH span AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         SUM(CASE WHEN epoch_us(ts) < mid_us
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS x,
+         SUM(CASE WHEN epoch_us(ts) >= mid_us
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS y
+  FROM events CROSS JOIN span
+  GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM per_user
+),
+theta AS (
+  SELECT n, sx, sy, syy,
+         (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS th
+  FROM s
+),
+adj AS (
+  SELECT p.arm,
+         COUNT(*) AS n_arm,
+         SUM(ROUND(p.y - t.th * (p.x - t.sx / t.n), 4)) AS s_adj,
+         SUM(ROUND((p.y - t.th * (p.x - t.sx / t.n))
+                   * (p.y - t.th * (p.x - t.sx / t.n)), 4)) AS s_adj2,
+         SUM(p.y) AS s_raw
+  FROM per_user p CROSS JOIN theta t
+  GROUP BY p.arm
+),
+tot AS (
+  SELECT t.n, t.sy, t.syy, t.th,
+         (SELECT SUM(s_adj2) FROM adj) AS all_adj2,
+         (SELECT SUM(s_adj) FROM adj) AS all_adj
+  FROM theta t
+)
+SELECT a.arm,
+       CAST(a.n_arm AS BIGINT) AS n_users,
+       ROUND(CAST(a.s_raw AS DOUBLE) / a.n_arm / 100.0, 6) AS mean_raw,
+       ROUND(a.s_adj / a.n_arm / 100.0, 6) AS mean_cuped,
+       ROUND(1.0 - ((t.all_adj2 - t.all_adj * t.all_adj / t.n) / t.n)
+                   / NULLIF((t.syy - t.sy * t.sy / t.n) / t.n, 0.0), 6)
+         AS variance_reduction
+FROM adj a CROSS JOIN tot t
+ORDER BY a.arm
+""",
+    tags=("events", "ab-test", "cuped", "variance-reduction",
+          "experimentation"),
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B experiment: each user's
+    post-period metric y is adjusted by theta*(x - mean_x) where x is
+    the user's PRE-period value (first half of the time range) and
+    theta = cov(x,y)/var(x) — the industry-standard trick that shrinks
+    experiment variance using pre-experiment behavior, reported as
+    per-arm raw vs adjusted means and the overall variance-reduction
+    fraction (1 - var_adj/var_raw).
+
+    Exactness: per-user x/y are exact integer cents; theta and the
+    means come from exact sufficient sums with one NULLIF-guarded
+    divide; each user's adjusted value is rounded to 1e-4 before the
+    per-arm sums (round-before-sum) so both engines add identical
+    doubles.
+
+    Scale: ONE pass over the fact into per-user (x, y) pairs, one
+    sufficient-statistics rollup, one broadcast of the 1-row theta
+    back over users — the fact never shuffles twice.
+    """
+    prep(spark)
+    cents = scaled_long("value")
+    # exact integer-microsecond midpoint: both engines floor-divide the
+    # same two integers (a timestamp/interval spelling truncates to
+    # seconds on one engine and not the other)
+    span = table(spark, sf_dir, "events").agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2").alias(
+            "mid_us"
+        )
+    )
+    per_user = (
+        table(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(span))
+        .groupBy("user_id", "mid_us")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("mid_us"), cents).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.unix_micros("ts") >= F.col("mid_us"), cents).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    )
+    theta = s.select(
+        n.alias("n"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        syy.alias("syy"),
+        ((n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))).alias(
+            "th"
+        ),
+    )
+    adjv = F.round(
+        F.col("y") - F.col("th") * (F.col("x") - F.col("sx") / F.col("n")), 4
+    )
+    adj = (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_arm"),
+            F.sum(adjv).alias("s_adj"),
+            F.sum(adjv * adjv).alias("s_adj2"),
+            F.sum("y").alias("s_raw"),
+            F.max("n").alias("n"),
+            F.max("sy").alias("sy"),
+            F.max("syy").alias("syy"),
+        )
+    )
+    allagg = adj.agg(
+        F.sum("s_adj2").alias("all_adj2"), F.sum("s_adj").alias("all_adj")
+    )
+    var_red = F.round(
+        1.0
+        - (
+            (F.col("all_adj2") - F.col("all_adj") * F.col("all_adj") / F.col("n"))
+            / F.col("n")
+        )
+        / F.nullif(
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / F.col("n"),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        adj.crossJoin(F.broadcast(allagg))
+        .select(
+            "arm",
+            F.col("n_arm").cast("bigint").alias("n_users"),
+            F.round(
+                F.col("s_raw").cast("double") / F.col("n_arm") / 100.0, 6
+            ).alias("mean_raw"),
+            F.round(F.col("s_adj") / F.col("n_arm") / 100.0, 6).alias(
+                "mean_cuped"
+            ),
+            var_red.alias("variance_reduction"),
+        )
+        .orderBy("arm")
+    )
