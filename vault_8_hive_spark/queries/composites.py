@@ -627,6 +627,9 @@ _composite(
         ("group_by_all", "sql_group_by_all",
          {"metric": "'gba_' || o_orderpriority || '_' || o_orderstatus",
           "value": "total", "n": "n_orders"}),
+        ("backlog", "orders_open_backlog",
+         {"metric": "'backlog_' || CAST(CAST(d AS DATE) AS STRING)",
+          "value": "CAST(open_orders AS DOUBLE)", "n": "open_orders"}),
     ],
     tags=("scan", "filter", "agg", "semi", "outer", "anti", "composite"),
 )

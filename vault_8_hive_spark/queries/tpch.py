@@ -1164,3 +1164,88 @@ GROUP BY ALL
 ORDER BY ALL
 """
     )
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+WITH spans AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS d0,
+         CAST(MAX(l.l_shipdate) AS DATE) AS d1
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+  SELECT d0 AS d, 1 AS delta FROM spans
+  UNION ALL
+  SELECT d1 + INTERVAL 1 DAY, -1 FROM spans
+),
+daily AS (SELECT CAST(d AS DATE) AS d, SUM(delta) AS dd FROM deltas GROUP BY 1),
+cum AS (
+  SELECT d, SUM(dd) OVER (ORDER BY d) AS open_orders
+  FROM daily
+)
+SELECT CAST(d AS TIMESTAMP) AS d,
+       CAST(open_orders AS BIGINT) AS open_orders,
+       CAST(RANK() OVER (ORDER BY open_orders DESC) AS INT) AS rnk
+FROM cum
+QUALIFY ROW_NUMBER() OVER (ORDER BY open_orders DESC, d) <= 15
+ORDER BY open_orders DESC, d
+""",
+    tags=("scan", "interval", "backlog", "time-series", "delta-encoding"),
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by interval stabbing: each order is
+    'open' from its order date until its last line ships; the daily
+    concurrency count comes from DELTA ENCODING (+1 at start, -1 the
+    day after end) and ONE running sum over the daily deltas — the
+    standard scalable spelling of 'how many intervals cover each day'
+    (the naive days x orders stab join is quadratic; this is linear
+    with a date-sized cumulative tail). Top-15 peak-backlog days with
+    their dense rank.
+
+    Counts are exact integers end to end; the only window runs over
+    the DAY-level reduction (bounded by calendar span, thousands of
+    rows at any SF), never the fact — the same post-reduction posture
+    as the daily-series smoothers.
+
+    Scale: one per-order MAX reduction (map-side combinable), one
+    2-rows-per-order delta projection, one day rollup; the fact is
+    scanned once.
+    """
+    from pyspark.sql import Window
+
+    prep(spark)
+    spans = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(
+            F.to_date("o_orderdate").alias("d0"),
+            F.date_add(F.to_date("ship_end"), 1).alias("d1"),
+        )
+    )
+    deltas = spans.select(F.col("d0").alias("d"), F.lit(1).alias("delta")).unionByName(
+        spans.select(F.col("d1").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("dd"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select("d", F.sum("dd").over(wcum).alias("open_orders"))
+    wtop = Window.orderBy(F.desc("open_orders"), "d")
+    wrnk = Window.orderBy(F.desc("open_orders"))
+    return (
+        cum.select(
+            F.col("d").cast("timestamp").alias("d"),
+            F.col("open_orders").cast("bigint").alias("open_orders"),
+            F.rank().over(wrnk).cast("int").alias("rnk"),
+            F.row_number().over(wtop).alias("_rn"),
+        )
+        .where(F.col("_rn") <= 15)
+        .drop("_rn")
+        .orderBy(F.desc("open_orders"), "d")
+    )
