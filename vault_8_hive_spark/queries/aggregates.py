@@ -3030,3 +3030,72 @@ def agg_numeric_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.round(F.sum("t"), 6).alias("mi_nats"),
     )
+
+
+@register(
+    "agg_wilson_interval",
+    oracle="""
+WITH conv AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+s AS (SELECT COUNT(*) AS n, SUM(y) AS k FROM conv),
+w AS (
+  SELECT n, k,
+         CAST(k AS DOUBLE) / n AS p,
+         1.959963985 AS z
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       ROUND(p, 6) AS p_hat,
+       ROUND((p + z * z / (2 * n)
+              - z * SQRT((p * (1 - p) + z * z / (4 * n)) / n))
+             / (1 + z * z / n), 6) AS wilson_lo,
+       ROUND((p + z * z / (2 * n)
+              + z * SQRT((p * (1 - p) + z * z / (4 * n)) / n))
+             / (1 + z * z / n), 6) AS wilson_hi
+FROM w
+WHERE n > 0
+""",
+    tags=("aggregate", "statistics", "confidence-interval", "wilson"),
+)
+def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the user conversion
+    rate — the proportion CI that behaves at p near 0/1 and small n
+    where the naive Wald interval collapses; the per-metric error bar
+    every experiment readout and quality dashboard needs (the analytic
+    complement of agg_bootstrap_ci's resampled intervals).
+
+    One exact (n, k) reduction; the Wilson closed form assembles from
+    those two integers with identical expression text on both engines
+    (z = 1.959963985 inlined as the same literal).
+
+    Scale: one grouped MAX to per-user flags, one scalar rollup — the
+    fact is read once; grouped variants (CI per segment/day) keep the
+    same shape with the formula applied per group row.
+    """
+    prep(spark)
+    conv = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    s = conv.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("k"))
+    p = F.col("k").cast("double") / F.col("n")
+    z = F.lit(1.959963985)
+    n = F.col("n")
+    half = z * F.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+    center = p + z * z / (2 * n)
+    denom = 1 + z * z / n
+    return s.where(n > 0).select(
+        n.cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

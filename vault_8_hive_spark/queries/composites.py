@@ -264,6 +264,9 @@ _composite(
         ("numeric_mi", "agg_numeric_mi",
          {"grp": "'numeric_mi'", "n1": "n_rows", "n2": "n_cells",
           "d1": "mi_nats"}),
+        ("wilson", "agg_wilson_interval",
+         {"grp": "'wilson'", "n1": "n", "n2": "k", "d1": "p_hat",
+          "d2": "wilson_lo", "d3": "wilson_hi"}),
     ],
     tags=("agg", "approx", "stats", "regression", "composite"),
 )
@@ -743,6 +746,9 @@ _composite(
         ("ab_test", "events_ab_proportion_test",
          {"n": "n_a", "i1": "CAST(n_b AS INT)", "d1": "z_stat",
           "s1": "CAST(ROUND(srm_chi2, 4) AS STRING)"}),
+        ("diff_in_diff", "events_diff_in_diff",
+         {"n": "n_events", "d1": "did",
+          "s1": "CAST(ROUND(b_post, 2) AS STRING)"}),
         ("cuped", "events_cuped",
          {"s1": "arm", "n": "n_users", "d1": "variance_reduction",
           "i1": "CAST(ROUND(mean_cuped, 0) AS INT)"}),

@@ -3602,3 +3602,113 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+WITH span AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+  FROM events
+),
+cells AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN epoch_us(ts) < mid_us THEN 'pre' ELSE 'post' END
+           AS period,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events CROSS JOIN span
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT MAX(CASE WHEN arm='A' AND period='pre'
+                  THEN CAST(cents AS DOUBLE) / n END) AS a_pre,
+         MAX(CASE WHEN arm='A' AND period='post'
+                  THEN CAST(cents AS DOUBLE) / n END) AS a_post,
+         MAX(CASE WHEN arm='B' AND period='pre'
+                  THEN CAST(cents AS DOUBLE) / n END) AS b_pre,
+         MAX(CASE WHEN arm='B' AND period='post'
+                  THEN CAST(cents AS DOUBLE) / n END) AS b_post,
+         SUM(n) AS n_events
+  FROM cells
+)
+SELECT CAST(n_events AS BIGINT) AS n_events,
+       ROUND(a_pre / 100.0, 6) AS a_pre,
+       ROUND(a_post / 100.0, 6) AS a_post,
+       ROUND(b_pre / 100.0, 6) AS b_pre,
+       ROUND(b_post / 100.0, 6) AS b_post,
+       ROUND(((b_post - b_pre) - (a_post - a_pre)) / 100.0, 6) AS did
+FROM w
+WHERE a_pre IS NOT NULL AND a_post IS NOT NULL
+  AND b_pre IS NOT NULL AND b_post IS NOT NULL
+""",
+    tags=("events", "experimentation", "diff-in-diff", "causal"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treatment effect = (B_post - B_pre) -
+    (A_post - A_pre) over per-event mean values, arms by user parity
+    and periods split at the exact integer-microsecond midpoint (same
+    split discipline as events_cuped) — the causal-inference workhorse
+    when only the treated arm changes and trends are parallel.
+
+    All four cell means are exact-integer-sum / exact-count single
+    divides; the DiD assembles from them with identical text; a draw
+    missing any cell yields zero rows on both engines.
+
+    Scale: ONE grouped aggregate over the fact into 4 cells. Nothing
+    else touches the data.
+    """
+    prep(spark)
+    cents = scaled_long("value")
+    span = table(spark, sf_dir, "events").agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2").alias(
+            "mid_us"
+        )
+    )
+    cells = (
+        table(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(span))
+        .groupBy(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+            F.when(F.unix_micros("ts") < F.col("mid_us"), "pre")
+            .otherwise("post")
+            .alias("period"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    mean = F.col("cents").cast("double") / F.col("n")
+
+    def cell(arm: str, period: str):
+        return F.max(
+            F.when(
+                (F.col("arm") == arm) & (F.col("period") == period), mean
+            )
+        )
+
+    w = cells.agg(
+        cell("A", "pre").alias("a_pre"),
+        cell("A", "post").alias("a_post"),
+        cell("B", "pre").alias("b_pre"),
+        cell("B", "post").alias("b_post"),
+        F.sum("n").alias("n_events"),
+    )
+    return w.where(
+        F.col("a_pre").isNotNull()
+        & F.col("a_post").isNotNull()
+        & F.col("b_pre").isNotNull()
+        & F.col("b_post").isNotNull()
+    ).select(
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("a_pre") / 100.0, 6).alias("a_pre"),
+        F.round(F.col("a_post") / 100.0, 6).alias("a_post"),
+        F.round(F.col("b_pre") / 100.0, 6).alias("b_pre"),
+        F.round(F.col("b_post") / 100.0, 6).alias("b_post"),
+        F.round(
+            (
+                (F.col("b_post") - F.col("b_pre"))
+                - (F.col("a_post") - F.col("a_pre"))
+            )
+            / 100.0,
+            6,
+        ).alias("did"),
+    )
