@@ -752,6 +752,9 @@ _composite(
         ("cuped", "events_cuped",
          {"s1": "arm", "n": "n_users", "d1": "variance_reduction",
           "i1": "CAST(ROUND(mean_cuped, 0) AS INT)"}),
+        ("cdc_asof", "events_cdc_asof",
+         {"i1": "CAST(key AS INT)", "s1": "last_type", "n": "n_ops_asof",
+          "d1": "last_value"}),
         ("kaplan_meier", "events_kaplan_meier",
          {"i1": "duration_days", "n": "n_risk", "d1": "survival",
           "s1": "CAST(d_events AS STRING)"}),
@@ -953,6 +956,9 @@ _composite(
         ("systematic", "sample_systematic",
          {"k1": "first_doc", "k2": "last_doc", "n1": "n_sampled",
           "n2": "n_total", "n3": "n_langs", "n4": "sampled_chars"}),
+        ("er", "er_pipeline",
+         {"k1": "canonical_key", "k2": "CAST(rk AS BIGINT)",
+          "n1": "cluster_size"}),
     ],
     tags=("text", "pipeline", "sampling", "curation", "composite"),
 )

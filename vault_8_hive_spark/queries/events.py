@@ -3712,3 +3712,98 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did"),
     )
+
+
+@register(
+    "events_cdc_asof",
+    oracle="""
+WITH cut AS (
+  -- make_timestamp(micros): exact integer construction — a /1e6 float
+  -- round-trip drifts ~400us at 2024 epochs vs Spark's timestamp_micros
+  SELECT make_timestamp(
+           epoch_us(MIN(ts)) + 3 * (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+           // 4) AS t
+  FROM events
+),
+log AS (
+  SELECT user_id AS key, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+           AS op,
+         event_type, value
+  FROM events CROSS JOIN cut
+  WHERE ts <= cut.t
+),
+latest AS (
+  SELECT key, op, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS n_ops
+  FROM log
+)
+SELECT key, event_type AS last_type, ROUND(value, 6) AS last_value,
+       CAST(n_ops AS BIGINT) AS n_ops_asof
+FROM latest
+WHERE rn = 1 AND op = 'upsert'
+""",
+    tags=("events", "cdc", "time-travel", "as-of"),
+)
+def events_cdc_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) state reconstruction from the CDC log: the
+    same last-writer-wins materialization as events_cdc_apply, but cut
+    at T = 75% through the log's time range — the time-travel query a
+    lakehouse answers from snapshots, answered here from the raw log by
+    filtering ops to ts <= T BEFORE the per-key window. Together the
+    pair demonstrates that any historical state is a filter parameter
+    away (at the cost of replaying the log — the recorded trade-off of
+    log-only storage vs checkpointed snapshots, SCALE.md row-level ops).
+
+    The cut instant derives from exact integer microseconds (DIV
+    arithmetic, same discipline as events_cuped) so both engines
+    keep/drop identical rows at the boundary.
+
+    Scale: the ts <= T predicate pushes into the scan (row groups past
+    the cut never decompress); the rest is events_cdc_apply's single
+    key-partitioned window.
+    """
+    from pyspark.sql import Window
+
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr(
+            "timestamp_micros(unix_micros(min(ts))"
+            " + 3 * (unix_micros(max(ts)) - unix_micros(min(ts))) DIV 4)"
+        ).alias("t")
+    )
+    log = (
+        ev.crossJoin(F.broadcast(cut))
+        .where(F.col("ts") <= F.col("t"))
+        .select(
+            F.col("user_id").alias("key"),
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            "event_type",
+            "value",
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = log.select(
+        "key",
+        "op",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("n_ops"),
+    )
+    return (
+        latest.where((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select(
+            "key",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+            F.col("n_ops").cast("bigint").alias("n_ops_asof"),
+        )
+    )

@@ -1426,3 +1426,132 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q_cents").cast("double") / 100.0).alias("q_hat"),
         "coverage",
     )
+
+
+_ER_SHIFT = 10_000_000
+
+
+@register(
+    "er_pipeline",
+    oracle=f"""
+WITH RECURSIVE corpus AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + {_ER_SHIFT},
+         regexp_replace(c_name, '#0', '#O'),
+         c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+  FROM customer WHERE c_custkey % 11 = 0
+),
+pairs AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM corpus a JOIN corpus b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE a.cents = b.cents
+    AND levenshtein(a.c_name, b.c_name) <= 2
+),
+ee AS (SELECT ka AS s, kb AS d FROM pairs UNION SELECT kb, ka FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM ee),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT ee.s, reach.r FROM ee JOIN reach ON ee.d = reach.node
+),
+lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS canonical_key,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(ROW_NUMBER() OVER (ORDER BY cluster_size DESC, cluster_id)
+            AS INT) AS rk
+FROM sizes
+QUALIFY rk <= 20
+ORDER BY rk
+""",
+    tags=("pipeline", "entity-resolution", "blocking", "fuzzy",
+          "iterative"),
+    rebuild_per_run=True,
+)
+def er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: a corpus with injected near-
+    duplicate records (every 11th customer re-enters with a '#0'->'#O'
+    name typo — anchored to the unique '#' so BOTH engines replace
+    exactly one character; bare '0' would hit all digits on Spark and
+    only the first on DuckDB) runs BLOCK -> SCORE -> CLUSTER -> CANONICALIZE in one
+    plan — blocking on (nation, segment) bounds the quadratic term to
+    block size, scoring is exact-balance equality + levenshtein <= 2 on
+    candidates ONLY, matches close transitively through the min-label
+    components loop (operators/components.py), and each cluster
+    reports its canonical (min) key — the full dedup-merge pipeline a
+    master-data system runs, composed from the engine's own operators
+    (join_fuzzy_linkage's scoring, text_dedup_clusters' clustering).
+
+    The oracle is an independent recursive-CTE transitive closure over
+    the same blocked-scored pair set.
+
+    Scale: never all-pairs — candidate generation is an equi-join on
+    the block key (salt hot blocks like reco's cap if a block explodes);
+    the propagation loop is Pregel-shaped with diameter-bounded rounds.
+    """
+    from ..functions.exact import scaled_long
+    from ..operators.components import connected_components
+
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        scaled_long("c_acctbal").alias("cents"),
+    )
+    mutated = (
+        cust.where(F.col("c_custkey") % 11 == 0)
+        .select(
+            (F.col("c_custkey") + _ER_SHIFT).alias("c_custkey"),
+            F.regexp_replace("c_name", "#0", "#O").alias("c_name"),
+            "c_nationkey",
+            "c_mktsegment",
+            scaled_long("c_acctbal").alias("cents"),
+        )
+    )
+    corpus = base.unionByName(mutated)
+    b = corpus.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("cents").alias("cents_b"),
+    )
+    pairs = (
+        corpus.join(
+            b,
+            (F.col("c_nationkey") == F.col("nk"))
+            & (F.col("c_mktsegment") == F.col("seg"))
+            & (F.col("c_custkey") < F.col("kb")),
+        )
+        .where(
+            (F.col("cents") == F.col("cents_b"))
+            & (F.levenshtein("c_name", "name_b") <= 2)
+        )
+        .select(F.col("c_custkey").alias("ka"), "kb")
+    )
+    labels = connected_components(pairs, "ka", "kb")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    w = Window.orderBy(F.desc("cluster_size"), "cluster_id")
+    return (
+        sizes.select(
+            F.col("cluster_id").cast("bigint").alias("canonical_key"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= 20)
+        .orderBy("rk")
+    )
