@@ -959,6 +959,8 @@ _composite(
         ("er", "er_pipeline",
          {"k1": "canonical_key", "k2": "CAST(rk AS BIGINT)",
           "n1": "cluster_size"}),
+        ("lsh_recall", "text_lsh_recall_audit",
+         {"n1": "n_truth", "n2": "n_lsh", "n3": "n_hit", "d1": "recall"}),
     ],
     tags=("text", "pipeline", "sampling", "curation", "composite"),
 )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..session import prep
-from . import register
+from . import QUERIES, register
 
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band = 2
@@ -2231,4 +2231,103 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    lsh = QUERIES["text_minhash_lsh"].oracle
+    return f"""
+WITH truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(words)-2),
+                             i -> words[i]||' '||words[i+1]||' '||words[i+2]))
+                 AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 300) w
+        WHERE len(words) >= 3) a
+  JOIN (SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(words)-2),
+                             i -> words[i]||' '||words[i+1]||' '||words[i+2]))
+                 AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 300) w
+        WHERE len(words) >= 3) b
+    ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+),
+lsh AS (
+  SELECT doc_a, doc_b FROM ({lsh}) AS _l
+  WHERE doc_a < 300 AND doc_b < 300
+),
+hit AS (SELECT t.doc_a FROM truth t JOIN lsh l
+        ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM lsh) AS n_lsh,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall
+"""
+
+
+@register(
+    "text_lsh_recall_audit",
+    oracle=_lsh_recall_oracle(),
+    tags=("text", "dedup", "lsh", "audit", "recall"),
+    rebuild_per_run=True,
+)
+def text_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-recall audit of the MinHash-LSH dedup path: on a
+    bounded slice (doc_id < 300) the EXACT all-pairs >= 0.2-Jaccard set
+    is the ground truth, and the audit reports how many of those pairs
+    the banded LSH surfaced — the measure-the-sketch discipline
+    (vec_ann's recall monitor, applied to dedup): banding trades recall
+    for never-all-pairs, and this row PINS that trade instead of
+    assuming it. Precision is 1 by construction (LSH candidates are
+    exact-verified), so recall is the whole story.
+
+    All counts are exact integers; recall divides once.
+
+    Scale: the ground-truth side is O(slice^2) BY DESIGN and the slice
+    is the knob — a production audit samples a few thousand docs per
+    run; the LSH side is the production path unchanged.
+    """
+    prep(spark)
+    sh = _shingled(
+        table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    )
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("shingles", "sh_b"))
+    jac = inter.cast("double") / F.size(F.array_union("shingles", "sh_b"))
+    truth = (
+        sh.crossJoin(b)
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .where(jac >= 0.2)
+        .select(F.col("doc_id").alias("ta"), F.col("doc_b").alias("tb"))
+    )
+    lsh = (
+        QUERIES["text_minhash_lsh"].fn(spark, sf_dir)
+        .where((F.col("doc_a") < 300) & (F.col("doc_b") < 300))
+        .select(F.col("doc_a").alias("la"), F.col("doc_b").alias("lb"))
+    )
+    hit = truth.join(
+        lsh, (F.col("ta") == F.col("la")) & (F.col("tb") == F.col("lb"))
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(nl)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_lsh",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0)),
+                6,
+            ).alias("recall"),
+        )
     )
