@@ -548,6 +548,9 @@ _composite(
         ("cached_reuse", "io_cached_plan_reuse",
          {"k1": "crit", "k2": "CAST(c_nationkey AS STRING)",
           "n": "n_cust", "d1": "total_bal"}),
+        ("xml", "scan_xml_roundtrip",
+         {"k1": "CAST(s_nationkey AS STRING)", "n": "n_suppliers",
+          "d1": "total_bal"}),
     ],
     tags=("scan", "sink", "csv", "json", "orc", "partition-pruning",
           "python-datasource", "schema-evolution", "observability",

@@ -756,3 +756,73 @@ def io_cached_plan_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+def _ensure_xml(spark: SparkSession, sf_dir: str) -> str:
+    """supplier as XML rows (written once, deterministic content) —
+    exercises Spark 4's BUILT-IN xml datasource on the write side."""
+    path = _work(sf_dir, "supplier_xml")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "supplier")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "supplier")
+            .save(path)
+        )
+    return path
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle="""
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+    tags=("scan", "sink", "xml", "format"),
+    rebuild_per_run=True,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip through Spark 4's native xml datasource (the
+    spark-xml package folded into core): supplier written as
+    <supplier> row elements, read back with an EXPLICIT schema (never
+    inference at scale), and aggregated — the oracle computes the same
+    rollup from the parquet source, so a green hash proves the XML
+    write+read preserved every value. Complements the .rsi XML
+    DOCUMENT parse (domain_rsi_parse, reference D4 ingest): that is
+    string-level XML inside a column; this is XML as a TABLE format.
+
+    Scale: XML is a slow verbose interchange format — the posture is
+    land-and-convert (read once with rowTag streaming + explicit
+    schema, write parquet, query that); the per-file parse
+    parallelizes like any text source.
+    """
+    prep(spark)
+    path = _ensure_xml(spark, sf_dir)
+    xml = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(
+            "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT,"
+            " s_acctbal DOUBLE"
+        )
+        .load(path)
+    )
+    from ..functions.exact import scaled_long
+
+    return (
+        xml.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (
+                F.sum(scaled_long("s_acctbal")).cast("double") / 100.0
+            ).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
