@@ -1363,9 +1363,11 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and coverage is an integer ratio.
 
     Scale: one sufficient-statistics pass (scalar), one residual map,
-    and ONE order statistic — found with operators/rank.py's
-    range-partitioned rank, not a single-partition sort; coverage is
-    a second map-side aggregate. Nothing quadratic, nothing driver-side.
+    and ONE order statistic — found by HISTOGRAM-BUCKET SELECTION
+    (1024 bucket counts locate rank k's bucket; only that value-range
+    slice gets ranked, via operators/rank.py) instead of ranking the
+    whole table; coverage is a second map-side aggregate. Nothing
+    quadratic, nothing driver-side.
     """
     from ..functions.exact import scaled_long
     from ..operators.rank import global_row_number
@@ -1401,18 +1403,50 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
         )
     )
-    ranked = global_row_number(res, ["r", "l_orderkey", "l_linenumber"])
-    tot = res.agg(F.count(F.lit(1)).alias("n"))
-    q = (
-        ranked.crossJoin(F.broadcast(tot))
-        .where(
-            F.col("rn")
-            == F.least(
-                F.ceil((F.col("n") + 1) * 0.9).cast("long"), F.col("n")
-            )
-        )
-        .select(F.col("r").alias("q_cents"), "n")
+    # k-th order statistic WITHOUT ranking all rows: histogram-bucket
+    # selection — 1024-bucket counts locate the bucket holding rank k,
+    # then only THAT bucket (value-range filter, predicate-pushable)
+    # is ranked. Cuts the 25x-probe cost from a full 15M-row rank to
+    # one count pass + a tiny ranked slice; the picked VALUE is
+    # identical (the k-th smallest counting duplicates), so the oracle
+    # keeps its literal full-rank spelling.
+    stats = res.agg(
+        F.min("r").alias("lo"),
+        F.max("r").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "lo",
+        "hi",
+        "n",
+        F.least(
+            F.ceil((F.col("n") + 1) * 0.9).cast("long"), F.col("n")
+        ).alias("k"),
+        F.greatest(
+            F.expr("(hi - lo + 1) DIV 1024"), F.lit(1)
+        ).alias("width"),
     )
+    withb = res.crossJoin(F.broadcast(stats)).withColumn(
+        "b", F.expr("(r - lo) DIV width")
+    )
+    bcounts = withb.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    bwin = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bucket = (
+        bcounts.crossJoin(F.broadcast(stats.select("k")))
+        .withColumn("cum_before", F.coalesce(F.sum("c").over(bwin), F.lit(0)))
+        .where(
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("k") <= F.col("cum_before") + F.col("c"))
+        )
+        .select(
+            F.col("b").alias("bsel"),
+            (F.col("k") - F.col("cum_before")).alias("rank_in"),
+        )
+    )
+    subset = withb.join(F.broadcast(bucket), F.col("b") == F.col("bsel"))
+    picked = global_row_number(
+        subset, ["r", "l_orderkey", "l_linenumber"]
+    ).where(F.col("rn") == F.col("rank_in"))
+    q = picked.select(F.col("r").alias("q_cents"), "n")
     cov = res.crossJoin(F.broadcast(q)).agg(
         F.round(
             F.sum(F.when(F.col("r") <= F.col("q_cents"), 1).otherwise(0))
