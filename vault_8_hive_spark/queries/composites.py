@@ -417,6 +417,9 @@ _composite(
         ("t_closeness", "dq_t_closeness",
          {"id1": "n_g", "txt": "qi_group || '|' || CAST(violates_t AS STRING)",
           "d1": "t_closeness"}),
+        ("pseudonymize", "privacy_pseudonymize",
+         {"id1": "n_pseudonyms", "id2": "n_events", "d1": "total_value",
+          "d2": "CAST(ids_with_3plus_types AS DOUBLE)"}),
         ("target_encode", "feature_target_encode_loo",
          {"id1": "n", "txt": "cat", "d1": "min_enc", "d2": "max_enc",
           "d3": "mean_enc"}),

@@ -1592,3 +1592,78 @@ def feature_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_rows"),
     ).orderBy("brand_idx")
+
+
+@register(
+    "privacy_pseudonymize",
+    oracle="""
+WITH p AS (
+  SELECT substr(md5('pseud-key-2026|' || CAST(user_id AS VARCHAR)), 1, 16)
+           AS pid,
+         event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+agg AS (
+  SELECT pid, COUNT(*) AS n_events,
+         COUNT(DISTINCT event_type) AS n_types,
+         SUM(cents) AS cents
+  FROM p GROUP BY pid
+)
+SELECT COUNT(*) AS n_pseudonyms,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_events_per_id,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value,
+       CAST(COUNT(CASE WHEN n_types >= 3 THEN 1 END) AS BIGINT)
+         AS ids_with_3plus_types
+FROM agg
+""",
+    tags=("scalar", "privacy", "pseudonymization", "pipeline"),
+)
+def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization: user ids replaced by a keyed-hash token
+    (md5 over a secret prefix — in production an HMAC with a managed
+    key; the prefix is the pluggable part) that PRESERVES JOIN-ABILITY:
+    the same user always maps to the same token, so per-user analytics
+    (counts, distinct types, value sums — verified here) survive while
+    raw identifiers leave the dataset. The reversible-by-keyholder
+    complement of the PII redaction row (which destroys) and the
+    k-anonymity/l-diversity/t-closeness audits (which measure).
+
+    The audit proves the invariants: pseudonym count == user count,
+    per-token aggregates equal per-user aggregates (exact integers).
+
+    Scale: pseudonymization is a map-only expression — zero shuffle
+    added to any existing plan; the token is a fixed-width string, so
+    downstream joins/aggregates hash exactly as the raw id did.
+    """
+    from ..functions.exact import scaled_long
+
+    prep(spark)
+    p = table(spark, sf_dir, "events").select(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("pseud-key-2026|"), F.col("user_id").cast("string")
+                )
+            ),
+            1,
+            16,
+        ).alias("pid"),
+        "event_type",
+        scaled_long("value").alias("cents"),
+    )
+    agg = p.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum("cents").alias("cents"),
+    )
+    return agg.agg(
+        F.count(F.lit(1)).alias("n_pseudonyms"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("n_events").cast("bigint").alias("max_events_per_id"),
+        (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+        F.count(F.when(F.col("n_types") >= 3, 1))
+        .cast("bigint")
+        .alias("ids_with_3plus_types"),
+    )
