@@ -3099,3 +3099,116 @@ def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "agg_spearman_corr",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+),
+rx AS (
+  SELECT x, RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1)
+              / 2.0 AS r
+  FROM v
+),
+-- rank each column independently (tie = average rank), then Pearson
+xr AS (SELECT x AS xv, MAX(r) AS rx FROM rx GROUP BY x),
+ry AS (
+  SELECT y, RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1)
+              / 2.0 AS r
+  FROM v
+),
+yr AS (SELECT y AS yv, MAX(r) AS ry FROM ry GROUP BY y),
+j AS (
+  SELECT xr.rx, yr.ry FROM v
+  JOIN xr ON xr.xv = v.x
+  JOIN yr ON yr.yv = v.y
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+         SUM(rx * ry) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy)
+             / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0),
+             6) AS spearman_rho
+FROM s
+""",
+    tags=("aggregate", "statistics", "correlation", "rank", "spearman"),
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price:
+    Pearson over tie-averaged ranks — the monotone-dependence measure
+    that survives outliers and nonlinearity where the raw Pearson row
+    (agg_moments_exact) does not, completing the correlation family
+    (Pearson / rolling / cross / numeric-MI / Spearman).
+
+    Ranks come from PER-DISTINCT-VALUE sufficient statistics, not a
+    row-level window: rank(v) = count of smaller values + 1 and the tie
+    adjustment (cnt-1)/2 — computed on the distinct-value tables via
+    the same cumulative trick as ml_eval_auc, then joined back
+    broadcast. Average ranks are half-integers (exact in doubles);
+    every sum is order-independent; one guarded divide at the edge.
+
+    Scale: two distinct-value reductions + two broadcast joins back
+    onto the fact + one sufficient-statistics rollup — no global
+    row-level sort at any size (distinct money values ~1e6; the
+    per-value tables stay broadcastable far past 100 TB of rows).
+    Exactness bound: rank-product sums are quarter-integers, exact in
+    a double while n*max_rank^2 < 2^51 (~1e6 rows); past that quantize
+    ranks to a 2x-scaled long and sum through DECIMAL(38,0) — same
+    value, documented fallback (the agg_higher_moments pattern).
+    """
+    from ..operators.rank import global_cumsum
+
+    prep(spark)
+    v = table(spark, sf_dir, "lineitem").select(
+        scaled_long("l_quantity").alias("x"),
+        scaled_long("l_extendedprice").alias("y"),
+    )
+
+    def rank_map(col: str):
+        per = v.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        cum = global_cumsum(per, [col], "c")
+        # average rank for all rows sharing the value
+        return cum.select(
+            F.col(col).alias(f"{col}v"),
+            (
+                (F.col("cum") - F.col("c") + 1)
+                + (F.col("c") - 1) / F.lit(2.0)
+            ).alias(f"r{col}"),
+        )
+
+    xr = rank_map("x")
+    yr = rank_map("y")
+    j = v.join(F.broadcast(xr), F.col("x") == F.col("xv")).join(
+        F.broadcast(yr), F.col("y") == F.col("yv")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    return s.select(
+        n.cast("bigint").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.nullif(
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -267,6 +267,8 @@ _composite(
         ("wilson", "agg_wilson_interval",
          {"grp": "'wilson'", "n1": "n", "n2": "k", "d1": "p_hat",
           "d2": "wilson_lo", "d3": "wilson_hi"}),
+        ("spearman", "agg_spearman_corr",
+         {"grp": "'spearman'", "n1": "n", "d1": "spearman_rho"}),
     ],
     tags=("agg", "approx", "stats", "regression", "composite"),
 )
