@@ -1346,6 +1346,7 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM q
 """,
     tags=("ml", "conformal", "uncertainty", "regression", "pipeline"),
+    bench=True,
 )
 def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction interval for the price~quantity
@@ -1510,6 +1511,7 @@ ORDER BY rk
     tags=("pipeline", "entity-resolution", "blocking", "fuzzy",
           "iterative"),
     rebuild_per_run=True,
+    bench=True,
 )
 def er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution: a corpus with injected near-

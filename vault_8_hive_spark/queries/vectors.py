@@ -1628,6 +1628,7 @@ ORDER BY rk
     "vec_pca_power",
     oracle=_pca_oracle(),
     tags=("vectors", "pca", "linear-algebra", "iterative"),
+    bench=True,
 )
 def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus by distributed
