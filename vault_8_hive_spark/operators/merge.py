@@ -61,8 +61,14 @@ def merge_into(
     t_only = F.col("__t").isNotNull() & F.col("__s").isNull()
     s_only = F.col("__t").isNull() & F.col("__s").isNotNull()
 
+    # SQL MERGE clause conditions treat NULL as not-satisfied: a matched
+    # row whose WHEN MATCHED ... DELETE condition evaluates to NULL falls
+    # through to UPDATE/keep instead of being silently dropped, so the
+    # boolean is coalesced to FALSE before negations are built from it.
     delete_cond = (
-        matched & matched_delete if matched_delete is not None else F.lit(False)
+        matched & F.coalesce(matched_delete, F.lit(False))
+        if matched_delete is not None
+        else F.lit(False)
     )
     update_cond = matched & ~delete_cond if matched_update else F.lit(False)
     insert_cond = s_only if not_matched_insert is not None else F.lit(False)

@@ -27,9 +27,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Range partitions for the parallel sort. At cluster scale set ~2-4x the
-# executor-core count; the rank values do not depend on this number.
+# Floor on range partitions for the parallel sort; the live count follows
+# the session's defaultParallelism (rank values do not depend on this
+# number, so it is purely a parallelism knob — on a 1000-executor cluster
+# it tracks the core count instead of serializing the sort into 8 tasks).
 _RANGE_PARTS = 8
+
+
+def _range_parts(df: DataFrame) -> int:
+    return max(_RANGE_PARTS, df.sparkSession.sparkContext.defaultParallelism)
 
 
 def global_row_number(
@@ -41,7 +47,7 @@ def global_row_number(
     final tie-break) — uniqueness is what makes the result independent
     of the range boundaries.
     """
-    ranged = df.repartitionByRange(_RANGE_PARTS, *order_cols).withColumn(
+    ranged = df.repartitionByRange(_range_parts(df), *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     local = F.row_number().over(
@@ -78,8 +84,10 @@ def global_cumsum(
     """Append an INCLUSIVE running sum of value_col over a total order,
     with the same two-pass range-partitioned shape as global_row_number
     (per-partition cumsum + broadcast partition offsets) — never a
-    single-partition window."""
-    ranged = df.repartitionByRange(_RANGE_PARTS, *order_cols).withColumn(
+    single-partition window. The running sum keeps the type Spark's SUM
+    promotes the value column to (long for integers, double/decimal kept
+    as-is) — no narrowing cast."""
+    ranged = df.repartitionByRange(_range_parts(df), *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     local = F.sum(value_col).over(
@@ -106,7 +114,7 @@ def global_cumsum(
     )
     return (
         with_local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, (F.col("_off") + F.col("_lcum")).cast("long"))
+        .withColumn(out, F.col("_off") + F.col("_lcum"))
         .drop("_pid", "_lcum", "_off")
     )
 

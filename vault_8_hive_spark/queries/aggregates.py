@@ -1333,7 +1333,7 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"), F.sum("g1").alias("c1")
     )
     w = (
-        Window.partitionBy(F.spark_partition_id() * 0)
+        Window.partitionBy(F.lit(1))
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -1418,7 +1418,7 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     w = (
-        Window.partitionBy(F.spark_partition_id() * 0)
+        Window.partitionBy(F.lit(1))
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -1519,7 +1519,7 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c2") + 0.5) / (F.col("n2") + 0.5 * F.col("nb"))).alias("p2"),
     )
     term = (F.col("p1") - F.col("p2")) * F.log(F.col("p1") / F.col("p2"))
-    w = Window.partitionBy(F.spark_partition_id() * 0)
+    w = Window.partitionBy(F.lit(1))
     return p.select(
         "bucket",
         F.round("p1", 9).alias("p_view"),
@@ -1576,7 +1576,7 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy(F.spark_partition_id() * 0).orderBy("c", "user_id")
+    w = Window.partitionBy(F.lit(1)).orderBy("c", "user_id")
     ranked = per_k.withColumn("rnk", F.row_number().over(w))
     agg = ranked.agg(
         F.count(F.lit(1)).alias("nk"),
@@ -1837,7 +1837,7 @@ def agg_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hi",
     )
     g = binned.groupBy("bin", "lo", "hi").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy(F.spark_partition_id() * 0)
+    w = Window.partitionBy(F.lit(1))
     return g.select(
         F.col("bin").cast("int").alias("bin"),
         F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 10.0, 6).alias("bin_lo"),
@@ -1988,7 +1988,7 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total") != F.col("m"))
         .select("d", F.when(F.col("total") > F.col("m"), 1).otherwise(0).alias("above"))
     )
-    w = Window.partitionBy(F.spark_partition_id() * 0).orderBy("d")
+    w = Window.partitionBy(F.lit(1)).orderBy("d")
     runs = signed.withColumn(
         "new_run",
         F.when(
@@ -2131,7 +2131,7 @@ def feature_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tot = per_v.agg(F.sum("c").alias("t"))
         w = (
-            Window.partitionBy(F.spark_partition_id() * 0)
+            Window.partitionBy(F.lit(1))
             .orderBy("v")
             .rowsBetween(Window.unboundedPreceding, 0)
         )

@@ -912,7 +912,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
     ).agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
     w = (
-        Window.partitionBy(F.spark_partition_id() * 0)
+        Window.partitionBy(F.lit(1))
         .orderBy("d")
         .rowsBetween(-7, -1)
     )
@@ -983,7 +983,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = daily.agg(F.round(F.avg("total"), 6).alias("mu"))
     w = (
-        Window.partitionBy(F.spark_partition_id() * 0)
+        Window.partitionBy(F.lit(1))
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -1460,7 +1460,7 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
     ).agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
     w = (
-        Window.partitionBy(F.spark_partition_id() * 0)
+        Window.partitionBy(F.lit(1))
         .orderBy("d")
         .rowsBetween(-6, 0)
     )
@@ -1542,7 +1542,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("a")
     )
-    zero = F.spark_partition_id() * 0
+    zero = F.lit(1)
     r = F.ntile(4).over(
         Window.partitionBy(zero).orderBy("recency_days", "user_id")
     )
@@ -1634,7 +1634,7 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hod"),
     ).agg(F.sum(scaled_long("value")).alias("total_c"))
     w = (
-        Window.partitionBy(F.spark_partition_id() * 0)
+        Window.partitionBy(F.lit(1))
         .orderBy("h_idx")
         .rowsBetween(-12, 12)
     )
@@ -2412,14 +2412,14 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(scaled_long("value")).alias("cents")
     )
     w = (
-        Window.partitionBy(F.spark_partition_id() * 0)
+        Window.partitionBy(F.lit(1))
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     idx = daily.select(
         "d",
         "cents",
-        F.row_number().over(Window.partitionBy(F.spark_partition_id() * 0).orderBy("d")).alias("rn"),
+        F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("d")).alias("rn"),
         F.sum("cents").over(w).alias("cs"),
         F.sum(F.col("cents") * F.col("cents")).over(w).alias("css"),
     )
@@ -2447,7 +2447,7 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rk",
         F.row_number().over(
-            Window.partitionBy(F.spark_partition_id() * 0).orderBy(
+            Window.partitionBy(F.lit(1)).orderBy(
                 F.desc("sse_gain"), "split_date"
             )
         ),

@@ -1384,7 +1384,7 @@ def text_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.spark_partition_id() * 0).orderBy(
+    w = Window.partitionBy(F.lit(1)).orderBy(
         F.desc("n"), "pair"
     )
     return (

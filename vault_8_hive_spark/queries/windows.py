@@ -405,7 +405,7 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
     )
     w = (
-        Window.partitionBy(F.spark_partition_id() * 0)
+        Window.partitionBy(F.lit(1))
         .orderBy("d")
         .rowsBetween(-13, 0)
     )
