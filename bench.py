@@ -124,24 +124,42 @@ def main() -> None:
     ratio = {n: round(per[n] / duck[n], 2) for n in duck if duck[n] > 0}
     duck_total = round(sum(duck.values()), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per,
-                "compile": compile_s,
-                "duckdb": duck,
-                "ratio": ratio,
-                "duckdb_total": duck_total,
-                "ratio_total": round(total / duck_total, 3) if duck_total else None,
-                "sf": sf,
-                "n_queries": len(per),
-                "cpus": cpus,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per,
+        "compile": compile_s,
+        "duckdb": duck,
+        "ratio": ratio,
+        "duckdb_total": duck_total,
+        "ratio_total": round(total / duck_total, 3) if duck_total else None,
+        "sf": sf,
+        "n_queries": len(per),
+        "cpus": cpus,
+    }
+    # Full detail object (per-query compile + ratios) as a sidecar next to
+    # the repo root — self-contained even if the caller truncates stdout.
+    with open(Path(__file__).resolve().parent / "bench_full.json", "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    # The stdout contract line. The harness that records BENCH_r{N}.json
+    # keeps only the LAST ~2000 chars of output, so the line must fit that
+    # budget or the parsed object is lost (BENCH_r05 was truncated this
+    # way): the line carries the judged essentials (per-query spark + duck
+    # seconds, totals, ratio_total — per-query ratios are the quotient of
+    # the two dicts); compile/ratio detail lives in bench_full.json.
+    line = json.dumps(
+        {k: v for k, v in full.items() if k not in ("compile", "ratio")},
+        separators=(",", ":"),
     )
+    if len(line) > 1900:  # loud failure beats a silently-truncated artifact
+        raise SystemExit(
+            f"bench contract line is {len(line)} chars (> 1900 tail budget); "
+            "trim the bench set or shorten query names"
+        )
+    json.loads(line)  # self-check: the emitted artifact must parse
+    print(line)
 
 
 if __name__ == "__main__":

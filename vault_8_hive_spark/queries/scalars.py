@@ -1203,60 +1203,70 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped value is a PICKED order statistic — no interpolation, no
     float averaging; group means ride exact integer cents.
 
-    Scale: two rank passes. The per-group rank is an ordinary
-    partitioned window; the GLOBAL rank uses operators/rank.py's
-    two-pass range-partitioned row number — a bare ORDER-BY-window here
-    would serialize the whole table into one task (WindowExec's
-    single-partition warning), the scale bug this module class exists
-    to avoid. The rank join is an equi-join on the target rank.
+    Scale: NO row-level rank at all. Because the within-group rank rn
+    enumerates 1..n_g exactly once per group, the mapped multiset of a
+    group depends only on (n_g, N, the global distinct-value cumulative
+    counts): the number of group-g rows mapping onto a distinct value c
+    whose global ranks span (lo, hi] is floor(hi*n_g/N) - floor(lo*n_g/N)
+    (ceil(rn*N/n_g) <= x  <=>  rn <= floor(x*n_g/N)). So the fact reduces
+    immediately into two aggregates — per-distinct-value counts (the
+    agg_spearman_corr pattern, cumulated by operators/rank.py's
+    range-partitioned global_cumsum over DISTINCT values, not rows) and
+    per-group counts — and the only join is a broadcast of the tiny
+    group dim onto the distinct-value table. The oracle keeps the
+    literal row-level two-rank spelling, proving the closed form.
     """
-    from pyspark.sql import Window
-
     from ..functions.exact import scaled_long
-    from ..operators.rank import global_row_number
+    from ..operators.rank import global_cumsum
 
     prep(spark)
     v = table(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"),
-        "event_id",
         scaled_long("value").alias("cents"),
     )
-    r = v.select(
-        "grp",
-        "cents",
-        F.row_number()
-        .over(Window.partitionBy("grp").orderBy("cents", "event_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_g"),
-    )
-    g = global_row_number(v, ["cents", "event_id"], out="grn").select(
-        F.col("cents").alias("gcents"), "grn"
+    gd = global_cumsum(
+        v.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt")),
+        ["cents"],
+        "cnt",
+        out="hi",
+    ).withColumn("lo", F.col("hi") - F.col("cnt"))
+    groups = v.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("csum"),
     )
     tot = v.agg(F.count(F.lit(1)).alias("n"))
-    mapped = (
-        r.crossJoin(F.broadcast(tot))
+    # mapped-row count per (group, distinct value); DECIMAL(38,0) products
+    # keep hi*n_g exact past long range (1e12-row fact x 1e12 rank).
+    cells = (
+        gd.crossJoin(F.broadcast(groups))
+        .crossJoin(F.broadcast(tot))
         .withColumn(
-            "t_rank",
-            F.expr("(rn * n + n_g - 1) DIV n_g"),
+            "mc",
+            F.expr(
+                "CAST(CAST(hi AS DECIMAL(38,0)) * n_g DIV n"
+                "   - CAST(lo AS DECIMAL(38,0)) * n_g DIV n AS BIGINT)"
+            ),
         )
-        .join(g, F.col("grn") == F.col("t_rank"))
+        .where(F.col("mc") > 0)
     )
-    cents_sum = F.sum(F.col("cents").cast("decimal(38,0)"))
-    mapped_sum = F.sum(F.col("gcents").cast("decimal(38,0)"))
     return (
-        mapped.groupBy("grp")
+        cells.groupBy("grp", "n_g", "csum")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            (cents_sum.cast("double") / F.count(F.lit(1)) / 100.0).alias("_mr"),
-            (mapped_sum.cast("double") / F.count(F.lit(1)) / 100.0).alias("_mm"),
-            (F.min("gcents").cast("double") / 100.0).alias("min_mapped"),
-            (F.max("gcents").cast("double") / 100.0).alias("max_mapped"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("mc")).alias(
+                "msum"
+            ),
+            (F.min("cents").cast("double") / 100.0).alias("min_mapped"),
+            (F.max("cents").cast("double") / 100.0).alias("max_mapped"),
         )
         .select(
             F.col("grp").alias("event_type"),
-            "n",
-            F.col("_mr").alias("mean_raw"),
-            F.col("_mm").alias("mean_mapped"),
+            F.col("n_g").alias("n"),
+            (F.col("csum").cast("double") / F.col("n_g") / 100.0).alias(
+                "mean_raw"
+            ),
+            (F.col("msum").cast("double") / F.col("n_g") / 100.0).alias(
+                "mean_mapped"
+            ),
             "min_mapped",
             "max_mapped",
         )

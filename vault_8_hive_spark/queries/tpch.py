@@ -1081,11 +1081,10 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The EXISTS / NOT EXISTS pair decorrelates into ONE per-order
     aggregate: n_supp >= 2 (another supplier exists) and exactly one
     distinct late supplier (no OTHER late supplier exists for a late
-    row). That replaces Q21's two correlated self-joins of the fact with
-    a single map-side-combinable groupBy(orderkey) — the fact is read
-    twice (once for the per-order reduction, once for the surviving
-    late pairs) instead of the literal EXISTS plan's three times, and
-    both reads reduce before any join touches them.
+    row). Under the n_late_supp == 1 filter that lone supplier is
+    recoverable INSIDE the same aggregate — max(when(late, suppkey)) is
+    exactly it — so the fact is consumed ONCE (the literal EXISTS plan
+    reads it three times), reduced to one row per order before any join.
     """
     prep(spark)
     orders = table(spark, sf_dir, "orders").where(
@@ -1104,19 +1103,16 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
             "n_late_supp"
         ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     waiting = per_order.where(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select("l_orderkey")
-    late_pairs = (
-        f.where("late").select("l_orderkey", "l_suppkey").distinct()
-    )
+    ).select("l_orderkey", "late_supp")
     sup = table(spark, sf_dir, "supplier")
     return (
-        late_pairs.join(waiting, "l_orderkey")
-        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        waiting.join(sup, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
