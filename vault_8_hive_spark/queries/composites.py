@@ -592,6 +592,9 @@ _composite(
         ("recursive_bfs", "graph_recursive_bfs",
          {"metric": "'bfs_' || CAST(node AS STRING)",
           "value": "CAST(hops AS DOUBLE)", "n": "hops"}),
+        ("bfs_frontier", "graph_bfs_frontier",
+         {"metric": "'bfsf_' || CAST(node AS STRING)",
+          "value": "CAST(hops AS DOUBLE)", "n": "hops"}),
         ("market_basket", "agg_market_basket",
          {"metric": "'mb_' || CAST(item_a AS STRING) || '_' || CAST(item_b AS STRING)",
           "value": "lift", "n": "n_ab"}),
