@@ -3050,67 +3050,61 @@ def events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     also prove an absence). Reported as clean-converter count and mean
     minutes-to-convert over each user's earliest clean pair.
 
-    The NOT-EXISTS decorrelates into an as-of shape: for each candidate
-    (view, purchase) pair the blocking error is the FIRST error after
-    the view — one MIN aggregate per view joined back, so the absence
-    proof is 'first error after view is NULL or >= purchase', never a
-    per-pair subquery. Spark runs exactly that rewrite; the oracle
-    keeps the literal NOT EXISTS, proving the rewrite's equivalence.
+    The NOT-EXISTS decorrelates into an as-of shape: for each view the
+    absence witness is the FIRST error after it, and the candidate is
+    the FIRST purchase after it — both fall out of ONE per-user window
+    ordered by time (MIN-over-following-rows), so there is no pair join
+    and no per-pair subquery at all. A view converts cleanly iff its
+    first following purchase lands within 24h and at-or-before its
+    first following error; the earliest purchase that passes the oracle
+    IS that first purchase (any later purchase is blocked by the same
+    error). The oracle keeps the literal NOT EXISTS, proving the
+    rewrite's equivalence.
 
-    Scale: three type-pruned scans of the fact (pushed filters), a
-    time-banded pair join per user, and per-user MIN reductions — all
-    co-partitioned on user_id after one shuffle; the 24h band bounds
-    pair fan-out per view.
+    Scale: ONE shuffle (hash by user_id for the window); the groupBy
+    that follows reuses the same partitioning, so the whole funnel is
+    one exchange + one ordered pass per user. 'Strictly after' rides a
+    RANGE frame over exact epoch micros (1 FOLLOWING excludes ts ties,
+    matching the oracle's e.ts > v.ts), never a row frame that would
+    split ties arbitrarily. This replaced a 2-join/3-groupBy spelling
+    measured 1.94 s at the 25x probe.
     """
+    from pyspark.sql import Window
+
     prep(spark)
-    ev = table(spark, sf_dir, "events")
-    v = ev.where(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("view_ts")
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase", "error")
+    ).select("user_id", "event_type", "ts", F.unix_micros("ts").alias("m"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("m")
+        .rangeBetween(1, Window.unboundedFollowing)
     )
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("pu"), F.col("ts").alias("purchase_ts")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "m",
+        F.min(F.when(F.col("event_type") == "error", F.col("m"))).over(w).alias("fe"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("m"))).over(w).alias("fp"),
     )
-    e = ev.where(F.col("event_type") == "error").select(
-        F.col("user_id").alias("eu"), F.col("ts").alias("error_ts")
+    clean_views = marked.where(
+        (F.col("event_type") == "view")
+        & F.col("fp").isNotNull()
+        & (F.col("fp") <= F.col("m") + F.lit(24 * 3600 * 1_000_000))
+        & (F.col("fe").isNull() | (F.col("fp") <= F.col("fe")))
     )
-    pairs = v.join(
-        p,
-        (F.col("pu") == F.col("user_id"))
-        & (F.col("purchase_ts") > F.col("view_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("view_ts") + F.expr("INTERVAL 24 HOURS")
-        ),
+    best = clean_views.groupBy("user_id").agg(
+        F.min(F.struct(F.col("m").alias("vm"), F.col("fp").alias("pm"))).alias("s")
     )
-    # first error after each view (per user): the absence witness
-    first_err = (
-        v.join(
-            e,
-            (F.col("eu") == F.col("user_id"))
-            & (F.col("error_ts") > F.col("view_ts")),
-        )
-        .groupBy("user_id", "view_ts")
-        .agg(F.min("error_ts").alias("first_err_ts"))
-    )
-    conv = (
-        pairs.join(first_err, ["user_id", "view_ts"], "left")
-        .where(
-            F.col("first_err_ts").isNull()
-            | (F.col("first_err_ts") >= F.col("purchase_ts"))
-        )
-        .groupBy("user_id", "view_ts")
-        .agg(F.min("purchase_ts").alias("purchase_ts"))
-    )
-    best = conv.groupBy("user_id").agg(F.min("view_ts").alias("view_ts"))
-    joined = best.join(conv, ["user_id", "view_ts"])
-    return joined.agg(
+    return best.agg(
         F.count(F.lit(1)).alias("n_clean_converters"),
         F.min("user_id").cast("bigint").alias("first_user"),
         F.max("user_id").cast("bigint").alias("last_user"),
+        # floor-seconds difference == timestamp cast('long') subtraction
+        # == the oracle's date_diff('second', ...) on positive epochs
         F.round(
             F.sum(
-                F.col("purchase_ts").cast("long")
-                - F.col("view_ts").cast("long")
+                F.expr("s.pm DIV 1000000") - F.expr("s.vm DIV 1000000")
             )
             / F.count(F.lit(1))
             / 60.0,
