@@ -575,3 +575,43 @@ def test_disjunctive_predicates_push_to_both_scans(spark, sf_dir):
     ]
     assert li_scan and "GreaterThanOrEqual(l_quantity,1.0)" in li_scan[0]
     assert part_scan and "EqualTo(p_brand" in part_scan[0]
+
+
+def test_waiting_suppliers_has_no_expand(spark, sf_dir):
+    """Q21's per-order distinct counts must ride the (order, supplier)
+    pair pre-reduction, never a multi-countDistinct Expand (which
+    replicates the fact x3 — measured 2x slower at the 25x probe), and
+    the pair reduction plus the per-order aggregate must share ONE
+    exchange (the explicit hash repartition on l_orderkey)."""
+    from vault_8_hive_spark.queries.tpch import waiting_suppliers
+
+    plan = (
+        waiting_suppliers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan, plan[:1500]
+    # exchanges: the explicit repartition(l_orderkey) + the final
+    # s_name rollup; anything more means the pair/per-order groupBys
+    # stopped sharing the orderkey partitioning
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, f"{n_shuffles} hash exchanges:\n{plan[:2000]}"
+
+
+def test_funnel_exclusion_is_one_window_pass(spark, sf_dir):
+    """The exclusion funnel must be the single per-user window pass —
+    no pair join of views x purchases, and exactly one fact exchange
+    (the user_id window partitioning, which the groupBy then reuses)."""
+    from vault_8_hive_spark.queries.events import events_funnel_exclusion
+
+    plan = (
+        events_funnel_exclusion(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan[:1500]
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, f"{n_shuffles} hash exchanges:\n{plan[:2000]}"
+    assert plan.count("Window") >= 1, plan[:1500]
