@@ -1217,21 +1217,28 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows at any SF), never the fact — the same post-reduction posture
     as the daily-series smoothers.
 
-    Scale: one per-order MAX reduction (map-side combinable), one
-    2-rows-per-order delta projection, one day rollup; the fact is
-    scanned once.
+    Scale: the per-order MAX reduces LINEITEM ALONE (map-side
+    combinable at the scan — the fact collapses to one row per order
+    BEFORE any join), then the order dim joins the reduced relation
+    key-to-key. Joining the raw fact first and aggregating after moves
+    every line through the exchange — measured 7.0 s vs 5.4 s at the
+    25x probe; the residual cost IS the per-order reduction itself
+    (3.75M distinct keys leave little map-side combining). One
+    2-rows-per-order delta projection and one day rollup follow; the
+    fact is scanned once.
     """
     from pyspark.sql import Window
 
     prep(spark)
+    ends = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+    )
     spans = (
         table(spark, sf_dir, "orders")
-        .join(
-            table(spark, sf_dir, "lineitem"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select("o_orderkey", "o_orderdate")
+        .join(ends, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.to_date("o_orderdate").alias("d0"),
             F.date_add(F.to_date("ship_end"), 1).alias("d1"),
