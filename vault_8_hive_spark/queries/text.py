@@ -1784,7 +1784,10 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the only corpus-sized relation is the positional shingle
     table (n_tokens rows/doc, one shuffle on the gram hash — the same
-    posting-join shape as text_decontaminate); matches are candidates
+    posting-join shape as text_decontaminate — keyed on the BINARY
+    md5 (16 bytes), not its 32-char hex, halving key bytes through a
+    network-bound cluster shuffle; local parity, 25x ~11-12 s both
+    ways); matches are candidates
     only, and the island merge runs per (pair, diagonal) partition. A
     suffix-array build this is not — the shingle join IS the scalable
     approximation production dedupers use.
@@ -1806,7 +1809,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(1, size(ts) - 7), "
                 "i -> named_struct("
                 "'p', i, "
-                "'h', md5(concat_ws('|', slice(ts, i, 8)))))"
+                "'h', unhex(md5(concat_ws('|', slice(ts, i, 8))))))"
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
