@@ -671,11 +671,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # Doc length from the tf AGGREGATE (sum of term frequencies), not a
-    # second pass over the exploded tokens: the corpus-sized token
-    # relation is shuffled once; dl shuffles only the already-collapsed
-    # (doc, term) rows.
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # Doc length = SIZE of the token array — computed MAP-ONLY from the
+    # raw docs (one extra codegen'd scan, zero shuffle), not by
+    # re-aggregating the corpus-sized tf relation by doc_id: scans are
+    # cheap, exchanges are not.
+    dl = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).cast("long").alias("dl"),
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
