@@ -810,7 +810,15 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps*N without holding per-key state — the frequency dual of the HLL
     partials in agg_sketch_hll. Deterministic md5 hashing makes the
     whole construction hash-exact across engines (no clamp needed,
-    unlike the randomized DataSketches branches)."""
+    unlike the randomized DataSketches branches).
+
+    Build shape: a CMS cell is the SUM of the counts of the keys
+    hashing into it, so the sketch is built from the PER-KEY count
+    relation (one map-side-combinable fact aggregate, shared with the
+    exact top-10 check), hashing each distinct key 4 times instead of
+    each fact row — at 6M rows over 10k suppliers that is 600x fewer
+    md5 calls for a bit-identical sketch. The oracle keeps the literal
+    per-row spelling, proving the factoring."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
 
@@ -823,26 +831,25 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_W
         )
 
-    pairs = li.select(
+    counts = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    pairs = counts.select(
+        "exact_n",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("i"),
-                        bucket(F.col("l_suppkey"), i).alias("bucket"),
+                        bucket(F.col("suppkey"), i).alias("bucket"),
                     )
                     for i in range(_CMS_D)
                 ]
             )
-        ).alias("p")
-    ).select("p.i", "p.bucket")
-    sketch = pairs.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    exact = (
-        li.groupBy(F.col("l_suppkey").alias("suppkey"))
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), "suppkey")
-        .limit(10)
-    )
+        ).alias("p"),
+    ).select("p.i", "p.bucket", "exact_n")
+    sketch = pairs.groupBy("i", "bucket").agg(F.sum("exact_n").alias("cnt"))
+    exact = counts.orderBy(F.col("exact_n").desc(), "suppkey").limit(10)
     probes = exact.select(
         "suppkey",
         "exact_n",
