@@ -386,14 +386,19 @@ def _src_fingerprint(src: str) -> str:
     st = os.stat(src)
     if not os.path.isdir(src):
         return f"{st.st_size}:{st.st_mtime_ns}"
+    # Walk recursively: a partitioned layout (key=value/ subdirs) keeps its
+    # data files below the top level, where a shallow listdir would only see
+    # subdirectory inodes and miss a rewritten nested part file.
     total = 0
     newest = 0
-    for name in sorted(os.listdir(src)):
-        if name.startswith(("_", ".")):
-            continue
-        s = os.stat(os.path.join(src, name))
-        total += s.st_size
-        newest = max(newest, s.st_mtime_ns)
+    for dirpath, dirnames, filenames in os.walk(src):
+        dirnames[:] = sorted(d for d in dirnames if not d.startswith(("_", ".")))
+        for name in sorted(filenames):
+            if name.startswith(("_", ".")):
+                continue
+            s = os.stat(os.path.join(dirpath, name))
+            total += s.st_size
+            newest = max(newest, s.st_mtime_ns)
     return f"dir:{total}:{newest}"
 
 
@@ -703,16 +708,22 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
-# Cached per-nation rollup handles, keyed by sf_dir with unpersist-on-evict
-# (cap 4): repeated invocations in a long-lived harness session reuse ONE
-# pinned copy per corpus instead of stacking a new block-store entry per
-# call — the same bounded-memo posture as vectors._IVF_INDEX.
-_PERNATION_CACHE: dict[str, DataFrame] = {}
+# Cached per-nation rollup handles with unpersist-on-evict (cap 4):
+# repeated invocations in a long-lived harness session reuse ONE pinned
+# copy per corpus instead of stacking a new block-store entry per call —
+# the same bounded-memo posture as vectors._IVF_INDEX. The key folds in
+# the SparkSession identity AND the source fingerprint: a restarted
+# session leaves dead handles behind (never served), and a regenerated
+# /root/testdata (the repo's reseed-each-round invariant) changes the
+# fingerprint so a stale rollup is never returned.
+_PERNATION_CACHE: dict[tuple, DataFrame] = {}
 _PERNATION_CAP = 4
 
 
 def _cached_pernation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _PERNATION_CACHE.get(sf_dir)
+    src = os.path.join(sf_dir, "customer.parquet")
+    key = (id(spark.sparkContext), _src_fingerprint(src), sf_dir)
+    df = _PERNATION_CACHE.get(key)
     if df is not None:
         return df
     pernation = (
@@ -728,8 +739,12 @@ def _cached_pernation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pernation.count()  # materialize so every consumer reads the cache
     while len(_PERNATION_CACHE) >= _PERNATION_CAP:
-        _PERNATION_CACHE.pop(next(iter(_PERNATION_CACHE))).unpersist()
-    _PERNATION_CACHE[sf_dir] = pernation
+        evicted = _PERNATION_CACHE.pop(next(iter(_PERNATION_CACHE)))
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass  # handle may belong to a stopped session — nothing to free
+    _PERNATION_CACHE[key] = pernation
     return pernation
 
 
