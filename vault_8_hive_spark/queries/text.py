@@ -674,13 +674,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Doc length = SIZE of the token array — computed MAP-ONLY from the
     # raw docs (one extra codegen'd scan, zero shuffle), not by
     # re-aggregating the corpus-sized tf relation by doc_id: scans are
-    # cheap, exchanges are not.
+    # cheap, exchanges are not. Restricted to dl > 0: the oracle derives
+    # dl from tf, whose domain is docs with >=1 token, so a zero-token
+    # (or NULL-text, where F.size yields -1) document must not shift
+    # n_docs/avgdl — scoring only ever touches docs with postings anyway.
     dl = docs.select(
         "doc_id",
         F.size(
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
         ).cast("long").alias("dl"),
-    )
+    ).where(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
@@ -1788,17 +1791,35 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     than drop a whole document.
 
     Scale: the only corpus-sized relation is the positional shingle
-    table (n_tokens rows/doc, one shuffle on the gram hash — the same
-    posting-join shape as text_decontaminate — keyed on the BINARY
-    md5 (16 bytes), not its 32-char hex, halving key bytes through a
-    network-bound cluster shuffle; local parity, 25x ~11-12 s both
-    ways); matches are candidates
-    only, and the island merge runs per (pair, diagonal) partition. A
-    suffix-array build this is not — the shingle join IS the scalable
-    approximation production dedupers use.
+    table (n_tokens rows/doc, one shuffle on the gram key — the same
+    posting-join shape as text_decontaminate). The key is a PAIR of
+    differently-seeded xxhash64 values over the token-array slice:
+    engine-native (whole-stage codegen, no per-gram MessageDigest call,
+    no delimiter string ever built — the array is hashed directly),
+    16 key bytes like the binary md5 it replaced, and 128-bit effective
+    collision resistance — a single 64-bit key at 1e12 grams (the
+    100 TB regime) expects ~n^2/2^65 = tens of thousands of false
+    matches, so the second seed is load-bearing, not decoration.
+    Matching is a posting-list self-pair, NOT a self-join: grams group
+    once on the key (ONE shuffle of the corpus-sized relation),
+    per-gram occurrence lists expand to ordered (doc_a < doc_b) pairs,
+    and groups of size 1 — the overwhelming majority — are filtered
+    before any pair exists. The equivalent self-join shuffles (or
+    worse, broadcasts: Catalyst's post-explode size estimate undershoots
+    and a corpus-sized build side slips under the auto-broadcast
+    threshold, a driver-OOM at real scale) the gram relation TWICE.
+    The island merge runs per (pair, diagonal) partition. A
+    suffix-array build this is not — the shingle grouping IS the
+    scalable approximation production dedupers use. The DuckDB oracle
+    keeps md5 and a join: any deterministic collision-free key yields
+    identical spans, which is the point of keying on a hash.
 
-    Determinism: spans derive from integer positions and md5 equality
-    on exact token runs; no floats anywhere."""
+    Determinism: spans derive from integer positions and dual-xxhash64
+    equality on exact token runs; collect_list order inside a gram
+    group is nondeterministic but the emitted pair SET (all ordered
+    pairs, da < db) is order-free. No floats anywhere. A gram repeated
+    k times emits k(k-1)/2 pairs inside one task — the same worst case
+    as a join's hash bucket, bounded by near-dup cluster size."""
     from pyspark.sql import Window
 
     prep(spark)
@@ -1807,26 +1828,42 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("ts"),
     ).where(F.size("ts") >= 8)
-    grams = toks.select(
-        "doc_id",
+    # Explode positions first, hash after: the 8-token slice exists only
+    # inside the map stage and is projected away before the shuffle.
+    # Prepending a literal to xxhash64 changes the effective seed
+    # (children fold left-to-right, seed-first), giving two independent
+    # 64-bit functions of the gram.
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 7), "
+                    "i -> named_struct('p', i, 'g', slice(ts, i, 8)))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.p").alias("p"),
+            F.xxhash64("s.g").alias("h1"),
+            F.xxhash64(F.lit(9), "s.g").alias("h2"),
+        )
+    )
+    occ = (
+        grams.groupBy("h1", "h2")
+        .agg(F.collect_list(F.struct("doc_id", "p")).alias("occ"))
+        .where(F.size("occ") >= 2)
+    )
+    matched = occ.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(ts) - 7), "
-                "i -> named_struct("
-                "'p', i, "
-                "'h', unhex(md5(concat_ws('|', slice(ts, i, 8))))))"
+                "filter(flatten(transform(occ, a -> transform(occ, b -> "
+                "named_struct('da', a.doc_id, 'db', b.doc_id, "
+                "'pa', a.p, 'pb', b.p)))), x -> x.da < x.db)"
             )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
-    a, b = grams.alias("a"), grams.alias("b")
-    matched = a.join(
-        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(
-        F.col("a.doc_id").alias("da"),
-        F.col("b.doc_id").alias("db"),
-        F.col("a.p").alias("pa"),
-        F.col("b.p").alias("pb"),
-    )
+        ).alias("m")
+    ).select("m.da", "m.db", "m.pa", "m.pb")
     diag = F.col("pa") - F.col("pb")
     isl_w = Window.partitionBy("da", "db", diag).orderBy("pa")
     islands = matched.select(
@@ -1908,19 +1945,20 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     support 5, top-20 by (lift, w1, w2) — the phrase-mining signal a
     tokenizer-training or keyphrase pipeline computes corpus-wide.
 
-    Scale: two corpus-sized explodes (unigrams, bigrams), each collapsed
-    by a partial-agg shuffle; the scoring joins are vocabulary-sized and
-    broadcast. No all-pairs term anywhere — cost is linear in corpus
-    tokens."""
+    Scale: ONE corpus-sized explode (bigrams), collapsed by a
+    partial-agg shuffle. Unigram counts are DERIVED, not re-exploded:
+    every token occurrence except a document's last appears exactly once
+    as w1 of a bigram, so uni(w) = sum of c_xy over w1 = w (a rollup of
+    the already-aggregated vocabulary^2-sized bigram relation) plus the
+    per-document last-token counts (one row per doc — a second tokenize
+    scan but NO second corpus explode; scans are cheap, 6M-row explodes
+    are not). Exact integer identity, not an approximation. The scoring
+    joins are vocabulary-sized and broadcast. No all-pairs term anywhere
+    — cost is linear in corpus tokens."""
     prep(spark)
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("ts")
-    )
-    uni = (
-        toks.select(F.explode("ts").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
     )
     big = (
         toks.where(F.size("ts") >= 2)
@@ -1936,6 +1974,23 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    last = (
+        toks.where(F.size("ts") >= 1)
+        .select(F.element_at("ts", -1).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_last"))
+    )
+    uni = (
+        big.groupBy(F.col("w1").alias("w"))
+        .agg(F.sum("c_xy").alias("c_big"))
+        .join(last, "w", "full")
+        .select(
+            "w",
+            (
+                F.coalesce("c_big", F.lit(0)) + F.coalesce("c_last", F.lit(0))
+            ).alias("c"),
+        )
     )
     tot = F.broadcast(
         uni.agg(F.sum("c").cast("double").alias("n_tok")).crossJoin(
@@ -2132,19 +2187,18 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rn-1) % k = 0.
 
     Scale: the global rank rides operators/rank.py's range-partitioned
-    two-pass (never the single-partition window); the modulo filter and
-    audit rollup are map-side. The oracle's bare OVER () is fine — it
-    is DuckDB, not the engine.
+    two-pass (never the single-partition window), with the audited
+    n_total carried by the rank's own offsets aggregate (total=...) —
+    not a crossJoin(count) branch that re-scans the table for one
+    scalar; the modulo filter and audit rollup are map-side. The
+    oracle's bare OVER () is fine — it is DuckDB, not the engine.
     """
     from ..operators.rank import global_row_number
 
     prep(spark)
     doc = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    tot = doc.agg(F.count(F.lit(1)).alias("n"))
-    ranked = global_row_number(doc, ["doc_id"])
-    picked = ranked.where((F.col("rn") - 1) % 20 == 0).crossJoin(
-        F.broadcast(tot)
-    )
+    ranked = global_row_number(doc, ["doc_id"], total="n")
+    picked = ranked.where((F.col("rn") - 1) % 20 == 0)
     return picked.agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.max("n").cast("bigint").alias("n_total"),
