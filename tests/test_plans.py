@@ -538,6 +538,37 @@ def test_global_rank_is_range_partitioned(spark, sf_dir):
     assert stats["n"] == stats["nd"] == stats["hi"] and stats["lo"] == 1
 
 
+def test_global_rank_total_has_no_count_branch(spark, sf_dir):
+    """rank.py's total=... must ride the offsets aggregate: the column
+    equals the true count on every row, and consumers built on it
+    (ml_eval_calibration, sample_systematic) must show NO nested-loop
+    count cross-join in the executed plan — the shape the r7 rewrite
+    removed (crossJoin(df.agg(count)) re-scanned the source for one
+    scalar)."""
+    import pyspark.sql.functions as F
+
+    from vault_8_hive_spark.catalog import table
+    from vault_8_hive_spark.operators.rank import global_row_number
+    from vault_8_hive_spark.queries.pipeline import ml_eval_calibration
+    from vault_8_hive_spark.queries.text import sample_systematic
+    from vault_8_hive_spark.session import prep
+
+    prep(spark)
+    v = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_row_number(
+        v, ["o_totalprice", "o_orderkey"], total="n_total"
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_total").alias("lo"),
+        F.max("n_total").alias("hi"),
+    ).collect()[0]
+    assert stats["lo"] == stats["hi"] == stats["n"]
+    for q in (ml_eval_calibration, sample_systematic):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
 def test_shipping_priority_plan_shape(spark, sf_dir):
     """Q3 must finish with a TakeOrdered top-10 (per-partition heap, no
     global sort) and broadcast both dimension sides."""

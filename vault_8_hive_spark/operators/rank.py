@@ -39,13 +39,23 @@ def _range_parts(df: DataFrame) -> int:
 
 
 def global_row_number(
-    df: DataFrame, order_cols: list[str], out: str = "rn"
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "rn",
+    total: str | None = None,
 ) -> DataFrame:
     """Append a 1-based global row number over a TOTAL order.
 
     order_cols must uniquely order the rows (include a key column as the
     final tie-break) — uniqueness is what makes the result independent
     of the range boundaries.
+
+    If ``total`` is given, a column of that name carries the TOTAL row
+    count, computed from the same P-row offsets aggregate the rank
+    already needs — callers that want NTILE/percentile denominators
+    must NOT add a separate count branch (a crossJoin(df.agg(count))
+    re-scans the whole source for one scalar the offsets table already
+    knows).
     """
     ranged = df.repartitionByRange(_range_parts(df), *order_cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -54,22 +64,30 @@ def global_row_number(
         Window.partitionBy("_pid").orderBy(*order_cols)
     )
     with_local = ranged.withColumn("_lrn", local)
-    # P-row offset table: rows before each partition (cumulative count).
+    # P-row offset table: rows before each partition (cumulative count),
+    # plus (optionally) the grand total from the same tiny window pass.
+    off_w = Window.orderBy("_pid")
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(
+            F.sum("_pn").over(off_w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+    ]
+    if total is not None:
+        off_cols.append(
+            F.sum("_pn")
+            .over(
+                off_w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias(total)
+        )
     offsets = (
         with_local.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_pn"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_pn").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_off")
+        .select(*off_cols)
     )
     return (
         with_local.join(F.broadcast(offsets), "_pid")

@@ -1041,9 +1041,12 @@ def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: deciles via operators/rank.py's two-pass range-partitioned
     global rank + the SQL NTILE remainder rule — NOT a bare
-    ORDER-BY-window, which would serialize the table into one task;
-    per-bin reduction is map-side combinable. Feature vectors never
-    shuffle — only (p, y) pairs leave the scan.
+    ORDER-BY-window, which would serialize the table into one task.
+    The NTILE denominator rides the rank's own offsets aggregate
+    (total=...) instead of a crossJoin(count) branch, which would
+    re-scan the embedding table for one scalar; per-bin reduction is
+    map-side combinable. Feature vectors never shuffle — only (p, y)
+    pairs leave the scan, exactly once.
     """
     from ..operators.rank import global_row_number, ntile_from_rank
 
@@ -1063,15 +1066,12 @@ def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             0.5 * (F.lit(1.0) + s / (F.lit(1.0) + F.abs(s))), 9
         ).alias("p"),
     )
-    tot = probs.agg(F.count(F.lit(1)).alias("n_total"))
-    binned = (
-        global_row_number(probs, ["p", "vec_id"])
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "y",
-            "p",
-            ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("bin"),
-        )
+    binned = global_row_number(
+        probs, ["p", "vec_id"], total="n_total"
+    ).select(
+        "y",
+        "p",
+        ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("bin"),
     )
     n = F.count(F.lit(1))
     return (
