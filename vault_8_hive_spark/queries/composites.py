@@ -1091,6 +1091,9 @@ _composite(
          {"k1": "user_id", "k2": "n_purchases",
           "s1": "CAST(n_view_ts AS STRING) || '|' || CAST(n_matched AS STRING)",
           "d1": "CAST(matched_view_cents AS DOUBLE)"}),
+        ("grouped_agg", "udf_grouped_agg_trimmed",
+         {"s1": "priority || '|' || CAST(paths_agree AS STRING)",
+          "k1": "n_orders", "k2": "n_above", "d1": "trimmed_mean"}),
     ],
     tags=("udf", "scalar", "pandas", "grouped-map", "udtf", "pipe-syntax",
           "cogrouped-map", "composite"),

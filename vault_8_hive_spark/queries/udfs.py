@@ -466,3 +466,114 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "udf_grouped_agg_trimmed",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT priority, cents,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM v
+),
+tm AS (
+  SELECT priority,
+         CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS tm_cents
+  FROM r
+  WHERE rn > n // 10 AND rn <= n - n // 10
+  GROUP BY priority
+)
+SELECT v.priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(ANY_VALUE(tm.tm_cents) / 100, 6) AS trimmed_mean,
+       CAST(SUM(CASE WHEN v.cents > tm.tm_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above,
+       ROUND(CAST(SUM(CASE WHEN v.cents > tm.tm_cents THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS frac_above,
+       CAST(1 AS INT) AS paths_agree
+FROM v JOIN tm ON tm.priority = v.priority
+GROUP BY v.priority
+ORDER BY v.priority
+""",
+    tags=("udf", "pandas", "grouped-agg", "udaf", "window"),
+)
+def udf_grouped_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (custom vectorized aggregate): a 10%-
+    trimmed mean of order value, applied through BOTH surfaces the API
+    offers — `groupBy().agg(udaf)` and the same udaf OVER a
+    `Window.partitionBy` with an unbounded frame — and cross-checked
+    (paths_agree) so a divergence between the two execution paths fails
+    the hash. This is the custom-aggregate shape MLlib-free pipelines
+    use for robust statistics builtins lack (trimmed/winsorized means,
+    custom loss reductions) while keeping Arrow-batch transfer.
+
+    Exactness: values ride integer cents; the trimmed sum is an exact
+    int64 regardless of pandas' reduction order; k = n // 10 is integer
+    on both engines (never FLOOR(n * 0.1), whose float product can land
+    an ulp under the integer); the mean divides once, the /100 and
+    round happen JVM-side with the shared ROUND discipline. Trimming
+    ties at the cut is well-defined: equal values are interchangeable
+    in a sum.
+
+    Scale: ONE hash shuffle on the group key for the agg path; the
+    window path re-partitions the same way (unbounded frame = whole
+    partition per Arrow batch — a skewed group's batch must fit one
+    worker, the documented GROUPED_AGG constraint; pre-reduced inputs
+    or applyInPandas chunking are the escape hatch). The udaf receives
+    only the cents column, never the row."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    prep(spark)
+
+    @F.pandas_udf("double")
+    def trimmed_mean_cents(c: pd.Series) -> float:
+        s = np.sort(c.to_numpy())
+        k = len(s) // 10
+        core = s[k : len(s) - k]
+        return float(core.sum()) / len(core)
+
+    v = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    win = Window.partitionBy("priority").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flagged = v.withColumn("tm_win", trimmed_mean_cents("cents").over(win))
+    # A GROUPED_AGG pandas UDF cannot share one agg() with non-pandas
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the agg-path value
+    # computes in its own groupBy and joins back (5 groups, broadcast).
+    agg_tm = v.groupBy("priority").agg(
+        trimmed_mean_cents("cents").alias("tm_agg")
+    )
+    return (
+        flagged.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.max("tm_win").alias("tm_win_g"),
+            F.sum(
+                F.when(F.col("cents") > F.col("tm_win"), 1).otherwise(0)
+            ).cast("bigint").alias("n_above"),
+        )
+        .join(F.broadcast(agg_tm), "priority")
+        .select(
+            "priority",
+            "n_orders",
+            F.round(F.col("tm_agg") / 100, 6).alias("trimmed_mean"),
+            "n_above",
+            F.round(
+                F.col("n_above").cast("double") / F.col("n_orders"), 6
+            ).alias("frac_above"),
+            (F.col("tm_agg") == F.col("tm_win_g")).cast("int").alias(
+                "paths_agree"
+            ),
+        )
+        .orderBy("priority")
+    )
