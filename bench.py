@@ -124,6 +124,21 @@ def main() -> None:
     ratio = {n: round(per[n] / duck[n], 2) for n in duck if duck[n] > 0}
     duck_total = round(sum(duck.values()), 4)
 
+    # Cross-round drift, self-evident in the artifact: the newest
+    # committed BENCH_r{N}.json provides the previous total, so a reader
+    # of this JSON alone sees whether the bench set got faster or slower
+    # than last round (reseed noise vs plan drift is then a BASELINE.md
+    # question, not an artifact-archaeology one).
+    prev_total = None
+    here = Path(__file__).resolve().parent
+    prev_files = sorted(here.glob("BENCH_r[0-9]*.json"))
+    if prev_files:
+        try:
+            prev = json.loads(prev_files[-1].read_text())
+            prev_total = (prev.get("parsed") or prev).get("value")
+        except (OSError, ValueError, AttributeError):
+            prev_total = None
+
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -134,6 +149,8 @@ def main() -> None:
         "ratio": ratio,
         "duckdb_total": duck_total,
         "ratio_total": round(total / duck_total, 3) if duck_total else None,
+        "prev_total": prev_total,
+        "ratio_prev": round(total / prev_total, 3) if prev_total else None,
         "sf": sf,
         "n_queries": len(per),
         "cpus": cpus,
