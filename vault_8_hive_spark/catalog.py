@@ -49,6 +49,11 @@ _HANDLES: dict[tuple[str, str, str], DataFrame] = {}
 
 def _opt_path(sf_dir: str, name: str) -> str:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    # Same guard as queries.formats._work: a corpus living directly
+    # under WORK_DIR must not have its compacted copies written into
+    # itself (directory-scanning readers then trip on the extra roots).
+    if os.path.dirname(os.path.normpath(sf_dir)) == os.path.normpath(WORK_DIR):
+        sf_tag += "_fx"
     return os.path.join(WORK_DIR, sf_tag, "opt", name)
 
 

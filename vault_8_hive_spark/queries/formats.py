@@ -30,6 +30,12 @@ WORK_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 
 def _work(sf_dir: str, name: str) -> str:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    # A corpus living DIRECTLY under WORK_DIR (e.g. a regenerated native
+    # sf1 at .work/sf1_native) would otherwise resolve its fixture dir to
+    # the corpus dir itself, dropping checkpoints and sink output between
+    # the parquet tables; keep derived fixtures in a sibling namespace.
+    if os.path.dirname(os.path.normpath(sf_dir)) == os.path.normpath(WORK_DIR):
+        sf_tag += "_fx"
     return os.path.join(WORK_DIR, sf_tag, name)
 
 

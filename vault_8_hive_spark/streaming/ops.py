@@ -31,13 +31,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the batch catalog)."""
     prep(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The sf dir holds every table; pathGlobFilter restricts the stream to
-    # the events file.
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # Point the file source at an events GLOB — never at sf_dir with a
+    # pathGlobFilter: partition discovery over the whole corpus dir trips
+    # on unrelated sibling directories (a compaction layout, a
+    # foreachBatch sink's batch_id=N partitions) with conflicting roots
+    # (KD009), seen at the sf1-native probe. The glob (not the bare file
+    # path) keeps the source's derived basePath a directory, which the
+    # file source requires, and matches either a single landing file or
+    # a directory of parts.
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     from ..catalog import normalize_events_ts
 
     return normalize_events_ts(raw)
