@@ -2794,9 +2794,11 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE task (WindowExec single-partition path); instead the rank comes
     from operators/rank.py's two-pass range-partitioned row number and
     the bucket from the SQL NTILE remainder rule on that rank — same
-    values, parallel sort. For 100 TB optimizer stats, swap for the KLL
-    sketch row (agg_sketch_merge) — approximate bounds, no sort at all;
-    this op is the exact dual.
+    values, parallel sort, with the denominator carried by the rank's
+    own offsets aggregate (total=...) instead of a count cross-join
+    branch that re-scans the table. For 100 TB optimizer stats, swap
+    for the KLL sketch row (agg_sketch_merge) — approximate bounds, no
+    sort at all; this op is the exact dual.
     """
     from ..operators.rank import global_row_number, ntile_from_rank
 
@@ -2804,9 +2806,8 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = table(spark, sf_dir, "orders").select(
         scaled_long("o_totalprice").alias("cents"), "o_orderkey"
     )
-    tot = v.agg(F.count(F.lit(1)).alias("n_total"))
-    ranked = global_row_number(v, ["cents", "o_orderkey"])
-    b = ranked.crossJoin(F.broadcast(tot)).select(
+    ranked = global_row_number(v, ["cents", "o_orderkey"], total="n_total")
+    b = ranked.select(
         "cents",
         ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("bucket"),
     )
