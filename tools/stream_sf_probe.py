@@ -27,7 +27,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF_DIR = os.path.abspath(sys.argv[1]) if len(sys.argv) > 1 else "/root/repo/.work/sf1_native"
 DUCK_TIMEOUT = int(sys.argv[2]) if len(sys.argv) > 2 else 600
 
-QUERIES = ("stream_stream_join", "stream_transform_with_state")
+# Per-query state-store sizing (the §3g-bis finding): a JVM stateful
+# operator with a small result is CHECKPOINT-CHURN bound — 8 partitions
+# beat 32 by 2.2x on the interval join — while a python
+# transformWithState stage is ARROW/PYTHON-COMPUTE bound and wants one
+# partition per core (32 beat 8 by 4.3x). Partition count must track
+# the operator's bottleneck class, not a global streaming default.
+QUERIES = {"stream_stream_join": 8, "stream_transform_with_state": None}
 
 _DUCK_RUNNER = r"""
 import json, sys, time, statistics
@@ -75,16 +81,15 @@ def main() -> None:
     from vault_8_hive_spark.session import get_spark
 
     spark = get_spark(app_name="stream-sf-probe")
-    # Streaming posture: each shuffle partition of a stateful operator is
-    # a state-store instance paying checkpoint churn per micro-batch; 8
-    # keeps that off the critical path at this result size (same finding
-    # as tools/path_probe.py at 25x).
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     optimize_tables(spark, SF_DIR, chunks=4)
 
     registry = all_queries()
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name, parts in QUERIES.items():
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(parts or spark.sparkContext.defaultParallelism),
+        )
         q = registry[name]
         spdf = q.fn(spark, SF_DIR).toPandas()  # warm + capture for compare
         runs = []
