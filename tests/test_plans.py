@@ -646,3 +646,38 @@ def test_funnel_exclusion_is_one_window_pass(spark, sf_dir):
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles == 1, f"{n_shuffles} hash exchanges:\n{plan[:2000]}"
     assert plan.count("Window") >= 1, plan[:1500]
+
+
+def test_dup_spans_is_posting_group_not_self_join(spark, sf_dir):
+    """text_dup_spans must match grams by ONE groupBy on the dual
+    xxhash64 key — the r7 rewrite removed the self-join whose
+    post-explode size estimate slipped a corpus-sized build side under
+    the broadcast threshold. No join of any kind belongs in this plan,
+    and the only hash exchanges are the gram grouping and the
+    span/pair rollups."""
+    from vault_8_hive_spark.queries.text import text_dup_spans
+
+    plan = (
+        text_dup_spans(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan[:1500]
+    assert "xxhash64" in plan, plan[:1500]
+
+
+def test_reco_pair_stage_is_basket_expansion(spark, sf_dir):
+    """reco_item_cosine must generate co-occurrence pairs from per-user
+    baskets (row-local explode + map-side partial agg), never a
+    corpus-sized sort-merge self-join; the only joins left are the
+    broadcast item-norm lookups."""
+    from vault_8_hive_spark.queries.pipeline import reco_item_cosine
+
+    plan = (
+        reco_item_cosine(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan[:2000]
