@@ -1395,15 +1395,15 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     PICKED integer (order statistic by pinned rank with id tie-breaks)
     and coverage is an integer ratio.
 
-    Scale: one sufficient-statistics pass (scalar), one residual map,
-    and ONE order statistic — found by HISTOGRAM-BUCKET SELECTION
-    (1024 bucket counts locate rank k's bucket; only that value-range
-    slice gets ranked, via operators/rank.py) instead of ranking the
-    whole table; coverage is a second map-side aggregate. Nothing
-    quadratic, nothing driver-side.
+    Scale: one sufficient-statistics pass (scalar), one residual map
+    collapsed by ONE groupBy onto the integer residual domain, and the
+    order statistic + realized coverage read off a range-partitioned
+    cumulative count over the DISTINCT residual values
+    (operators/rank.py global_cumsum — the ml_eval_auc pattern). Two
+    fact passes total; nothing quadratic, nothing driver-side.
     """
     from ..functions.exact import scaled_long
-    from ..operators.rank import global_row_number
+    from ..operators.rank import global_cumsum
 
     prep(spark)
     v = table(spark, sf_dir, "lineitem").select(
@@ -1436,62 +1436,40 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
         )
     )
-    # k-th order statistic WITHOUT ranking all rows: histogram-bucket
-    # selection — 1024-bucket counts locate the bucket holding rank k,
-    # then only THAT bucket (value-range filter, predicate-pushable)
-    # is ranked. Cuts the 25x-probe cost from a full 15M-row rank to
-    # one count pass + a tiny ranked slice; the picked VALUE is
-    # identical (the k-th smallest counting duplicates), so the oracle
-    # keeps its literal full-rank spelling.
-    stats = res.agg(
-        F.min("r").alias("lo"),
-        F.max("r").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
+    # k-th order statistic from PER-DISTINCT-RESIDUAL cumulative counts
+    # (the ml_eval_auc / agg_spearman_corr pattern): residuals are
+    # integer cents, so ONE groupBy(r) collapses the fact to its value
+    # domain, a range-partitioned cumsum over the distinct values
+    # locates q = the first r whose inclusive count reaches k, and the
+    # realized coverage IS that same row's cum/n — zero additional fact
+    # passes. This replaced the r6 histogram-bucket selection (stats
+    # pass + bucket counts + ranked slice + coverage pass = FOUR fact
+    # passes after the residual map; this shape has one). The picked
+    # VALUE is identical (the k-th smallest counting duplicates — a
+    # value pick needs no row tie-break), so the oracle keeps its
+    # literal full-rank spelling.
+    per_r = res.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
+    tot = per_r.agg(
+        F.sum("c").alias("n"),
     ).select(
-        "lo",
-        "hi",
         "n",
         F.least(
             F.ceil((F.col("n") + 1) * 0.9).cast("long"), F.col("n")
         ).alias("k"),
-        F.greatest(
-            F.expr("(hi - lo + 1) DIV 1024"), F.lit(1)
-        ).alias("width"),
     )
-    withb = res.crossJoin(F.broadcast(stats)).withColumn(
-        "b", F.expr("(r - lo) DIV width")
+    cum = global_cumsum(per_r, ["r"], "c")
+    q = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.col("k"))
+        .orderBy("r")
+        .limit(1)
     )
-    bcounts = withb.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-    bwin = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    bucket = (
-        bcounts.crossJoin(F.broadcast(stats.select("k")))
-        .withColumn("cum_before", F.coalesce(F.sum("c").over(bwin), F.lit(0)))
-        .where(
-            (F.col("cum_before") < F.col("k"))
-            & (F.col("k") <= F.col("cum_before") + F.col("c"))
-        )
-        .select(
-            F.col("b").alias("bsel"),
-            (F.col("k") - F.col("cum_before")).alias("rank_in"),
-        )
-    )
-    subset = withb.join(F.broadcast(bucket), F.col("b") == F.col("bsel"))
-    picked = global_row_number(
-        subset, ["r", "l_orderkey", "l_linenumber"]
-    ).where(F.col("rn") == F.col("rank_in"))
-    q = picked.select(F.col("r").alias("q_cents"), "n")
-    cov = res.crossJoin(F.broadcast(q)).agg(
-        F.round(
-            F.sum(F.when(F.col("r") <= F.col("q_cents"), 1).otherwise(0))
-            .cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("coverage")
-    )
-    return q.crossJoin(F.broadcast(cov)).select(
+    return q.select(
         F.col("n").cast("bigint").alias("n"),
-        (F.col("q_cents").cast("double") / 100.0).alias("q_hat"),
-        "coverage",
+        (F.col("r").cast("double") / 100.0).alias("q_hat"),
+        F.round(F.col("cum").cast("double") / F.col("n"), 6).alias(
+            "coverage"
+        ),
     )
 
 
