@@ -58,11 +58,27 @@ def _opt_path(sf_dir: str, name: str) -> str:
 
 
 def _src_fingerprint(sf_dir: str, name: str) -> str:
-    """Identity of the raw landing file (size + mtime): the compacted
-    copy is only valid for the exact source it was built from."""
+    """Identity of the raw landing source (size + mtime): the compacted
+    copy is only valid for the exact source it was built from. A
+    multi-file landing is a DIRECTORY whose own st_size says nothing
+    about the data — fold the contained data files recursively (same
+    contract as queries.formats._src_fingerprint) so a rewritten part
+    file invalidates the compacted copy."""
     p = f"{sf_dir}/{name}.parquet"
     st = os.stat(p)
-    return f"{st.st_size}:{st.st_mtime_ns}"
+    if not os.path.isdir(p):
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    total = 0
+    newest = 0
+    for dirpath, dirnames, filenames in os.walk(p):
+        dirnames[:] = sorted(d for d in dirnames if not d.startswith(("_", ".")))
+        for fname in sorted(filenames):
+            if fname.startswith(("_", ".")):
+                continue
+            s = os.stat(os.path.join(dirpath, fname))
+            total += s.st_size
+            newest = max(newest, s.st_mtime_ns)
+    return f"dir:{total}:{newest}"
 
 
 def _opt_is_current(sf_dir: str, name: str) -> bool:

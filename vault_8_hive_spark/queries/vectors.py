@@ -11,6 +11,8 @@ or sign test so last-ulp float drift can't flip a rank or an LSH bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -518,12 +520,12 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # but at thousands of IVF lists an unbounded memo becomes a driver leak —
 # and past that size the index belongs in a broadcast-join table, not a
 # driver dict (posture noted in vec_ivf_topk's docstring).
-_IVF_INDEX: dict[str, dict[int, list[float]]] = {}
+_IVF_INDEX: dict[tuple, dict[int, list[float]]] = {}
 # The demo's fixed query vector (vec_id 0), cached with the index: its
 # `.first()` is a real (if tiny) Spark job, and leaving it in the plan-
 # build path made "compile" time carry a per-build job dispatch (~0.4 s,
 # the slowest compile in BENCH_r03) that belongs to index prep.
-_IVF_QVEC: dict[str, list[float]] = {}
+_IVF_QVEC: dict[tuple, list[float]] = {}
 
 _MEMO_CAP = 8  # corpora cached at once; eldest evicted first
 
@@ -600,9 +602,15 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate pass — no explode, and only 10x65 partials cross the
     # exchange (the posexplode formulation shuffles 64 rows per vector).
     # The centroid table IS the IVF index: built once per corpus and cached
-    # (any ANN system amortizes index build across queries); invalidated by
-    # sf_dir, so every corpus gets its own build.
-    centroids = _IVF_INDEX.get(sf_dir)
+    # (any ANN system amortizes index build across queries); keyed by the
+    # SOURCE FINGERPRINT, not the path alone — /root/testdata reseeds each
+    # round, and a long-lived process must rebuild, never serve centroids
+    # of a corpus that no longer exists (same staleness class as the
+    # formats._cached_pernation fix).
+    from .formats import _src_fingerprint
+
+    ivf_key = (sf_dir, _src_fingerprint(os.path.join(sf_dir, "embeddings.parquet")))
+    centroids = _IVF_INDEX.get(ivf_key)
     if centroids is None:
         emb_d = emb.select("label", to_double("embedding").alias("e"))
         cent_rows = emb_d.groupBy("label").agg(
@@ -612,14 +620,14 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).collect()
         centroids = {r["label"]: [float(r[f"c{i}"]) for i in range(DIM)] for r in cent_rows}
-        _memo_put(_IVF_INDEX, sf_dir, centroids)
-    q_vec = _IVF_QVEC.get(sf_dir)
+        _memo_put(_IVF_INDEX, ivf_key, centroids)
+    q_vec = _IVF_QVEC.get(ivf_key)
     if q_vec is None:
         q_vec = [
             float(x)
             for x in emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
         ]
-        _memo_put(_IVF_QVEC, sf_dir, q_vec)
+        _memo_put(_IVF_QVEC, ivf_key, q_vec)
 
     # Probe set: 3 nearest centroids to the query (python mirrors the
     # oracle's sequential list_sum fold; rounded to 6 before ranking).
