@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Skew probe for duplicated-span mining (text_dup_spans): the
+boilerplate-shingle cliff, measured.
+
+The posting-list self-pair emits k(k-1)/2 pairs inside ONE task for a
+gram occurring k times. Real corpora hit this through BOILERPLATE — a
+shared header/footer puts the same 8-grams in thousands of documents,
+and k^2 on a boilerplate gram dwarfs every genuine near-dup cluster
+(at boiler_frac 0.3 x 52k docs, each boilerplate gram holds a 15.7k-doc
+posting list -> 1.2e8 pairs PER GRAM in one task: measured
+JVM-heap-fatal, recorded as DNF-OOM below, not hypothesized).
+Production span-dedupers drop high-document-frequency shingles before
+pairing — they carry no span signal (a gram in 30% of the corpus is
+template text, not leaked content).
+
+Each variant runs in its OWN subprocess under a hard timeout, so the
+plain variant's OOM records as a DNF instead of killing the probe —
+the same isolation discipline as tools/native_sf_bench.py's oracles.
+
+Usage: python tools/dupskew_probe.py [replicas] [boiler_frac] [df_cap]
+Prints ONE JSON line; numbers recorded in BASELINE.md §3e-bis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = str(Path(__file__).resolve().parent.parent)
+SRC = "/root/testdata/sf0.1"
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+BOILER_FRAC = float(sys.argv[2]) if len(sys.argv) > 2 else 0.3
+DF_CAP = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+TIMEOUT_S = int(os.environ.get("DUPSKEW_TIMEOUT_S", "300"))
+
+BOILER = (
+    "standard corporate disclaimer header applies to this document text"
+)
+
+_RUNNER = r"""
+import json, statistics, sys, time
+sys.path.insert(0, sys.argv[1])
+out_dir, variant, df_cap = sys.argv[2], sys.argv[3], int(sys.argv[4])
+from pyspark.sql import functions as F
+from vault_8_hive_spark.session import get_spark
+spark = get_spark(app_name="dupskew-" + variant)
+docs = spark.read.parquet(out_dir)
+
+def pairs_of():
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("ts"),
+    ).where(F.size("ts") >= 8)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(1, size(ts) - 7), "
+                "i -> named_struct('p', i, 'g', slice(ts, i, 8)))"
+            )).alias("s"),
+        )
+        .select(
+            "doc_id", F.col("s.p").alias("p"),
+            F.xxhash64("s.g").alias("h1"),
+            F.xxhash64(F.lit(9), "s.g").alias("h2"),
+        )
+    )
+    occ = (
+        grams.groupBy("h1", "h2")
+        .agg(F.collect_list(F.struct("doc_id", "p")).alias("occ"))
+        .where(F.size("occ") >= 2)
+    )
+    if variant == "capped":
+        occ = occ.where(F.size("occ") <= df_cap)
+    return occ.select(F.explode(F.expr(
+        "filter(flatten(transform(occ, a -> transform(occ, b -> "
+        "named_struct('da', a.doc_id, 'db', b.doc_id, "
+        "'pa', a.p, 'pb', b.p)))), x -> x.da < x.db)"
+    )).alias("m"))
+
+n = pairs_of().count()
+runs = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    pairs_of().count()
+    runs.append(time.perf_counter() - t0)
+print(json.dumps({"pairs": n, "sec": round(statistics.median(runs), 2)}))
+"""
+
+
+def build_corpus(out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from vault_8_hive_spark.session import get_spark
+
+    spark = get_spark(app_name="dupskew-build")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        spark.stop()
+        return
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.count()
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    # Per-replica word tags keep non-boilerplate grams replica-unique
+    # (same discipline as tools/scale_probe.py), so the ONLY
+    # cross-replica gram collisions are the injected boilerplate.
+    tagged = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % int(1 / BOILER_FRAC) == 0,
+            F.concat(F.lit(BOILER + " "), F.col("text")),
+        )
+        .otherwise(
+            F.concat(
+                F.concat(F.lit("rep"), F.col("rep"), F.lit("tag ")),
+                F.regexp_replace(
+                    "text",
+                    r"(\w+)",
+                    F.concat(F.lit("r"), F.col("rep"), F.lit("$1")).cast(
+                        "string"
+                    ),
+                ),
+            )
+        )
+        .alias("text"),
+    )
+    tagged.write.mode("overwrite").parquet(out)
+    spark.stop()
+
+
+def main() -> None:
+    out = os.path.join(
+        REPO, ".work", f"dupskew_x{REPLICAS}_f{int(BOILER_FRAC * 100)}"
+    )
+    build_corpus(out)
+
+    results: dict[str, dict] = {}
+    for variant in ("capped", "plain"):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _RUNNER, REPO, out, variant,
+                 str(DF_CAP)],
+                capture_output=True,
+                timeout=TIMEOUT_S,
+            )
+            if r.returncode != 0:
+                tail = r.stderr.decode(errors="replace")[-200:]
+                oom = "OutOfMemoryError" in r.stderr.decode(errors="replace")
+                results[variant] = {
+                    "status": "oom" if oom else "error", "tail": tail,
+                }
+            else:
+                last = r.stdout.decode().strip().splitlines()[-1]
+                results[variant] = {"status": "ok", **json.loads(last)}
+        except subprocess.TimeoutExpired:
+            results[variant] = {"status": "timeout", "cap_s": TIMEOUT_S}
+        print(f"{variant}: {results[variant].get('status')}",
+              file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "dupskew_probe",
+        "replicas": REPLICAS,
+        "boiler_frac": BOILER_FRAC,
+        "df_cap": DF_CAP,
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

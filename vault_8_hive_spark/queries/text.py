@@ -1832,7 +1832,12 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     group is nondeterministic but the emitted pair SET (all ordered
     pairs, da < db) is order-free. No floats anywhere. A gram repeated
     k times emits k(k-1)/2 pairs inside one task — the same worst case
-    as a join's hash bucket, bounded by near-dup cluster size."""
+    as a join's hash bucket, bounded by near-dup cluster size ON CLEAN
+    CORPORA ONLY: boilerplate (shared headers) breaks that bound, and
+    tools/dupskew_probe.py measured the cliff (30% boilerplate = DNF/
+    JVM-OOM plain, 9.5 s with posting lists > 256 dropped before
+    expansion — the production df-cap posture, BASELINE §3e-bis; a gram
+    in 30% of the corpus is template text carrying no span signal)."""
     from pyspark.sql import Window
 
     prep(spark)
