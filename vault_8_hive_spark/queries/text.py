@@ -920,7 +920,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 90, "train").otherwise("eval").alias("split"),
         F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("ws"),
     )
-    sh = split.select(
+    # size >= 8 guard: a shorter document has no 8-gram, and
+    # sequence(1, size - 7) with size < 8 runs DESCENDING through 0
+    # where slice(ws, 0, 8) throws (latent until a corpus carries short
+    # docs — the same regen-proofing class as BM25's dl > 0 filter).
+    sh = split.where(F.size("ws") >= 8).select(
         "doc_id",
         "split",
         F.explode(

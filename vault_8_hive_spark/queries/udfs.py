@@ -514,12 +514,14 @@ def udf_grouped_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     custom loss reductions) while keeping Arrow-batch transfer.
 
     Exactness: values ride integer cents; the trimmed sum is an exact
-    int64 regardless of pandas' reduction order; k = n // 10 is integer
-    on both engines (never FLOOR(n * 0.1), whose float product can land
-    an ulp under the integer); the mean divides once, the /100 and
-    round happen JVM-side with the shared ROUND discipline. Trimming
-    ties at the cut is well-defined: equal values are interchangeable
-    in a sum.
+    int64 regardless of pandas' reduction order (bounded by 2^63 cents
+    = ~9.2e16 dollars per group — numpy would overflow SILENTLY past
+    that, so a group whose money sum could approach it must pre-scale
+    or sum as Python ints); k = n // 10 is integer on both engines
+    (never FLOOR(n * 0.1), whose float product can land an ulp under
+    the integer); the mean divides once, the /100 and round happen
+    JVM-side with the shared ROUND discipline. Trimming ties at the cut
+    is well-defined: equal values are interchangeable in a sum.
 
     Scale: ONE hash shuffle on the group key for the agg path; the
     window path re-partitions the same way (unbounded frame = whole
