@@ -1,0 +1,82 @@
+"""Degenerate-row robustness: the adversarial-corpus pin.
+
+tools/edge_corpus.py appends the rows real pipelines carry but synthetic
+generators rarely draw — empty/whitespace/punctuation-only/sub-8-token/
+NULL documents, an all-zero embedding vector, duplicate vectors, events
+tied on the same timestamp, an order with no lineitems. Round 7's full
+348-query sweep over that corpus surfaced 15 latent failures in two
+mechanism classes, both pinned here:
+
+1. ANSI partial expressions evaluated out of filter order: whole-stage
+   codegen's subexpression elimination can evaluate a Filter predicate's
+   shared subexpression BEFORE the short-circuiting domain conjunct in
+   the same Filter (a pushed-down isnotnull(shingles) hoisted the
+   3-gram transform above `size(words) >= 3` and ANSI element_at threw
+   on a 1-token doc). Fix class: expressions must be TOTAL — guarded
+   with when()/greatest() so they are safe on ANY row (text._shingled,
+   similarity.cosine).
+
+2. Cross-engine domain divergence on undefined inputs: Spark ANSI
+   aborts on /0 where DuckDB quietly yields NULL (zero-norm cosine,
+   1/n_chars A-ES weights), and DuckDB string_split('') is [''] where a
+   Python tokenizer sees zero tokens (simhash). Fix class: the domain
+   guard is EXPLICIT in both spellings (corpus reads through a
+   zero-norm / zero-token / zero-weight filter on both engines).
+
+This suite re-runs exactly the 15 once-failing queries on a fresh edge
+corpus — cheap (small scale), permanent (a regression in either class
+resurfaces as a crash or a hash mismatch here, not in a future advisory).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from vault_8_hive_spark.oracle import compare, run_oracle
+from vault_8_hive_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+# The round-7 edge-sweep failure set (CORRECTNESS class: would have been
+# a job abort or a silent divergence at 100 TB).
+EDGE_PINNED = [
+    "text_corpus_mgmt",
+    "text_neardup",
+    "text_setsim_prefix_join",
+    "text_simhash",
+    "text_simhash_neardup",
+    "text_weighted_sample",
+    "vec_ann",
+    "vec_ann_recall",
+    "vec_cosine_neardup_pairs",
+    "vec_cosine_topk",
+    "vec_knn_batch",
+    "vec_lsh_family",
+    "vec_matryoshka_rerank",
+    "vec_mmr_rerank",
+    "vec_semdedup",
+]
+
+
+@pytest.fixture(scope="session")
+def edge_dir(tmp_path_factory) -> str:
+    from edge_corpus import edge
+
+    out = tmp_path_factory.mktemp("edge") / "edge_corpus"
+    edge(out, seed=4242, scale=0.2)
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EDGE_PINNED)
+def test_query_survives_degenerate_rows(name, spark, edge_dir):
+    q = QUERIES[name]
+    spdf = q.fn(spark, edge_dir).toPandas()  # crash = class-1 regression
+    opdf = run_oracle(q.oracle, edge_dir)
+    rep = compare(name, spdf, opdf)
+    assert rep.ok, f"{name} on edge corpus: {rep.detail}"
+    assert rep.exact, f"{name} on edge corpus: inexact — {rep.detail}"

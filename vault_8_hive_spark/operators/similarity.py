@@ -32,8 +32,25 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def sq_norm(a: Column) -> Column:
+    """Sum of squares — the zero-vector domain test (`sq_norm(e) > 0`),
+    shared by every query that must exclude norm-0 rows before cosine."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, TOTAL as an expression: the denominator is
+    clamped with greatest(., 5e-324) so a zero-norm row yields 0.0
+    instead of an ANSI DIVIDE_BY_ZERO. For any nonzero vector the clamp
+    is the identity (real norms dwarf one denormal), so results are
+    bit-identical to the plain division — but the expression is now safe
+    to evaluate on ANY row, whatever order the optimizer runs filter
+    conjuncts in (whole-stage codegen CSE can hoist a predicate's shared
+    subexpression ABOVE the short-circuiting domain guard in the same
+    Filter; seen live in the round-7 edge-corpus sweep). Zero-norm rows
+    must still be EXCLUDED by callers (sq_norm > 0) — cosine is
+    undefined there and the 0.0 is a sentinel, not a similarity."""
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(5e-324))
 
 
 def lit_vec(values: list[float]) -> Column:

@@ -25,8 +25,12 @@ _HAMMING_MAX = 10
 # Parametrized replay of the SimHash bit arithmetic (see text_simhash's
 # oracle for the derivation): src -> fp(doc_id, f UBIGINT).
 def _o_simhash_cte(src: str) -> str:
+    # text <> '' mirrors the engine-side zero-token filter (see
+    # text_simhash's oracle note: DuckDB string_split('') yields a
+    # phantom '' token, and NULL text must drop, not fingerprint).
     return f"""
-toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {src}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {src}
+         WHERE text <> ''),
 th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks),
 votes AS (SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
           FROM th, generate_series(0, 63) AS g(i) GROUP BY doc_id, i),
@@ -91,8 +95,12 @@ def text_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount ops per candidate (the 64-bit hash rides as two signed
     32-bit halves so the JVM never faces unsigned overflow)."""
     prep(spark)
-    sims = _neardup_corpus(spark, sf_dir).mapInPandas(
-        _simhash_batch, schema=_SIMHASH_SCHEMA
+    # Zero-token docs carry no fingerprint (same domain guard, same
+    # two-engine rationale as text_simhash).
+    sims = (
+        _neardup_corpus(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.col("text") != ""))
+        .mapInPandas(_simhash_batch, schema=_SIMHASH_SCHEMA)
     )
     # localCheckpoint (not a shared repartition exchange): a mapInPandas
     # subtree embeds a PythonUDF whose result id survives plan

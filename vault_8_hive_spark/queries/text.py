@@ -37,21 +37,35 @@ def _words(df: DataFrame) -> DataFrame:
 
 
 def _shingled(df: DataFrame) -> DataFrame:
-    """Distinct 3-word shingles per doc (JVM lambda expressions only)."""
+    """Distinct 3-word shingles per doc (JVM lambda expressions only).
+
+    The transform is TOTAL (guarded by when(), not just the row filter):
+    under ANSI mode `element_at` past the end THROWS, and whole-stage
+    codegen's subexpression elimination can evaluate a filter predicate's
+    shared subexpression BEFORE the short-circuiting `size >= 3` conjunct
+    of the same Filter (seen live: a downstream join's inferred
+    isnotnull(shingles) pushed down next to the size guard, and the
+    hoisted transform exploded on a 1-token doc — the edge-corpus sweep,
+    round 7). Short docs still leave via the where(); the when() makes
+    the expression safe to evaluate on ANY row, whatever order the
+    optimizer picks."""
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("words") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("words", i),
+            F.element_at("words", i + 1),
+            F.element_at("words", i + 2),
+        ),
+    )
     return (
         _words(df)
         .where(F.size("words") >= 3)
         .select(
             "doc_id",
             F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("words") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("words", i),
-                        F.element_at("words", i + 1),
-                        F.element_at("words", i + 2),
-                    ),
+                F.when(F.size("words") >= 3, shingles).otherwise(
+                    F.array().cast("array<string>")
                 )
             ).alias("shingles"),
         )
@@ -403,11 +417,15 @@ def _simhash_batch(pdf_iter):
     # DuckDB replays the exact bit-twiddling: token hash = first 16 hex
     # chars of md5 as UBIGINT (== first 8 digest bytes big-endian), ±1
     # votes per bit over a 0..63 series, fingerprint = sum of winning
-    # bits. (Assumes non-empty text, which holds for the documents table
-    # at every SF; the UDF's empty-doc branch is covered in tests.)
+    # bits. Domain: docs whose tokenizer yields >= 1 token — text <> ''
+    # filters both '' (DuckDB string_split('') is [''], one phantom
+    # token, where the UDF sees zero) and NULL (<> is NULL -> dropped,
+    # matching the UDF-side explicit filter); a zero-token doc has no
+    # fingerprint. The UDF's empty-doc branch stays as a safety net.
     oracle="""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE text <> ''
 ),
 th AS (
   SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks
@@ -431,9 +449,18 @@ FROM fp JOIN documents d ON fp.doc_id = d.doc_id
 )
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints via mapInPandas (Arrow-batched; the one text
-    operator where 64-bit integer bit ops beat SQL expressions)."""
+    operator where 64-bit integer bit ops beat SQL expressions).
+
+    Domain: docs with >= 1 whitespace token — NULL/'' text is filtered
+    on BOTH engines (the oracle's string_split('') yields a phantom ''
+    token where the UDF sees zero; excluding zero-token docs outright is
+    the only spelling the two engines agree on)."""
     prep(spark)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", "text")
+    )
     return docs.mapInPandas(_simhash_batch, schema=_SIMHASH_SCHEMA)
 
 
@@ -737,6 +764,7 @@ WITH keyed AS (
              / 4294967296.0,
            1.0 / n_chars), 9) AS es_key
   FROM documents
+  WHERE n_chars > 0
 ),
 ranked AS (
   SELECT lang, doc_id, n_chars, es_key,
@@ -763,11 +791,16 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from md5(doc_id), not an RNG, so any engine (and any rerun)
     draws the same sample; keys are rounded to 1e-9 with a doc_id
     tie-break before ranking (pow is not correctly-rounded IEEE in
-    either engine)."""
+    either engine).
+
+    Domain guard: A-ES weights must be POSITIVE — 1/n_chars on a
+    zero-length document is an ANSI DIVIDE_BY_ZERO job-killer (and a
+    weight-0 doc is unsampleable by definition), so both engines
+    restrict to n_chars > 0 explicitly."""
     prep(spark)
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("double")

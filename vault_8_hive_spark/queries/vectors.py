@@ -48,6 +48,27 @@ _O_NORM_Q = (
 )
 _O_COS = f"ROUND(({_O_DOT_Q}) / (({_O_NORM_E}) * ({_O_NORM_Q})), 6)"
 
+# Zero-norm domain guard (round-7 edge-corpus finding): cosine is
+# undefined at norm 0, and one all-zero row in a 100 TB corpus is an
+# ANSI DIVIDE_BY_ZERO job abort on the Spark side (and a NULL/inf
+# divergence on the oracle side). Every cosine-dividing query reads the
+# corpus through this filtered relation on BOTH engines, so the domains
+# stay aligned; similarity.cosine is additionally clamped total so the
+# expression itself can never throw whatever order the optimizer
+# evaluates filter conjuncts in.
+_O_SQN = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+)
+_O_EMB_NZ = f"(SELECT * FROM embeddings WHERE ({_O_SQN}) > 0)"
+
+
+def _nz(emb: DataFrame) -> DataFrame:
+    """embeddings with zero-norm rows dropped (the cosine domain)."""
+    from ..operators.similarity import sq_norm
+
+    return emb.where(sq_norm(to_double("embedding")) > 0)
+
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     """Distributed top-k finalization: orderBy().limit(k) plans a
@@ -81,11 +102,11 @@ _O_SIG = " || ".join(
 @register(
     "vec_cosine_topk",
     oracle=f"""
-WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+WITH q AS (SELECT embedding FROM {_O_EMB_NZ} WHERE vec_id = 0)
 SELECT vec_id, label, cos_sim, CAST(rn AS INT) AS rn FROM (
   SELECT e.vec_id, e.label, {_O_COS} AS cos_sim,
          ROW_NUMBER() OVER (ORDER BY {_O_COS} DESC, e.vec_id) AS rn
-  FROM embeddings e, q
+  FROM {_O_EMB_NZ} e, q
   WHERE e.vec_id <> 0
 ) t WHERE rn <= 20
 """,
@@ -94,9 +115,10 @@ SELECT vec_id, label, cos_sim, CAST(rn AS INT) AS rn FROM (
 )
 def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 against the vec_id=0 query vector — one
-    corpus scan, no shuffle until the final top-k."""
+    corpus scan, no shuffle until the final top-k. Corpus reads through
+    the zero-norm filter (_nz) on both engines."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
     q = F.broadcast(emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb")))
     scored = (
         emb.where(F.col("vec_id") != 0)
@@ -113,11 +135,11 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vec_knn_batch",
     oracle=f"""
-WITH queries AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 30)
+WITH queries AS (SELECT vec_id AS qid, embedding FROM {_O_EMB_NZ} WHERE vec_id < 30)
 SELECT qid, nn_id, nn_sim FROM (
   SELECT q.qid, e.vec_id AS nn_id, {_O_COS} AS nn_sim,
          ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {_O_COS} DESC, e.vec_id) AS rn
-  FROM embeddings e, queries q
+  FROM {_O_EMB_NZ} e, queries q
   WHERE e.vec_id <> q.qid
 ) t WHERE rn = 1
 """,
@@ -125,9 +147,10 @@ SELECT qid, nn_id, nn_sim FROM (
 )
 def vec_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN for a batch of 30 query vectors: broadcast the query batch
-    against the corpus (queries x corpus stays linear in corpus size)."""
+    against the corpus (queries x corpus stays linear in corpus size).
+    Zero-norm rows excluded on both engines (_nz)."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
     queries = F.broadcast(
         emb.where(F.col("vec_id") < 30).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
@@ -267,7 +290,7 @@ def vec_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vec_lsh_ann",
     oracle=f"""
-WITH sigs AS (SELECT vec_id, label, embedding, ({_O_SIG}) AS bucket FROM embeddings),
+WITH sigs AS (SELECT vec_id, label, embedding, ({_O_SIG}) AS bucket FROM {_O_EMB_NZ}),
 q AS (SELECT vec_id, embedding, bucket FROM sigs WHERE vec_id = 0)
 SELECT vec_id, label, cos_sim, CAST(rn AS INT) AS rn FROM (
   SELECT e.vec_id, e.label, {_O_COS} AS cos_sim,
@@ -281,9 +304,10 @@ SELECT vec_id, label, cos_sim, CAST(rn AS INT) AS rn FROM (
 def vec_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: exact cosine top-5 restricted to the query's LSH
     bucket — the scale path (bucket scan, not corpus scan). Recall vs the
-    brute-force baseline is asserted in tests/test_vectors.py."""
+    brute-force baseline is asserted in tests/test_vectors.py.
+    Zero-norm rows excluded on both engines (_nz)."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
     sigs = emb.select(
         "vec_id", "label", "embedding", lsh_signature(to_double("embedding"), PLANES).alias("bucket")
     )
@@ -307,7 +331,7 @@ def vec_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vec_cosine_neardup_pairs",
     oracle=f"""
-WITH sigs AS (SELECT vec_id, embedding, ({_O_SIG}) AS bucket FROM embeddings)
+WITH sigs AS (SELECT vec_id, embedding, ({_O_SIG}) AS bucket FROM {_O_EMB_NZ})
 SELECT e.vec_id AS vec_a, q.vec_id AS vec_b,
        ROUND((list_sum(list_transform(generate_series(1, 64),
               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
@@ -331,9 +355,10 @@ def vec_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (bucket join instead of all-pairs; same shape at 100 TB). The
     synthetic embeddings are near-orthogonal (max in-bucket cosine ~0.40),
     so 0.3 marks the top percentile of similar pairs; with a corpus that
-    has true duplicates the threshold moves to ~0.95 unchanged."""
+    has true duplicates the threshold moves to ~0.95 unchanged.
+    Zero-norm rows excluded on both engines (_nz)."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
     # Repartition after the signature projection: one exchange feeds both
     # self-join sides via ReusedExchange, so the hyperplane signatures
     # compute once (no localCheckpoint needed).
@@ -378,7 +403,8 @@ def _recall_oracle_sql() -> str:
     variant_parts = []
     for method, tables in _RECALL_VARIANTS:
         buckets = "\nUNION ALL\n".join(
-            f"SELECT vec_id, {t} AS tbl, ({_o_sig_for(pl)}) AS bucket FROM embeddings"
+            f"SELECT vec_id, {t} AS tbl, ({_o_sig_for(pl)}) AS bucket "
+            f"FROM {_O_EMB_NZ}"
             for t, pl in enumerate(tables)
         )
         variant_parts.append(f"""
@@ -406,7 +432,7 @@ LEFT JOIN (
         JOIN ({buckets}) qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
         WHERE qb.vec_id < 20 AND b.vec_id <> qb.vec_id
       ) cand
-      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN {_O_EMB_NZ} e ON e.vec_id = cand.vec_id
       JOIN queries q ON q.qid = cand.qid
     ) t WHERE rn <= 10
   ) l ON e.qid = l.qid AND e.nn_id = l.nn_id
@@ -414,12 +440,12 @@ LEFT JOIN (
 ) h ON h.qid = q.qid""")
     union = "\nUNION ALL\n".join(variant_parts)
     return f"""
-WITH queries AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 20),
+WITH queries AS (SELECT vec_id AS qid, embedding FROM {_O_EMB_NZ} WHERE vec_id < 20),
 exact AS (
   SELECT qid, nn_id FROM (
     SELECT q.qid, e.vec_id AS nn_id,
            ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {_O_COS} DESC, e.vec_id) AS rn
-    FROM embeddings e, queries q WHERE e.vec_id <> q.qid
+    FROM {_O_EMB_NZ} e, queries q WHERE e.vec_id <> q.qid
   ) t WHERE rn <= 10
 )
 {union}
@@ -452,9 +478,10 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (table, bucket)) — at 100 TB the signatures are precomputed
     columns and each probe touches L buckets. Both top-10 sets rank on
     cosine rounded to 1e-6 with a vec_id tie-break, so recall is
-    deterministic on both engines."""
+    deterministic on both engines. Zero-norm rows excluded on both
+    engines (_nz)."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
     queries = F.broadcast(
         emb.where(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
@@ -538,16 +565,16 @@ def _memo_put(memo: dict, key, value) -> None:
         memo.pop(next(iter(memo)))
     memo[key] = value
 
-_O_CENT = """
+_O_CENT = f"""
 elems AS (
   SELECT label, pos, ROUND(SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*), 6) AS cv
-  FROM embeddings, generate_series(1, 64) AS g(pos)
+  FROM {_O_EMB_NZ}, generate_series(1, 64) AS g(pos)
   GROUP BY label, pos
 ),
 cent AS (
   SELECT label AS c_label, list(cv ORDER BY pos) AS c FROM elems GROUP BY label
 ),
-q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+q AS (SELECT embedding FROM {_O_EMB_NZ} WHERE vec_id = 0),
 probe AS (
   SELECT c_label FROM (
     SELECT c_label,
@@ -561,7 +588,7 @@ assigned AS (
     SELECT e.vec_id, e.label, e.embedding, cent.c_label,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
              i -> (cent.c[i] - CAST(e.embedding[i] AS DOUBLE)) * (cent.c[i] - CAST(e.embedding[i] AS DOUBLE)))), 6), cent.c_label) AS rn
-    FROM embeddings e, cent
+    FROM {_O_EMB_NZ} e, cent
   ) t WHERE rn = 1
 )
 """
@@ -593,9 +620,12 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final top-k. At 100 TB the corpus would be written partitioned by
     list id so probing 3/10 lists becomes partition pruning at the scan —
     the same plan shape, 70% of the I/O skipped.
+    Zero-norm rows excluded on both engines (_nz) — from the centroid
+    means as well as the scored lists, so the index and the scan see the
+    same corpus.
     """
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
 
     # Coarse centroids: element-wise mean per label (exactly the oracle's
     # `elems` CTE: double sum / count, rounded to 6). 64 column-sums in ONE
@@ -773,12 +803,12 @@ _O_DQ_DOT = (
 @register(
     "vec_quantized_rerank",
     oracle=f"""
-WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+WITH q AS (SELECT embedding FROM {_O_EMB_NZ} WHERE vec_id = 0),
 c AS (
   SELECT vec_id, label, embedding,
          GREATEST(list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0,
                   1e-12) AS scale
-  FROM embeddings WHERE vec_id <> 0
+  FROM {_O_EMB_NZ} WHERE vec_id <> 0
 ),
 coarse AS (
   SELECT e.vec_id, e.label, e.embedding, {_O_DQ_DOT} AS coarse_sim
@@ -811,9 +841,10 @@ def vec_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     50 rows, and the exact cosine runs on those survivors only. Both
     stages round to 1e-6 before ranking with vec_id tie-breaks, so the
     candidate CUT itself is deterministic cross-engine (a coarse tie at
-    the boundary resolves identically in both engines)."""
+    the boundary resolves identically in both engines). Zero-norm rows
+    excluded on both engines (_nz)."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
     q = F.broadcast(
         emb.where(F.col("vec_id") == 0).select(
             to_double("embedding").alias("q_emb")
@@ -1072,12 +1103,12 @@ sel{r} AS (SELECT vec_id FROM {prev_sel} UNION ALL SELECT vec_id FROM p{r})""")
         f"SELECT rnk, vec_id, rel, mmr FROM p{r}" for r in range(1, _MMR_K + 1)
     )
     return f"""
-WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+WITH q AS (SELECT embedding FROM {_O_EMB_NZ} WHERE vec_id = 0),
 cand AS (
   SELECT vec_id, rel FROM (
     SELECT e.vec_id, {_O_COS} AS rel,
            row_number() OVER (ORDER BY {_O_COS} DESC, e.vec_id) AS rn
-    FROM embeddings e, q WHERE e.vec_id <> 0
+    FROM {_O_EMB_NZ} e, q WHERE e.vec_id <> 0
   ) WHERE rn <= {_MMR_CAND}
 ),
 sims AS (
@@ -1118,9 +1149,10 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded 20-row set and its 20x20 pairwise-sim matrix, so the
     unrolled tail costs O(k * cand^2) on trivially small data however
     big the corpus. All scores round to 1e-6 before every argmax
-    (vec_id tie-break), mirrored exactly by the oracle's CTE unroll."""
+    (vec_id tie-break), mirrored exactly by the oracle's CTE unroll.
+    Zero-norm rows excluded on both engines (_nz)."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
     q = F.broadcast(
         emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     )
@@ -1207,11 +1239,11 @@ _O_SIM_AB_D = (
     oracle=f"""
 WITH corpus AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-  FROM embeddings
+  FROM {_O_EMB_NZ}
   UNION ALL
   SELECT vec_id + {_SEMDEDUP_SHIFT} AS vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1) AS embedding
-  FROM embeddings WHERE vec_id % 9 = 0
+  FROM {_O_EMB_NZ} WHERE vec_id % 9 = 0
 ),
 sigs AS (SELECT vec_id, embedding, ({_O_SIG}) AS bucket FROM corpus),
 pairs AS (
@@ -1247,9 +1279,11 @@ def vec_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pairwise similarity runs within buckets only — the quadratic
     term is bounded by bucket size, never corpus size; per-bucket
     reports aggregate map-side. All sims round to 1e-6 before the
-    threshold."""
+    threshold. Zero-norm rows excluded on both engines (_nz) — a zero
+    vector has no semantics to dedup on (its sign bucket is arbitrary
+    and its cosine undefined)."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
     base = emb.select("vec_id", to_double("embedding").alias("embedding"))
     mutated = emb.where(F.col("vec_id") % 9 == 0).select(
         (F.col("vec_id") + _SEMDEDUP_SHIFT).alias("vec_id"),
@@ -1384,11 +1418,11 @@ _O_COS16 = f"ROUND(({_O_DOT16}) / (({_O_NORM16_E}) * ({_O_NORM16_Q})), 6)"
 @register(
     "vec_matryoshka_rerank",
     oracle=f"""
-WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+WITH q AS (SELECT embedding FROM {_O_EMB_NZ} WHERE vec_id = 0),
 coarse AS (
   SELECT e.vec_id, e.label, {_O_COS16} AS coarse_sim,
          ROW_NUMBER() OVER (ORDER BY {_O_COS16} DESC, e.vec_id) AS crn
-  FROM embeddings e, q
+  FROM {_O_EMB_NZ} e, q
   WHERE e.vec_id <> 0
 ),
 cand AS (SELECT vec_id, label, coarse_sim FROM coarse WHERE crn <= 50)
@@ -1413,9 +1447,17 @@ def vec_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both stages round to 1e-6 before ranking with vec_id tie-breaks, so
     the candidate cut and the final order are bit-stable across engines.
     The rerank joins candidates back to the corpus by key — at 100 TB
-    that is a broadcast of 50 ids, not a second scan."""
+    that is a broadcast of 50 ids, not a second scan.
+    Zero-norm rows excluded on both engines (_nz). Residual caveat,
+    recorded not hidden: a nonzero vector whose 16-dim PREFIX is
+    all-zero passes the filter; Spark's total cosine() clamp scores its
+    coarse pass 0.0 (no abort) while DuckDB's bare division says NULL —
+    a candidate-cut divergence if such a vector ever nears the top-50.
+    MRL-trained embeddings concentrate information in the prefix, so a
+    zero prefix on a nonzero vector is a broken embedding upstream; the
+    right production fix is a prefix-norm DQ gate, not a weaker key."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
     q = F.broadcast(
         emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     )
@@ -1485,7 +1527,7 @@ WITH packed AS (
   SELECT e.vec_id, e.label, e.embedding,
          {_o_signpack('e', 1)} AS h1,
          {_o_signpack('e', 33)} AS h2
-  FROM embeddings e
+  FROM {_O_EMB_NZ} e
 ),
 q AS (SELECT h1, h2, embedding FROM packed WHERE vec_id = 0),
 scored AS (
@@ -1504,8 +1546,8 @@ top AS (
 SELECT t.vec_id, t.label, t.hamming, CAST(t.rn AS INT) AS rn,
        {_O_COS.replace('e.embedding', 'e2.embedding')} AS cos_sim
 FROM top t
-JOIN embeddings e2 ON e2.vec_id = t.vec_id,
-     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+JOIN {_O_EMB_NZ} e2 ON e2.vec_id = t.vec_id,
+     (SELECT embedding FROM {_O_EMB_NZ} WHERE vec_id = 0) q
 WHERE t.rn <= 10
 """,
     tags=("vectors", "similarity", "ann", "hamming", "quantization"),
@@ -1523,9 +1565,13 @@ def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the packed corpus is 16 bytes/vector — a 1B-vector corpus is
     16 GB, scannable in-memory per executor; XOR+popcount vectorizes in
     whole-stage codegen. The pack is a one-time transform persisted at
-    ingest in a real deployment."""
+    ingest in a real deployment. Zero-norm rows excluded on both
+    engines (_nz): a zero vector's sign pack is the all-zeros word —
+    Hamming-close to everything sign-negative-free — and its cosine
+    payload is undefined (Spark's clamp says 0.0, DuckDB says NULL, so
+    without the filter the two engines would disagree on the rerank)."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nz(table(spark, sf_dir, "embeddings"))
     packed = emb.select(
         "vec_id",
         "label",
