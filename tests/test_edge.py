@@ -80,3 +80,75 @@ def test_query_survives_degenerate_rows(name, spark, edge_dir):
     rep = compare(name, spdf, opdf)
     assert rep.ok, f"{name} on edge corpus: {rep.detail}"
     assert rep.exact, f"{name} on edge corpus: inexact — {rep.detail}"
+
+
+# The round-7 EMPTY-corpus failure set: queries that aborted (or
+# diverged from the oracle) when every table has zero rows — the
+# empty-slice case a 100 TB pipeline hits on a new tenant or an empty
+# date partition. Mechanisms: driver-side derefs of first()/collect()
+# scalars (pagerank teleport, IVF query vector, kmeans seeds, the
+# stream-stream flush sentinel), schema inference over data-file-less
+# fixture writes (partitionBy/bucketBy of zero rows emits no files),
+# ANSI aborts on arr[0]/negative slice lengths of empty array_agg
+# results, footer-stats COUNT pushdown answering NULL where SQL says 0,
+# and Spark's zero-rows-on-empty grouping-set semantics vs the
+# standard's grand-total row (aligned in the oracles via
+# HAVING COUNT(*) > 0).
+EMPTY_PINNED = [
+    "agg_cube",
+    "agg_grouping_multi",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_sketch_hll",
+    "agg_sketch_kll",
+    "agg_sketch_merge",
+    "graph_pagerank",
+    "graph_personalized_pagerank",
+    "io_formats",
+    "join_bucketed_smj",
+    "join_cbo_reorder",
+    "join_dynamic_partition_pruning",
+    "join_equi_family",
+    "scan_agg_pushdown",
+    "scan_binary_files",
+    "scan_json_corrupt",
+    "sink_partitioned_parquet",
+    "stream_foreach_batch_upsert",
+    "stream_stateful_sink",
+    "stream_stream_full_outer",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_stream_left_semi",
+    "stream_stream_right_outer",
+    "tpch_scalar_metrics",
+    "vec_ann",
+    "vec_ivf_topk",
+    "vec_kmeans_clusters",
+]
+
+
+@pytest.fixture(scope="session")
+def empty_dir(tmp_path_factory, spark) -> str:
+    import duckdb
+
+    out = tmp_path_factory.mktemp("empty") / "empty_corpus"
+    out.mkdir()
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 0) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EMPTY_PINNED)
+def test_query_survives_empty_slice(name, spark, empty_dir):
+    q = QUERIES[name]
+    spdf = q.fn(spark, empty_dir).toPandas()  # abort = regression
+    opdf = run_oracle(q.oracle, empty_dir)
+    rep = compare(name, spdf, opdf)
+    assert rep.ok, f"{name} on empty corpus: {rep.detail}"
+    assert rep.exact, f"{name} on empty corpus: inexact — {rep.detail}"

@@ -242,8 +242,12 @@ def bucketed_table(
     elif not spark.catalog.tableExists(tbl):
         # Files are current but this session's (in-memory) catalog has
         # never seen them: attach metadata-only. Spark reads the bucket id
-        # from each file's _NNNNN name suffix, so no data moves.
-        schema = spark.read.parquet(path).schema
+        # from each file's _NNNNN name suffix, so no data moves. Schema
+        # comes from the SOURCE landing, never inference over the bucket
+        # dir — a zero-row slice's bucketed write emits no data files and
+        # inference would abort (the bucketed copy is a column-identical
+        # rewrite of the landing, so the schemas agree by construction).
+        schema = table(spark, sf_dir, name).schema
         cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
         spark.sql(
             f"CREATE TABLE {tbl} ({cols}) USING PARQUET "

@@ -52,6 +52,16 @@ def kmeans(
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if not centroids:
+        # Empty-slice guard: no vectors means no seeds — return the
+        # empty assignment frame (schema-compatible with
+        # assign_clusters) instead of building array() of zero typed
+        # columns, which fails analysis (NULL_TYPE). The caller's
+        # downstream plan stays valid and empty.
+        empty = df.withColumn("dist2", F.lit(None).cast("double")).withColumn(
+            "cluster", F.lit(None).cast("int")
+        )
+        return empty, [], []
     inertia: list[float] = []
     for _ in range(iters):
         # One materialization per iteration, shared by the inertia action

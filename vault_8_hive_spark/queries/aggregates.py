@@ -80,11 +80,19 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+HAVING COUNT(*) > 0
 """,
     tags=("agg", "rollup"),
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP(region, nation) with grouping_id — subtotals + grand total."""
+    """ROLLUP(region, nation) with grouping_id — subtotals + grand total.
+
+    Empty-slice contract: Spark's grouping-set aggregates return ZERO
+    rows over an empty relation, where the SQL standard (and DuckDB)
+    emits the () grand-total row with zero counts. The engine ships
+    Spark's behavior; the oracle aligns via HAVING COUNT(*) > 0, which
+    is the identity on any nonempty input (every real group has >= 1
+    row) and drops only the phantom empty-input total."""
     prep(spark)
     return (
         table(spark, sf_dir, "customer")
@@ -108,11 +116,14 @@ SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 """,
     tags=("agg", "cube"),
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two low-cardinality dims — all 4 grouping combinations."""
+    """CUBE over two low-cardinality dims — all 4 grouping combinations.
+    Empty-slice contract as agg_rollup: HAVING COUNT(*) > 0 aligns the
+    oracle with Spark's zero-rows-on-empty grouping-set semantics."""
     prep(spark)
     return (
         table(spark, sf_dir, "orders")
@@ -129,11 +140,14 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+HAVING COUNT(*) > 0
 """,
     tags=("agg", "grouping_sets"),
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS — per-flag, per-status, and grand total."""
+    """Explicit GROUPING SETS — per-flag, per-status, and grand total.
+    Empty-slice contract as agg_rollup: HAVING COUNT(*) > 0 aligns the
+    oracle with Spark's zero-rows-on-empty grouping-set semantics."""
     prep(spark)
     li = table(spark, sf_dir, "lineitem")
     return li.groupingSets(
@@ -441,6 +455,7 @@ SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
        COUNT(DISTINCT l_suppkey) AS verified_supp
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag)
+HAVING COUNT(*) > 0
 """,
     tags=("agg", "approx", "sketch"),
 )
@@ -691,7 +706,13 @@ def agg_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.agg(F.array_agg("sk").alias("arr"))
         .select(
             F.expr(
-                "aggregate(slice(arr, 2, size(arr) - 1), arr[0], "
+                # Total under ANSI (SCALE.md "ANSI totality"): on an
+                # EMPTY slice arr is [], whose arr[0] and size-1 slice
+                # length both abort; greatest clamps the length and
+                # get() says NULL out of bounds, so the merged sketch is
+                # NULL and the ALL row carries NULL quantiles — exactly
+                # the oracle's ROLLUP row over zero rows.
+                "aggregate(slice(arr, 2, greatest(size(arr) - 1, 0)), get(arr, 0), "
                 "(acc, x) -> kll_sketch_merge_double(acc, x))"
             ).alias("m")
         )

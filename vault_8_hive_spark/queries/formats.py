@@ -111,6 +111,34 @@ def scan_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_orders_by_year(spark: SparkSession, sf_dir: str) -> str:
+    path = _work(sf_dir, "orders_by_year")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "orders")
+            .withColumn("order_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(path)
+        )
+    return path
+
+
+def _read_orders_by_year(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Schema-EXPLICIT read of the partitioned landing. A zero-row
+    slice's partitionBy write emits only _SUCCESS, and schema inference
+    over a directory with no data files aborts the read — so the reader
+    never infers: the schema is the writer's source schema (the 100 TB
+    posture regardless; inference costs a listing pass and drifts when
+    a producer evolves)."""
+    schema = (
+        table(spark, sf_dir, "orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .schema
+    )
+    return spark.read.schema(schema).parquet(path)
+
+
 @register(
     "sink_partitioned_parquet",
     oracle="""
@@ -127,16 +155,10 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pruned to 2 of 7 directories — the physical layout behind SCALE.md's
     pruning claim), aggregate, and match the unpartitioned original."""
     prep(spark)
-    path = _work(sf_dir, "orders_by_year")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (
-            table(spark, sf_dir, "orders")
-            .withColumn("order_year", F.year("o_orderdate"))
-            .write.mode("overwrite")
-            .partitionBy("order_year")
-            .parquet(path)
-        )
-    df = spark.read.parquet(path).where(F.col("order_year").isin(1996, 1997))
+    path = _ensure_orders_by_year(spark, sf_dir)
+    df = _read_orders_by_year(spark, sf_dir, path).where(
+        F.col("order_year").isin(1996, 1997)
+    )
     return df.groupBy("order_year", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(28,4)")), 4)
@@ -199,16 +221,8 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     dim filter prunes fact partitions before any fact byte is read,
     with no pipeline-author involvement."""
     prep(spark)
-    path = _work(sf_dir, "orders_by_year")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (
-            table(spark, sf_dir, "orders")
-            .withColumn("order_year", F.year("o_orderdate"))
-            .write.mode("overwrite")
-            .partitionBy("order_year")
-            .parquet(path)
-        )
-    fact = spark.read.parquet(path)
+    path = _ensure_orders_by_year(spark, sf_dir)
+    fact = _read_orders_by_year(spark, sf_dir, path)
     dim = (
         table(spark, sf_dir, "lineitem")
         .where(
@@ -456,6 +470,9 @@ UNION ALL
 -- n_doc >= 60), so the fixture writes fewer than 10 bad lines.
 SELECT '_CORRUPT_' AS lang, COUNT(*) AS n
 FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0
+-- HAVING: on an EMPTY slice the engine's groupBy emits zero rows while
+-- a bare global COUNT would emit ('_CORRUPT_', 0); identity otherwise.
+HAVING COUNT(*) > 0
 """,
     tags=("scan", "json", "corrupt-record", "robustness"),
 )
@@ -549,7 +566,14 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_suite layout, once past ingest)."""
     prep(spark)
     path = _ensure_binary_blobs(spark, sf_dir)
-    blobs = spark.read.format("binaryFile").load(path + "/*.bin")
+    # pathGlobFilter over the DIRECTORY, not a glob-in-path: binaryFile
+    # has a static schema, so a blob-less landing (empty slice) reads as
+    # zero rows where the glob form aborts with PATH_NOT_FOUND.
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
     text = F.decode(F.col("content"), "UTF-8")
     return blobs.select(
         F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file"),
@@ -711,7 +735,20 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree with the data would be a corruption bug, not a fast path."""
     prep(spark)
     rows, _plan = aggregate_pushdown_scan(spark, sf_dir)
-    return spark.createDataFrame(rows)
+    # Empty-slice edges (round-7 sweep): a zero-row parquet has no row
+    # groups, and the FOOTER-STATS count comes back NULL where the data
+    # path (and SQL) says COUNT(*) = 0 — normalize, it is the one case
+    # where the statistics answer and the data answer legitimately
+    # differ in spelling. Explicit schema because createDataFrame cannot
+    # infer types from the (NULL, NULL) min/max.
+    rows = [
+        (r["n_orders"] if r["n_orders"] is not None else 0,
+         r["min_key"], r["max_key"])
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        rows, "n_orders bigint, min_key bigint, max_key bigint"
+    )
 
 
 # Cached per-nation rollup handles with unpersist-on-evict (cap 4):

@@ -101,9 +101,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = nodes.count()  # one scalar to the driver (teleport term)
-    ranks = nodes.select(
-        "node", F.round(F.lit(1.0 / n_nodes), 9).alias("rank")
-    )
+    # Empty-slice guard: an empty edge relation means `nodes` has no
+    # rows, so the placeholder init value never reaches output — but the
+    # driver-side division must not abort the job (round-7 empty-corpus
+    # sweep). The result is correctly empty through the same code path.
+    init = 1.0 / n_nodes if n_nodes else 0.0
+    teleport = 0.15 / n_nodes if n_nodes else 0.0
+    ranks = nodes.select("node", F.round(F.lit(init), 9).alias("rank"))
     for _ in range(_ITERS):
         contribs = (
             edges.join(deg, "src")
@@ -116,7 +120,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 F.round(
-                    F.lit(0.15 / n_nodes)
+                    F.lit(teleport)
                     + _DAMP * F.coalesce("contrib", F.lit(0.0)),
                     9,
                 ).alias("rank"),
@@ -873,10 +877,17 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_seeds = nodes.where(F.col("node") >= _SUPP_BASE).count()
     is_seed = F.col("node") >= _SUPP_BASE
+    # Empty-slice guard (same rationale as graph_pagerank's init): no
+    # seeds -> no rows carry the placeholder; the division must not
+    # abort driver-side.
+    seed_mass = 1.0 / n_seeds if n_seeds else 0.0
+    # Guarded separately (NOT 0.15 * seed_mass): one division keeps the
+    # float bit-identical to the oracle's literal 0.15 / n spelling.
+    seed_tele = 0.15 / n_seeds if n_seeds else 0.0
     ranks = nodes.select(
         "node",
         F.round(
-            F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)), 9
+            F.when(is_seed, F.lit(seed_mass)).otherwise(F.lit(0.0)), 9
         ).alias("rank"),
     )
     for _ in range(_ITERS):
@@ -889,7 +900,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
             "node",
             F.round(
-                F.when(is_seed, F.lit(0.15 / n_seeds)).otherwise(F.lit(0.0))
+                F.when(is_seed, F.lit(seed_tele)).otherwise(F.lit(0.0))
                 + _DAMP * F.coalesce("contrib", F.lit(0.0)),
                 9,
             ).alias("rank"),

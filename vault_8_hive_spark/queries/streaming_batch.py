@@ -357,9 +357,34 @@ def partition_overwrite_upsert(target: str):
     return upsert
 
 
+def _has_parquet_files(target: str) -> bool:
+    """True if the directory holds at least one parquet data file —
+    the guard both foreachBatch serving reads use, because a zero-batch
+    run (empty source slice) writes nothing and schema inference on the
+    bare directory would abort."""
+    if not os.path.isdir(target):
+        return False
+    return any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(target)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+
+
 def compact_user_totals(spark: SparkSession, target: str) -> DataFrame:
-    """Serving read over the upsert target: sum the per-batch partials."""
-    partials = spark.read.parquet(target)
+    """Serving read over the upsert target: sum the per-batch partials.
+    Empty-slice guard: zero batches -> explicit partials schema (the
+    upsert's aggregate shape) instead of schema inference on an empty
+    directory."""
+    if not _has_parquet_files(target):
+        partials = spark.createDataFrame(
+            [],
+            "user_id bigint, n_events bigint, value_dec decimal(28,4), "
+            "batch_id int",
+        )
+    else:
+        partials = spark.read.parquet(target)
     return partials.groupBy("user_id").agg(
         F.sum("n_events").alias("n_events"),
         round4(F.sum("value_dec")).alias("total_value"),
@@ -408,7 +433,17 @@ def stream_partial_agg(
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.read.parquet(target)
+    spark = stream_df.sparkSession
+    if not _has_parquet_files(target):
+        # Empty-slice guard: an empty source fires ZERO micro-batches,
+        # so the sink never writes and the target cannot be
+        # schema-inferred. The partials schema is derivable without any
+        # file: apply the same partial_agg to an empty static frame of
+        # the stream's schema (plus the sink's batch_id column).
+        return partial_agg(
+            spark.createDataFrame([], stream_df.schema)
+        ).withColumn("batch_id", F.lit(0).cast("int"))
+    return spark.read.parquet(target)
 
 
 @register(
@@ -629,6 +664,12 @@ def _flushed_events_landing(spark: SparkSession, sf_dir: str) -> str:
         mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
         import datetime
 
+        if mx is None:
+            # Empty-slice guard: an empty events landing still needs the
+            # flush sentinels (they are what closes the stream-stream
+            # join's watermark), anchored to a fixed instant instead of
+            # max(ts) — which is NULL with no rows to flush after.
+            mx = datetime.datetime(2024, 1, 1)
         flush_ts = mx + datetime.timedelta(days=10)
         flush = spark.createDataFrame(
             [

@@ -653,10 +653,15 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _memo_put(_IVF_INDEX, ivf_key, centroids)
     q_vec = _IVF_QVEC.get(ivf_key)
     if q_vec is None:
-        q_vec = [
-            float(x)
-            for x in emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-        ]
+        q_row = emb.where(F.col("vec_id") == 0).select("embedding").first()
+        if q_row is None or not centroids:
+            # Empty-slice guard (round-7 empty-corpus sweep): no corpus
+            # means no index and no query vector — an empty result, not
+            # a driver-side NoneType crash killing the whole DAG.
+            return spark.createDataFrame(
+                [], "vec_id bigint, label int, cos_sim double, rn int"
+            )
+        q_vec = [float(x) for x in q_row["embedding"]]
         _memo_put(_IVF_QVEC, ivf_key, q_vec)
 
     # Probe set: 3 nearest centroids to the query (python mirrors the
