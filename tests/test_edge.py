@@ -152,3 +152,52 @@ def test_query_survives_empty_slice(name, spark, empty_dir):
     rep = compare(name, spdf, opdf)
     assert rep.ok, f"{name} on empty corpus: {rep.detail}"
     assert rep.exact, f"{name} on empty corpus: inexact — {rep.detail}"
+
+
+# The round-7 SINGLE-ROW failure set (n=1 in every fact table):
+# degenerate-moment and under-seeded-algorithm edges — Spark's builtin
+# corr ABORTS under ANSI on a zero-variance series where DuckDB says
+# NULL (degree assortativity of a two-node graph), bootstrap replicas
+# with all-zero Poisson weights rank NULL means at opposite ends in the
+# two engines (Spark NULLS FIRST vs DuckDB NULLS LAST — now excluded as
+# empty resamples on both), PCA's power iteration divides by max|u| = 0
+# on a rank-0 centered Gram, k-means has fewer seeds than k, and the
+# drift monitor's half-split leaves one half empty.
+ONE_ROW_PINNED = [
+    "agg_bootstrap_ci",
+    "agg_core",
+    "graph_degree_stats",
+    "tpch_scalar_metrics",
+    "vec_ann",
+    "vec_embedding_drift",
+    "vec_kmeans_clusters",
+    "vec_pca_power",
+]
+
+
+@pytest.fixture(scope="session")
+def one_row_dir(tmp_path_factory, spark) -> str:
+    import duckdb
+
+    out = tmp_path_factory.mktemp("onerow") / "one_corpus"
+    out.mkdir()
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        lim = "" if t in ("region", "nation") else " ORDER BY 1 LIMIT 1"
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet'{lim}) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", ONE_ROW_PINNED)
+def test_query_survives_single_row(name, spark, one_row_dir):
+    q = QUERIES[name]
+    spdf = q.fn(spark, one_row_dir).toPandas()  # abort = regression
+    opdf = run_oracle(q.oracle, one_row_dir)
+    rep = compare(name, spdf, opdf)
+    assert rep.ok, f"{name} on one-row corpus: {rep.detail}"
+    assert rep.exact, f"{name} on one-row corpus: inexact — {rep.detail}"

@@ -62,6 +62,11 @@ def kmeans(
             "cluster", F.lit(None).cast("int")
         )
         return empty, [], []
+    # Fewer vectors than k: Lloyd's degenerates to the clusters that
+    # have seeds (k > n has no 4-cluster answer), which is also the
+    # unrolled-CTE oracle's behavior — its centroid table simply holds
+    # fewer rows. k shrinks to the available seed count.
+    k = len(centroids)
     inertia: list[float] = []
     for _ in range(iters):
         # One materialization per iteration, shared by the inertia action

@@ -2398,9 +2398,15 @@ means AS (
   FROM pw GROUP BY seg, rep
 ),
 ranked AS (
+  -- rep_mean IS NOT NULL: an EMPTY resample (all Poisson weights 0 —
+  -- probability e^-n per replica, nil for any real segment but ~37%
+  -- when a slice holds one row) has no mean and is discarded, the
+  -- textbook bootstrap treatment; without the filter the two engines
+  -- rank NULLs at opposite ends (Spark ASC = NULLS FIRST, DuckDB =
+  -- NULLS LAST) and the percentile picks diverge.
   SELECT seg, rep_mean,
          ROW_NUMBER() OVER (PARTITION BY seg ORDER BY rep_mean, rep) AS rk
-  FROM means
+  FROM means WHERE rep_mean IS NOT NULL
 ),
 base AS (
   SELECT c_mktsegment AS seg, COUNT(*) AS n,
@@ -2481,8 +2487,15 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("rep_mean")
     )
+    # Discard empty resamples before ranking (see the oracle's comment:
+    # NULL ordering diverges between the engines, and a no-weight
+    # replica carries no mean); a segment without a full 100-replica
+    # support drops out of the CI join — you cannot form this CI from
+    # fewer resamples, and on any real segment P(empty) = e^-n = never.
     rk_w = Window.partitionBy("seg").orderBy("rep_mean", "rep")
-    ranked = means.withColumn("rk", F.row_number().over(rk_w))
+    ranked = means.where(F.col("rep_mean").isNotNull()).withColumn(
+        "rk", F.row_number().over(rk_w)
+    )
     base = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (

@@ -485,7 +485,19 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("d"), 6).alias("avg_degree"),
     )
     ecount = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"))
-    corr = edeg.agg(F.round(F.corr("d_src", "d_dst"), 6).alias("assortativity"))
+    # corr spelled covar/(sd*sd) under try_divide (the agg_moments_builtin
+    # discipline): builtin corr's final division RAISES under ANSI on a
+    # zero-variance degree sequence (every node the same degree — e.g. a
+    # one-customer-one-supplier slice) where DuckDB's corr returns NULL.
+    corr = edeg.agg(
+        F.round(
+            F.try_divide(
+                F.covar_pop("d_src", "d_dst"),
+                F.stddev_pop("d_src") * F.stddev_pop("d_dst"),
+            ),
+            6,
+        ).alias("assortativity")
+    )
     return (
         stats.crossJoin(F.broadcast(ecount))
         .crossJoin(F.broadcast(corr))

@@ -1389,19 +1389,30 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     paired = a.join(bb, "pos")
     diff = F.col("mu_a") - F.col("mu_b")
-    return paired.agg(
-        F.max("na").cast("bigint").alias("n_a"),
-        F.max("nb").cast("bigint").alias("n_b"),
+    # Half sizes come from the PER-HALF aggregates, not the paired
+    # relation (the oracle's scalar-subquery semantics): when one half
+    # is empty — a one-vector slice — `paired` has no rows, but the
+    # populated half's count must still report. try_divide on the
+    # cosine: an empty or exactly-zero centroid yields NULL (DuckDB's
+    # quiet x/0) instead of an ANSI abort.
+    na = a.agg(F.max("na").cast("bigint").alias("n_a"))
+    nb = bb.agg(F.max("nb").cast("bigint").alias("n_b"))
+    drift = paired.agg(
         F.round(F.sqrt(F.sum(diff * diff)), 6).alias("centroid_l2"),
         F.round(
-            F.sum(F.col("mu_a") * F.col("mu_b"))
-            / (
+            F.try_divide(
+                F.sum(F.col("mu_a") * F.col("mu_b")),
                 F.sqrt(F.sum(F.col("mu_a") * F.col("mu_a")))
-                * F.sqrt(F.sum(F.col("mu_b") * F.col("mu_b")))
+                * F.sqrt(F.sum(F.col("mu_b") * F.col("mu_b"))),
             ),
             6,
         ).alias("centroid_cos"),
         F.round(F.max(F.abs(diff)), 6).alias("max_dim_gap"),
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(drift))
+        .select("n_a", "n_b", "centroid_l2", "centroid_cos", "max_dim_gap")
     )
 
 
@@ -1780,8 +1791,13 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         m = u.agg(F.max(F.abs("u")).alias("m"))
+        # try_divide: a rank-0 centered Gram (single-vector slice) makes
+        # every iterate 0 so max|u| = 0; DuckDB's u/0 is a quiet NULL and
+        # try_divide is its Spark spelling (plain '/' ABORTS under ANSI).
+        # For any real corpus m > 0 and try_divide IS the division.
         v = u.crossJoin(F.broadcast(m)).select(
-            F.col("ud").alias("d"), F.round(F.col("u") / F.col("m"), 9).alias("val")
+            F.col("ud").alias("d"),
+            F.round(F.try_divide(F.col("u"), F.col("m")), 9).alias("val"),
         )
     ray = (
         u.join(v, F.col("ud") == F.col("d"))
@@ -1798,7 +1814,7 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("val", 6).alias("loading"),
             F.row_number().over(w).cast("int").alias("rk"),
             F.round(
-                F.col("num") / F.col("den") / F.col("n") / 1e12, 4
+                F.try_divide(F.col("num"), F.col("den")) / F.col("n") / 1e12, 4
             ).alias("eigval_cov"),
         )
         .where(F.col("rk") <= 10)
