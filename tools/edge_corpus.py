@@ -162,12 +162,130 @@ def edge(out: Path, seed: int = 4242, scale: float = 0.5) -> None:
           f"dup/zero/singleton vectors")
 
 
+def ties(out: Path, scale: float = 0.3) -> None:
+    """The ALL-TIES corpus: every non-key column constant, keys unique.
+
+    With every value tied, any ordering that lacks a TOTAL tie-break is
+    nondeterministic — the engines can (and do) pick different rows —
+    so this corpus is the harshest determinism stress the oracle
+    harness can run: 348 queries where every ROW_NUMBER, top-k cut,
+    argmin, and LIMIT must be decided entirely by explicit tie-break
+    columns. It also concentrates maximal skew on single keys (one
+    user's events, identical documents, identical vectors), exercising
+    the bounded-fan-out claims of the dedup/similarity family."""
+    n_ord = max(int(15000 * scale), 100)
+    n_li = max(int(60000 * scale), 200)
+    n_ev = max(int(10000 * scale), 100)
+    n_doc = max(int(500 * scale), 40)
+    n_cust = max(int(1500 * scale), 20)
+    n_supp = 10
+    n_part = max(int(2000 * scale), 20)
+
+    out.mkdir(parents=True, exist_ok=True)
+    # Base corpus provides schemas + dims; fact tables are overwritten.
+    generate(out, seed=1, scale=scale)
+
+    doc_text = (
+        "join hash row batch scan customer column filter small slow merge "
+        "order vector line data table agg value key stream window spark a "
+        "group part big sort query fast the and"
+    )
+    ts0 = np.datetime64("2024-01-15T12:00:00.000000")
+    d0 = np.datetime64("1997-06-15", "us")
+
+    def write_over(name: str, cols: dict) -> None:
+        tbl = pq.read_table(out / f"{name}.parquet")
+        pq.write_table(
+            pa.Table.from_pydict(cols, schema=tbl.schema), out / f"{name}.parquet"
+        )
+
+    write_over("customer", {
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_name": ["Customer#tie"] * n_cust,
+        "c_nationkey": np.zeros(n_cust, dtype=np.int32),
+        "c_acctbal": [1234.56] * n_cust,
+        "c_mktsegment": ["BUILDING"] * n_cust,
+    })
+    write_over("supplier", {
+        "s_suppkey": np.arange(n_supp, dtype=np.int64),
+        "s_name": ["Supplier#tie"] * n_supp,
+        "s_nationkey": np.zeros(n_supp, dtype=np.int32),
+        "s_acctbal": [777.77] * n_supp,
+    })
+    write_over("part", {
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": ["red widget"] * n_part,
+        "p_brand": ["Brand#1"] * n_part,
+        "p_type": ["ECONOMY"] * n_part,
+        "p_size": np.ones(n_part, dtype=np.int32),
+        "p_retailprice": [900.0] * n_part,
+    })
+    write_over("orders", {
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": np.zeros(n_ord, dtype=np.int64),  # ONE hot customer
+        "o_orderstatus": ["O"] * n_ord,
+        "o_totalprice": [1000.0] * n_ord,
+        "o_orderdate": np.repeat(d0, n_ord),
+        "o_orderpriority": ["1-URGENT"] * n_ord,
+    })
+    ok = np.arange(n_li, dtype=np.int64) % n_ord
+    ok.sort()
+    ln = np.ones(n_li, dtype=np.int32)
+    for i in range(1, n_li):
+        if ok[i] == ok[i - 1]:
+            ln[i] = ln[i - 1] + 1
+    write_over("lineitem", {
+        "l_orderkey": ok,
+        "l_partkey": np.zeros(n_li, dtype=np.int64),   # ONE hot part
+        "l_suppkey": np.zeros(n_li, dtype=np.int64),   # ONE hot supplier
+        "l_linenumber": ln,
+        "l_quantity": [10.0] * n_li,
+        "l_extendedprice": [5000.0] * n_li,
+        "l_discount": [0.05] * n_li,
+        "l_tax": [0.02] * n_li,
+        "l_returnflag": ["N"] * n_li,
+        "l_linestatus": ["O"] * n_li,
+        "l_shipdate": np.repeat(d0 + np.timedelta64(30, "D").astype("timedelta64[us]"), n_li),
+    })
+    types = ["view", "click", "purchase", "signup", "error"]
+    write_over("events", {
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": np.repeat(ts0, n_ev),                    # ALL the same instant
+        "user_id": np.zeros(n_ev, dtype=np.int64),     # ONE hot user
+        "event_type": [types[i % 5] for i in range(n_ev)],
+        "value": [9.99] * n_ev,
+        "props": ['{"k": 7}'] * n_ev,
+    })
+    write_over("documents", {
+        "doc_id": np.arange(n_doc, dtype=np.int64),
+        "text": [doc_text] * n_doc,                    # ALL identical
+        "lang": ["en"] * n_doc,
+        "source": ["src0"] * n_doc,
+        "n_chars": np.array([len(doc_text)] * n_doc, dtype=np.int64),
+    })
+    one_vec = [float(f"0.{(i * 7) % 97 + 1}") for i in range(64)]
+    norm = sum(x * x for x in one_vec) ** 0.5
+    one_vec = [x / norm for x in one_vec]
+    write_over("embeddings", {
+        "vec_id": np.arange(n_doc, dtype=np.int64),
+        "embedding": [one_vec] * n_doc,                # ALL identical
+        "label": np.zeros(n_doc, dtype=np.int32),
+    })
+    print(f"ties corpus at {out}: {n_ord} orders / {n_li} lines / "
+          f"{n_ev} events / {n_doc} docs, all non-key values constant")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", type=Path, default=Path("/tmp/edge_corpus"))
     ap.add_argument("--seed", type=int, default=4242)
     ap.add_argument("--scale", type=float, default=0.5, help="1.0 == sf0.01")
+    ap.add_argument("--ties", action="store_true",
+                    help="generate the all-ties corpus instead")
     args = ap.parse_args()
+    if args.ties:
+        ties(args.out, scale=args.scale)
+        return
     edge(args.out, seed=args.seed, scale=args.scale)
 
 

@@ -732,8 +732,16 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seq.groupBy("event_type").agg(
         F.count("held_s").alias("n_intervals"),
+        # try_divide: a series whose samples all share one timestamp has
+        # zero total holding time — no time-weighted average exists, and
+        # DuckDB's SUM/SUM quietly says NULL where Spark's '/' ABORTS
+        # under ANSI (all-ties corpus finding, round 7). Identity
+        # whenever any interval has positive duration.
         F.round(
-            F.sum(F.col("value") * F.col("held_s")) / F.sum("held_s"), 6
+            F.try_divide(
+                F.sum(F.col("value") * F.col("held_s")), F.sum("held_s")
+            ),
+            6,
         ).alias("twap"),
         F.round(F.avg("value"), 6).alias("naive_avg"),
     )
