@@ -681,3 +681,23 @@ def test_reco_pair_stage_is_basket_expansion(spark, sf_dir):
         .toString()
     )
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_open_backlog_joins_once(spark, sf_dir):
+    """orders_open_backlog's +1/-1 delta rows must come from ONE
+    inline() explode over the orders-to-ship-end join — spelling them
+    as a UNION of two projections over the join output re-executes the
+    whole join subtree (2 joins / 4 parquet scans, the r7 pre-rewrite
+    plan). One join, one lineitem scan, one orders scan."""
+    from vault_8_hive_spark.queries.tpch import orders_open_backlog
+
+    plan = (
+        orders_open_backlog(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 2, plan[:2000]
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan[:2000]

@@ -275,6 +275,270 @@ def ties(out: Path, scale: float = 0.3) -> None:
           f"{n_ev} events / {n_doc} docs, all non-key values constant")
 
 
+def nulls(out: Path, seed: int = 4242, scale: float = 0.3,
+          frac: float = 0.3, key_frac: float = 0.05) -> None:
+    """The NULL-FLOOD corpus: every nullable non-key column ~30% NULL,
+    foreign keys ~5% NULL (orphan facts), event timestamps ~5% NULL.
+
+    Real 100 TB pipelines carry NULLs in most columns; the synthetic
+    generator emits none outside the one edge-corpus row. NULL floods
+    stress a class no other sweep reaches:
+
+    - expression totality under NULL operands (ANSI arithmetic is
+      NULL-safe, but array/element/JSON paths and UDF boundaries can
+      throw or diverge);
+    - cross-engine NULL ORDERING divergence — Spark defaults ASC →
+      NULLS FIRST where DuckDB defaults NULLS LAST, invisible in the
+      sorted-row hash UNLESS the order decides which rows survive
+      (top-k cuts, ROW_NUMBER filters, window frames, LAG defaults);
+    - NULL group/join keys (grouped-together vs never-match semantics
+      must agree in both spellings);
+    - aggregates over all-NULL groups (SUM → NULL, COUNT → 0, AVG
+      denominators).
+
+    Keys kept non-null: primary keys (*_key ids, event_id, doc_id,
+    vec_id, l_linenumber) — a NULL PK is a broken upstream, not a
+    slice any query contracts over.
+    """
+    generate(out, seed=seed, scale=scale)
+    rng = np.random.default_rng(seed + 7)
+
+    def flood(name: str, cols: dict[str, float]) -> None:
+        import pyarrow.compute as pc
+
+        path = out / f"{name}.parquet"
+        tbl = pq.read_table(path)
+        arrays, fields = [], []
+        for f in tbl.schema:
+            col = tbl.column(f.name).combine_chunks()
+            p = cols.get(f.name, 0.0)
+            if p > 0:
+                mask = pa.array(rng.random(len(col)) < p)
+                col = pc.if_else(mask, pa.nulls(len(col), f.type), col)
+            arrays.append(col)
+            fields.append(pa.field(f.name, f.type, nullable=True))
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)), path
+        )
+
+    flood("customer", {"c_name": frac, "c_nationkey": key_frac,
+                       "c_acctbal": frac, "c_mktsegment": frac})
+    flood("supplier", {"s_name": frac, "s_nationkey": key_frac,
+                       "s_acctbal": frac})
+    flood("part", {"p_name": frac, "p_brand": frac, "p_type": frac,
+                   "p_size": frac, "p_retailprice": frac})
+    flood("orders", {"o_custkey": key_frac, "o_orderstatus": frac,
+                     "o_totalprice": frac, "o_orderdate": frac,
+                     "o_orderpriority": frac})
+    flood("lineitem", {"l_partkey": key_frac, "l_suppkey": key_frac,
+                       "l_quantity": frac, "l_extendedprice": frac,
+                       "l_discount": frac, "l_tax": frac,
+                       "l_returnflag": frac, "l_linestatus": frac,
+                       "l_shipdate": frac})
+    flood("events", {"ts": key_frac, "user_id": key_frac,
+                     "event_type": frac, "value": frac, "props": frac})
+    flood("documents", {"text": 0.1, "lang": frac, "source": frac,
+                        "n_chars": frac})
+    flood("embeddings", {"embedding": 0.1, "label": frac})
+    print(f"null-flood corpus at {out}: frac={frac} key_frac={key_frac} "
+          f"scale={scale}")
+
+
+def extremes(out: Path, seed: int = 4242, scale: float = 0.3) -> None:
+    """The EXTREME-VALUES corpus: representation edges appended to a
+    normal draw — the inputs that crash jobs not by volume but by one
+    row sitting at the edge of a type's domain.
+
+    - doubles: NaN, +/-Inf, -0.0, the smallest denormal (5e-324), and
+      1e308 in measure columns (NaN ordering, Inf-poisoned sums,
+      -0.0 normalization, underflow in norms);
+    - timestamps/dates at both ends: 1970-01-01 and 9999-12-31 (ANSI
+      date_add past the DATE ceiling aborts Spark where DuckDB's wider
+      date range sails on — the one-bad-row job-killer class);
+    - an INT64-max user_id (any salt/hash arithmetic that multiplies
+      before taking a modulus overflows under ANSI);
+    - malformed / deeply-nested JSON in events.props;
+    - vectors with NaN / Inf / 1e200 components (norm overflow → Inf,
+      cosine → NaN) and an all-denormal vector (norm underflows to 0);
+    - a 100k-char document, a single 50k-char token, and a
+      30k-distinct-token document (tokenizer/shingle buffer edges,
+      bounded-posting claims).
+
+    Money columns stay inside DECIMAL(28,4)'s domain (the exact-sum
+    contract): extreme but representable (1e19, negative prices).
+    """
+    generate(out, seed=seed, scale=scale)
+
+    big_doc = " ".join(f"tok{i % 997}" for i in range(20_000))      # ~100k chars
+    one_token = "x" * 50_000
+    wide_vocab = " ".join(f"uniq{i}" for i in range(30_000))
+    _append(
+        out / "documents.parquet",
+        {
+            "doc_id": [60_000_000, 60_000_001, 60_000_002],
+            "text": [big_doc, one_token, wide_vocab],
+            "lang": ["en"] * 3,
+            "source": ["srcx"] * 3,
+            "n_chars": [len(big_doc), len(one_token), len(wide_vocab)],
+        },
+    )
+
+    t_lo = np.datetime64("1970-01-01T00:00:00.000000")
+    t_hi = np.datetime64("9999-12-31T23:59:59.000000")
+    t_mid = np.datetime64("2024-02-01T00:00:00.000000")
+    vals = [float("nan"), float("inf"), float("-inf"), -0.0, 5e-324,
+            1e308, 42.0, 7.0]
+    _append(
+        out / "events.parquet",
+        {
+            "event_id": [61_000_000 + i for i in range(8)],
+            "ts": [t_mid, t_mid, t_mid, t_mid, t_lo, t_hi, t_mid, t_mid],
+            "user_id": [9_100_000, 9_100_000, 9_100_001, 9_100_001,
+                        9_100_002, 9_100_002, 2**63 - 1, 2**63 - 1],
+            "event_type": ["view", "click", "view", "click",
+                           "view", "view", "view", "click"],
+            "value": vals,
+            "props": ["not json", '{"k": ',
+                      '{"a": {"b": {"c": {"d": {"e": 1}}}}}',
+                      '[]', '{"k": 1e999}', None, '{"k": 3}', '{"k": 4}'],
+        },
+    )
+
+    d_lo = np.datetime64("1970-01-01", "us")
+    d_hi = np.datetime64("9999-12-31", "us")
+    _append(
+        out / "orders.parquet",
+        {
+            "o_orderkey": [62_000_000, 62_000_001, 62_000_002],
+            "o_custkey": [0, 1, 2],
+            "o_orderstatus": ["O", "F", "O"],
+            "o_totalprice": [1e19, -1_000_000.0, 0.0],
+            "o_orderdate": [d_lo, d_hi, d_lo],
+            "o_orderpriority": ["1-URGENT", "5-LOW", "3-MEDIUM"],
+        },
+    )
+    _append(
+        out / "lineitem.parquet",
+        {
+            "l_orderkey": [62_000_000, 62_000_001, 62_000_002],
+            "l_partkey": [0, 1, 2],
+            "l_suppkey": [0, 1, 2],
+            "l_linenumber": [1, 1, 1],
+            "l_quantity": [1e15, -5.0, 0.0],
+            "l_extendedprice": [1e19, -5000.0, 0.0],
+            "l_discount": [1.0, 0.0, 0.5],
+            "l_tax": [0.0, 1.0, 0.0],
+            "l_returnflag": ["N", "R", "A"],
+            "l_linestatus": ["O", "F", "F"],
+            "l_shipdate": [d_hi, d_lo, d_hi],
+        },
+    )
+    _append(
+        out / "customer.parquet",
+        {
+            "c_custkey": [63_000_000, 63_000_001],
+            "c_name": ["Customer#xtreme00", "Customer#xtreme01"],
+            "c_nationkey": [0, 24],
+            "c_acctbal": [1e18, -0.0],
+            "c_mktsegment": ["BUILDING", "MACHINERY"],
+        },
+    )
+
+    dim = 64
+    v_nan = [0.1] * dim
+    v_nan[7] = float("nan")
+    v_inf = [0.1] * dim
+    v_inf[3] = float("inf")
+    v_huge = [1e200] * dim                       # norm overflows to Inf
+    v_denorm = [5e-324] * dim                    # norm underflows to 0.0
+    _append(
+        out / "embeddings.parquet",
+        {
+            "vec_id": [64_000_000 + i for i in range(4)],
+            "embedding": [v_nan, v_inf, v_huge, v_denorm],
+            "label": [0, 1, 2, 3],
+        },
+    )
+    print(f"extremes corpus at {out}: NaN/Inf/-0.0/denormal measures, "
+          f"1970/9999 date edges, INT64-max user, malformed JSON, "
+          f"overflow/underflow vectors, 100k-char + 50k-token docs")
+
+
+def multilingual(out: Path, seed: int = 4242, scale: float = 0.3) -> None:
+    """The MULTILINGUAL corpus: substantially non-ASCII documents
+    appended to a normal draw. A 100 TB web corpus is mostly NOT
+    English; this sweep pins the cross-engine string-semantics edges
+    that only show up off the ASCII page:
+
+    - case mapping: JVM upper('ß') = 'SS', Turkish 'İ' lowers to
+      'i' + COMBINING DOT — engines can disagree;
+    - length semantics: n_chars (Python len = codepoints) vs engine
+      length() over multibyte text, emoji surrogate pairs, ZWJ
+      families, and combining sequences (NFC vs NFD spellings of the
+      same visible text);
+    - regex classes: Java \\w/\\s vs RE2 on non-ASCII letters and
+      Unicode spaces (U+3000 ideographic space, NBSP);
+    - tokenization: CJK text with no spaces at all (one giant
+      "token"), mixed-script tokens, RTL text with embedded digits.
+    """
+    generate(out, seed=seed, scale=scale)
+
+    texts = [
+        # CJK, no spaces anywhere
+        "東京都渋谷区の大規模言語モデルは分散処理基盤の上で学習される",
+        "机器学习模型在大规模数据集上进行分布式训练以提高泛化能力",
+        # Japanese with IDEOGRAPHIC SPACE U+3000 separators
+        "分散　処理　基盤　学習",
+        # Korean (has spaces)
+        "대규모 언어 모델은 분산 시스템에서 학습된다",
+        # Arabic (RTL) with embedded ASCII digits
+        "تم تدريب النموذج على 100 مليون وثيقة في 3 أيام",
+        # Hebrew (RTL)
+        "המודל אומן על מיליוני מסמכים במערכת מבוזרת",
+        # Russian
+        "распределённая обработка данных на больших кластерах",
+        # Greek
+        "κατανεμημένη επεξεργασία δεδομένων μεγάλης κλίμακας",
+        # German sharp-s (upper -> SS doubles the length in the JVM)
+        "straße größe weiß fußball maßstab",
+        # Turkish dotted/dotless i (case-mapping divergence probe)
+        "İstanbul ısparta IĞDIR izmir DİYARBAKIR",
+        # NFC vs NFD: same visible text, different codepoints
+        "café résumé naïve",          # precomposed
+        "café résumé naïve",      # combining marks
+        # Emoji: surrogate pairs, ZWJ family, flag sequence
+        "launch 🚀 day 👨‍👩‍👧 team 🇺🇸 results 📈 good",
+        # NBSP + thin space as separators
+        "data pipeline quality checks",
+        # Mixed script single tokens
+        "spark核心 data処理 модельtraining",
+        # Vietnamese (dense diacritics, precomposed)
+        "mô hình ngôn ngữ lớn được huấn luyện phân tán",
+        # Thai (no spaces between words)
+        "โมเดลภาษาขนาดใหญ่ฝึกบนระบบกระจาย",
+        # Devanagari
+        "वितरित प्रणाली पर बड़े भाषा मॉडल का प्रशिक्षण",
+        # Fullwidth ASCII forms
+        "ＤＡＴＡ　ＰＩＰＥＬＩＮＥ　ｑｕａｌｉｔｙ",
+        # ASCII control row for contrast
+        "plain ascii control document row",
+    ]
+    langs = ["ja", "zh", "ja", "ko", "ar", "he", "ru", "el", "de", "tr",
+             "fr", "fr", "en", "en", "mul", "vi", "th", "hi", "en", "en"]
+    _append(
+        out / "documents.parquet",
+        {
+            "doc_id": [70_000_000 + i for i in range(len(texts))],
+            "text": texts,
+            "lang": langs,
+            "source": [f"src{i % 5}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    print(f"multilingual corpus at {out}: +{len(texts)} non-ASCII docs "
+          f"(CJK/RTL/NFD/emoji/fullwidth/Unicode-space probes)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", type=Path, default=Path("/tmp/edge_corpus"))
@@ -282,9 +546,24 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=0.5, help="1.0 == sf0.01")
     ap.add_argument("--ties", action="store_true",
                     help="generate the all-ties corpus instead")
+    ap.add_argument("--nulls", action="store_true",
+                    help="generate the null-flood corpus instead")
+    ap.add_argument("--extremes", action="store_true",
+                    help="generate the extreme-values corpus instead")
+    ap.add_argument("--multilingual", action="store_true",
+                    help="generate the multilingual corpus instead")
     args = ap.parse_args()
     if args.ties:
         ties(args.out, scale=args.scale)
+        return
+    if args.nulls:
+        nulls(args.out, seed=args.seed, scale=args.scale)
+        return
+    if args.extremes:
+        extremes(args.out, seed=args.seed, scale=args.scale)
+        return
+    if args.multilingual:
+        multilingual(args.out, seed=args.seed, scale=args.scale)
         return
     edge(args.out, seed=args.seed, scale=args.scale)
 

@@ -1223,9 +1223,13 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-to-key. Joining the raw fact first and aggregating after moves
     every line through the exchange — measured 7.0 s vs 5.4 s at the
     25x probe; the residual cost IS the per-order reduction itself
-    (3.75M distinct keys leave little map-side combining). One
-    2-rows-per-order delta projection and one day rollup follow; the
-    fact is scanned once.
+    (3.75M distinct keys leave little map-side combining). The two
+    delta rows per order come from ONE inline() explode over the join
+    output — spelling it as a UNION of two projections over `spans`
+    re-executes the whole join subtree (2 joins / 4 scans in the
+    physical plan, measured before the r7 rewrite); with inline() the
+    fact is genuinely scanned once (plan-asserted: 1 join, 2 scans).
+    One day rollup follows.
     """
     from pyspark.sql import Window
 
@@ -1235,17 +1239,24 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("ship_end"))
     )
-    spans = (
+    deltas = (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderdate")
         .join(ends, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.to_date("o_orderdate").alias("d0"),
-            F.date_add(F.to_date("ship_end"), 1).alias("d1"),
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.to_date("o_orderdate").alias("d"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.date_add(F.to_date("ship_end"), 1).alias("d"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            )
         )
-    )
-    deltas = spans.select(F.col("d0").alias("d"), F.lit(1).alias("delta")).unionByName(
-        spans.select(F.col("d1").alias("d"), F.lit(-1).alias("delta"))
     )
     daily = deltas.groupBy("d").agg(F.sum("delta").alias("dd"))
     wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
