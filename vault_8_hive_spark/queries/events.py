@@ -22,6 +22,30 @@ from . import register
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def timed(spark: SparkSession, sf_dir: str, *, user: bool = False,
+          valued: bool = False) -> DataFrame:
+    """The event-TIME domain: rows that HAVE an event time — and a user
+    key / a value where the operator is user-keyed / value-measured.
+
+    Real pipelines carry NULL timestamps (a parser miss, a late
+    backfill); an event-time operator is DEFINED over timestamped rows,
+    so the domain restriction must be EXPLICIT in both spellings rather
+    than an accident of engine behavior: Spark's F.window silently
+    drops NULL event times while DuckDB's time_bucket groups them under
+    a NULL bucket, window ORDER BY ts puts NULLs at opposite ends in
+    the two engines (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), and
+    a NULL reaching pandas becomes NaT/NaN with its own comparison
+    rules. (Round-7 null-flood sweep; every oracle carries the matching
+    WHERE clause.)
+    """
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    if user:
+        ev = ev.where(F.col("user_id").isNotNull())
+    if valued:
+        ev = ev.where(F.col("value").isNotNull())
+    return ev
+
+
 @register(
     "events_tumbling_hourly",
     oracle="""
@@ -29,6 +53,7 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
     tags=("events", "window-time"),
@@ -46,7 +71,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents the overflow bound and the sf threshold for switching
     back)."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -63,6 +88,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT time_bucket(INTERVAL 15 minutes, ts) - k.k * INTERVAL 15 minutes AS window_start,
        COUNT(*) AS n_events
 FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+WHERE ts IS NOT NULL
 GROUP BY 1
 """,
     tags=("events", "window-time"),
@@ -72,7 +98,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     in 4 overlapping windows (oracle replays the window arithmetic with a
     generate_series cross join)."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -91,6 +117,7 @@ WITH marked AS (
               THEN 1 ELSE 0 END AS is_new,
          event_id
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 sessions AS (
   SELECT user_id, ts, event_id,
@@ -111,7 +138,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag -> new-session flag -> running sum -> per-session aggregate. The
     batch dual of streaming session_window (stream_session_window)."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir, user=True)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(
         "user_id",
@@ -152,6 +179,7 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
        COUNT(*) FILTER (WHERE event_type = 'view')     AS view
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1
 """,
     tags=("events", "pivot", "agg"),
@@ -161,7 +189,7 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     list keeps the schema deterministic — never let pivot discover values
     at 100 TB)."""
     prep(spark)
-    ev = table(spark, sf_dir, "events").withColumn(
+    ev = timed(spark, sf_dir).withColumn(
         "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     )
     counts = (
@@ -383,6 +411,7 @@ WITH seq AS (
   SELECT user_id, event_type,
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 pairs AS (
   SELECT prev_type, event_type AS next_type, COUNT(*) AS n
@@ -408,7 +437,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir, user=True)
     seq = ev.select(
         "user_id",
         "event_type",
@@ -581,6 +610,8 @@ WITH seq AS (
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
 ),
 sess AS (
   SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -613,7 +644,9 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir, user=True).where(
+        F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     seq = ev.select(
@@ -652,7 +685,8 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        ROUND(MAX(value), 6) AS high,
        ROUND(MIN(value), 6) AS low,
        ROUND(last(value ORDER BY ts, event_id), 6) AS close
-FROM events WHERE event_type = 'purchase'
+FROM events
+WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
 GROUP BY day
 """,
     tags=("events", "timeseries", "ohlc"),
@@ -670,7 +704,9 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partial min/max/min_by/max_by merge associatively; one
     shuffle on the day bucket."""
     prep(spark)
-    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    ev = timed(spark, sf_dir, valued=True).where(
+        F.col("event_type") == "purchase"
+    )
     # exact int64 composite order key: (micros since 2020) * 2^14 +
     # event_id mod 2^14 — fits int64 for ~17 millennia of micros while
     # still breaking same-microsecond ties deterministically.
@@ -754,7 +790,8 @@ WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn,
          ROUND(SUM(value), 6) AS revenue
-  FROM events WHERE event_type = 'purchase'
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
   GROUP BY day, dn
 )
 SELECT day, revenue,
@@ -782,7 +819,9 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    ev = timed(spark, sf_dir, valued=True).where(
+        F.col("event_type") == "purchase"
+    )
     daily = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"),
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
@@ -882,7 +921,7 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 roll AS (
   SELECT d, total,
@@ -915,7 +954,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the same plan partitions by (source, day) and the window rides
     within source."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir)
     daily = ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
     ).agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
@@ -952,7 +991,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 m AS (SELECT ROUND(AVG(total), 6) AS mu FROM daily),
 dev AS (
@@ -985,7 +1024,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cusum rides within each."""
     prep(spark)
     daily = (
-        table(spark, sf_dir, "events")
+        timed(spark, sf_dir)
         .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
         .agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
     )
@@ -1145,7 +1184,7 @@ def events_gapfill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH iv AS (
   SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
-  FROM events WHERE user_id < 50
+  FROM events WHERE user_id < 50 AND ts IS NOT NULL
 ),
 marked AS (
   SELECT user_id, s, e,
@@ -1192,7 +1231,7 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs round differently across engines — measured as an off-by-one)."""
     prep(spark)
     iv = (
-        table(spark, sf_dir, "events")
+        timed(spark, sf_dir)
         .where(F.col("user_id") < 50)
         .select(
             "user_id",
@@ -1369,7 +1408,8 @@ WITH iv AS (
   SELECT user_id, ts,
          ts + CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
                    ELSE INTERVAL 30 MINUTE END AS reach
-  FROM events WHERE user_id < 80
+  FROM events
+  WHERE user_id < 80 AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 marked AS (
   SELECT user_id, ts, reach,
@@ -1406,7 +1446,7 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach — mirroring session_window's merge rule (gap-contiguous
     half-open intervals), with session_end = MAX(reach)."""
     prep(spark)
-    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 80)
+    ev = timed(spark, sf_dir, user=True).where(F.col("user_id") < 80)
     gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
         F.lit("30 minutes")
     )
@@ -1428,7 +1468,7 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 )
 SELECT d, total,
        CAST(COUNT(*) OVER w AS INT) AS n_window,
@@ -1463,7 +1503,7 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each; an unbounded-frame median would instead need the
     percentile_approx sketch (events_ewma's note on frame growth)."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir)
     daily = ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
     ).agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
@@ -1582,7 +1622,7 @@ WITH hourly AS (
   SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h_idx,
          CAST(date_part('hour', ts) AS INT) AS hod,
          SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_c
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 trended AS (
   SELECT h_idx, hod, total_c,
@@ -1634,7 +1674,7 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     The same staging extends to additive Holt-Winters once the smoothing
     recursions are epoch-factorized (events_ewma's note)."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir)
     hourly = ev.groupBy(
         (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
         .cast("long")
@@ -2264,7 +2304,7 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE daily AS (
   SELECT CAST(ts AS DATE) AS d,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 idx AS (
   SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, total FROM daily
@@ -2313,7 +2353,7 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-key forecasting (millions of series) keeps the same plan with
     the fold keyed per group — no driver loop either way."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         long_sum(F.sum(scaled_long("value")), 2).alias("total")
     )
@@ -2355,7 +2395,7 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
            AS cents
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 idx AS (
   SELECT d, cents,
@@ -2415,7 +2455,7 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as events_anomaly_zscore). Per-key changepoints (millions of
     metrics) partition the window by key, same plan."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(scaled_long("value")).alias("cents")
     )
@@ -2469,7 +2509,7 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE daily AS (
   SELECT CAST(ts AS DATE) AS d,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS x
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 idx AS (
   SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, x FROM daily
@@ -2514,7 +2554,7 @@ def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB) keeps the same plan with the fold keyed per group — the
     state is two doubles regardless of series length."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         long_sum(F.sum(scaled_long("value")), 2).alias("x")
     )
@@ -2677,7 +2717,7 @@ def _hw_oracle() -> str:
 WITH RECURSIVE daily AS (
   SELECT CAST(ts AS DATE) AS d,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, total FROM daily),
 xs AS (SELECT LIST(total ORDER BY rn) AS a, MAX(rn) AS n FROM idx),
@@ -2735,7 +2775,7 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n_days) in one task, per-key when forecasting many series.
     """
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = timed(spark, sf_dir)
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         long_sum(F.sum(scaled_long("value")), 2).alias("total")
     )
@@ -2786,7 +2826,7 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
          SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 w AS (
   SELECT d, cents,
@@ -2831,7 +2871,7 @@ def events_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     daily = (
-        table(spark, sf_dir, "events")
+        timed(spark, sf_dir)
         .groupBy(F.to_date("ts").alias("d"))
         .agg(F.sum(scaled_long("value")).alias("cents"))
     )
@@ -2874,7 +2914,7 @@ def events_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
          SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 cum AS (
   SELECT d,
@@ -2909,7 +2949,7 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     daily = (
-        table(spark, sf_dir, "events")
+        timed(spark, sf_dir)
         .groupBy(F.to_date("ts").alias("d"))
         .agg(F.sum(scaled_long("value")).alias("cents"))
     )
@@ -2939,7 +2979,7 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
          SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 nb AS (
   SELECT d, cents,
@@ -3022,9 +3062,13 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_funnel_exclusion",
     oracle="""
-WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
-p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
-e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+WITH base AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+v AS (SELECT user_id, ts FROM base WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM base WHERE event_type = 'purchase'),
+e AS (SELECT user_id, ts FROM base WHERE event_type = 'error'),
 conv AS (
   -- first qualifying (view, purchase) pair per user: purchase within
   -- 24h of the view and NO error strictly between them
@@ -3080,7 +3124,7 @@ def events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     prep(spark)
-    ev = table(spark, sf_dir, "events").where(
+    ev = timed(spark, sf_dir, user=True).where(
         F.col("event_type").isin("view", "purchase", "error")
     ).select("user_id", "event_type", "ts", F.unix_micros("ts").alias("m"))
     w = (
@@ -3133,7 +3177,7 @@ WITH daily AS (
                   THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
            AS p
   FROM events
-  WHERE event_type IN ('view', 'purchase')
+  WHERE event_type IN ('view', 'purchase') AND ts IS NOT NULL
   GROUP BY 1
 ),
 w AS (
@@ -3182,7 +3226,7 @@ def events_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     cents = scaled_long("value")
     daily = (
-        table(spark, sf_dir, "events")
+        timed(spark, sf_dir)
         .where(F.col("event_type").isin("view", "purchase"))
         .groupBy(F.to_date("ts").alias("d"))
         .agg(
@@ -3233,6 +3277,7 @@ WITH o AS (
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_ts
   FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 gaps AS (
   SELECT user_id,
@@ -3283,7 +3328,7 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    o = table(spark, sf_dir, "events").select(
+    o = timed(spark, sf_dir, user=True).select(
         "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
     )
     gaps = o.where(F.col("prev_ts").isNotNull()).select(
