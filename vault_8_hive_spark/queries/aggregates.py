@@ -159,7 +159,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
 SELECT n_name,
-       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+       COALESCE(string_agg(s_name, ',' ORDER BY s_name), '') AS suppliers,
        COUNT(*) AS n_supp
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
@@ -185,7 +185,8 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     oracle="""
 SELECT c_mktsegment,
-       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+       COALESCE(string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority), '')
+         AS priorities
 FROM customer JOIN orders ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -577,8 +578,10 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", "o_custkey")
         .agg(F.count(F.lit(1)).alias("pn"))
     )
+    # count("o_custkey"), not count(*): the deduped set carries a NULL-
+    # custkey group (orphan orders); COUNT(DISTINCT x) never counts NULL.
     return dedup.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_cust"),
+        F.count("o_custkey").alias("n_cust"),
         F.sum("pn").alias("n_orders"),
     )
 
@@ -665,7 +668,8 @@ def agg_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # confidence), so the verified column always collapses to the exact
     # percentile and the hash is stable across runs AND testdata regens.
     oracle="""
-SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+            ELSE l_returnflag END AS l_returnflag,
        ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS exact_p50,
        ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS verified_p50,
        ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
@@ -1303,7 +1307,8 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ev2 AS (
   SELECT value, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
-  FROM events WHERE event_type IN ('view', 'purchase')
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
 ),
 per_v AS (
   SELECT value, COUNT(*) AS c, SUM(g1) AS c1
@@ -1351,6 +1356,7 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev2 = (
         table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
         .where(F.col("event_type").isin("view", "purchase"))
         .select(
             "value",
@@ -1397,7 +1403,8 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ev2 AS (
   SELECT value, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
-  FROM events WHERE event_type IN ('view', 'purchase')
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
 ),
 per_v AS (
   SELECT value, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM ev2 GROUP BY value
@@ -1435,6 +1442,7 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev2 = (
         table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
         .where(F.col("event_type").isin("view", "purchase"))
         .select(
             "value",
@@ -1697,7 +1705,9 @@ def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_v AS (
   SELECT l_returnflag, l_extendedprice AS v, SUM(l_quantity) AS w
-  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY l_returnflag, l_extendedprice
 ),
 cum AS (
   SELECT l_returnflag, v, w,
@@ -1733,6 +1743,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per_v = (
         table(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull())
         .groupBy("l_returnflag", F.col("l_extendedprice").alias("v"))
         .agg(F.sum(scaled_long("l_quantity")).alias("w"))
     )
@@ -1958,7 +1969,7 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 med AS (SELECT ROUND(quantile_cont(total, 0.5), 6) AS m FROM daily),
 signed AS (
@@ -2005,6 +2016,7 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
         .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
         .agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
     )
@@ -2084,8 +2096,13 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("hi_ts"),
         )
 
+    # The split must be TOTAL: ts < cut and ts >= cut BOTH reject a NULL
+    # ts, so a nullable partition column silently drops rows from the
+    # incremental path while the full recompute counts them (null-flood
+    # sweep, round 7: 381 vs 402). NULLs route to the delta side — the
+    # same all-rows-covered discipline a real partition router needs.
     base = rollup(ev.where(F.col("ts") < cut))
-    delta = rollup(ev.where(F.col("ts") >= cut))
+    delta = rollup(ev.where((F.col("ts") >= cut) | F.col("ts").isNull()))
     merged = (
         base.unionByName(delta)
         .groupBy("event_type")
@@ -2108,7 +2125,7 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pv AS (
   SELECT value AS v, COUNT(*) AS c FROM events
-  WHERE event_type = 'purchase' GROUP BY value
+  WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY value
 ),
 p_ecdf AS (
   SELECT v, SUM(c) OVER (ORDER BY v) / CAST((SELECT SUM(c) FROM pv) AS DOUBLE)
@@ -2117,7 +2134,7 @@ p_ecdf AS (
 ),
 vv AS (
   SELECT value AS v, COUNT(*) AS c FROM events
-  WHERE event_type = 'view' GROUP BY value
+  WHERE event_type = 'view' AND value IS NOT NULL GROUP BY value
 ),
 v_ecdf AS (
   SELECT v, SUM(c) OVER (ORDER BY v) / CAST((SELECT SUM(c) FROM vv) AS DOUBLE)
@@ -2151,7 +2168,7 @@ def feature_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
 
     def ecdf(df):
         per_v = df.groupBy(F.col("value").alias("v")).agg(
@@ -2634,7 +2651,7 @@ WITH v AS (
   SELECT o_orderpriority AS grp,
          CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
          o_orderkey
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 r AS (
   SELECT grp, cents,
@@ -2673,7 +2690,9 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    v = table(spark, sf_dir, "orders").select(
+    v = table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    ).select(
         F.col("o_orderpriority").alias("grp"),
         scaled_long("o_totalprice").alias("cents"),
         "o_orderkey",
@@ -2794,7 +2813,7 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents, o_orderkey
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 b AS (
   SELECT cents, NTILE(10) OVER (ORDER BY cents, o_orderkey) AS bucket
@@ -2837,7 +2856,9 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rank import global_row_number, ntile_from_rank
 
     prep(spark)
-    v = table(spark, sf_dir, "orders").select(
+    v = table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    ).select(
         scaled_long("o_totalprice").alias("cents"), "o_orderkey"
     )
     ranked = global_row_number(v, ["cents", "o_orderkey"], total="n_total")

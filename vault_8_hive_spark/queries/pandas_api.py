@@ -46,8 +46,11 @@ def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     psdf = ps.read_parquet(f"{sf_dir}/customer.parquet")
     psdf = psdf[psdf["c_acctbal"] > 0.0]
     psdf = psdf.assign(bal_cents=((psdf["c_acctbal"] * 100 + 0.5) // 1).astype("int64"))
+    # dropna=False: pandas groupby silently DROPS NaN group keys by
+    # default, SQL GROUP BY keeps the NULL group — the null-flood sweep
+    # caught the 5-vs-6-group divergence (round 7).
     out = (
-        psdf.groupby("c_mktsegment")
+        psdf.groupby("c_mktsegment", dropna=False)
         .agg(
             n_cust=("c_custkey", "count"),
             bal_cents=("bal_cents", "sum"),

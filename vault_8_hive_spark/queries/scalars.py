@@ -512,7 +512,7 @@ WITH stats AS (
          STDDEV_SAMP(p_retailprice) AS sigma,
          MIN(p_retailprice) AS lo,
          MAX(p_retailprice) AS hi
-  FROM part GROUP BY p_brand
+  FROM part WHERE p_retailprice IS NOT NULL GROUP BY p_brand
 )
 SELECT p.p_partkey, p.p_brand,
        ROUND((p.p_retailprice - s.mu) / NULLIF(s.sigma, 0), 6) AS z_scaled,
@@ -522,6 +522,7 @@ SELECT p.p_partkey, p.p_brand,
                                   ORDER BY p.p_retailprice, p.p_partkey), 6)
          AS quantile_rank
 FROM part p JOIN stats s ON s.p_brand = p.p_brand
+WHERE p.p_retailprice IS NOT NULL
 """,
     tags=("scalar", "feature-engineering", "scaling"),
 )
@@ -540,7 +541,9 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    part = table(spark, sf_dir, "part")
+    part = table(spark, sf_dir, "part").where(
+        F.col("p_retailprice").isNotNull()
+    )
     stats = part.groupBy("p_brand").agg(
         F.avg("p_retailprice").alias("mu"),
         F.stddev_samp("p_retailprice").alias("sigma"),
@@ -1048,7 +1051,7 @@ WITH v AS (
   SELECT c_mktsegment AS seg,
          CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents,
          c_custkey
-  FROM customer
+  FROM customer WHERE c_acctbal IS NOT NULL
 ),
 r AS (
   SELECT seg, cents,
@@ -1101,7 +1104,9 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.exact import scaled_long
 
-    v = table(spark, sf_dir, "customer").select(
+    v = table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal").isNotNull()
+    ).select(
         F.col("c_mktsegment").alias("seg"),
         scaled_long("c_acctbal").alias("cents"),
         "c_custkey",
@@ -1151,7 +1156,7 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH v AS (
   SELECT event_type AS grp, event_id,
          CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 r AS (
   SELECT grp, cents,
@@ -1220,7 +1225,9 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rank import global_cumsum
 
     prep(spark)
-    v = table(spark, sf_dir, "events").select(
+    v = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(
         F.col("event_type").alias("grp"),
         scaled_long("value").alias("cents"),
     )
@@ -1278,7 +1285,8 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_t_closeness",
     oracle="""
 WITH v AS (
-  SELECT c_mktsegment AS qi_group, c_nationkey AS sensitive FROM customer
+  SELECT c_mktsegment AS qi_group, c_nationkey AS sensitive
+  FROM customer WHERE c_nationkey IS NOT NULL
 ),
 global_d AS (
   SELECT sensitive, COUNT(*) AS g_cnt FROM v GROUP BY sensitive
@@ -1334,7 +1342,9 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     prep(spark)
-    v = table(spark, sf_dir, "customer").select(
+    v = table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isNotNull()
+    ).select(
         F.col("c_mktsegment").alias("qi_group"),
         F.col("c_nationkey").alias("sensitive"),
     )
@@ -1510,7 +1520,9 @@ def feature_softmax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import scaled_long
 
     prep(spark)
-    v = table(spark, sf_dir, "customer").select(
+    v = table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal").isNotNull()
+    ).select(
         F.col("c_mktsegment").alias("seg"),
         "c_custkey",
         scaled_long("c_acctbal").alias("cents"),

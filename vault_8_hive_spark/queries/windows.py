@@ -63,20 +63,25 @@ SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(LAG(o_totalprice)  OVER w AS DOUBLE) AS prev_price,
        CAST(LEAD(o_totalprice) OVER w AS DOUBLE) AS next_price,
        CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
-       CAST(LAST_VALUE(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       CAST(LAST_VALUE(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey
                                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS final_price,
-       CAST(NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       CAST(NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey
                                              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS second_price
 FROM orders
 WHERE o_custkey <= 300
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey)
 """,
     tags=("window", "analytic"),
 )
 def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first/last/nth_value over a per-customer order timeline."""
     prep(spark)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # NULL order dates exist in real data: the window order must say the
+    # NULL end EXPLICITLY (Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    # LAST — round-7 null-flood sweep).
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         table(spark, sf_dir, "orders")
@@ -108,7 +113,7 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                   OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
                         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS trailing_90d_total
 FROM orders
-WHERE o_custkey <= 300
+WHERE o_custkey <= 300 AND o_orderdate IS NOT NULL
 """,
     tags=("window", "frames"),
 )
@@ -123,9 +128,12 @@ def win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-7776000, 0)
     )
     price = dec("o_totalprice", "decimal(28,4)")
+    # Frames ride the order-date timeline; a row with no date has no
+    # place on it (a NULL RANGE ordering key is engine-defined) — the
+    # domain is explicit in both spellings.
     return (
         table(spark, sf_dir, "orders")
-        .where(F.col("o_custkey") <= 300)
+        .where((F.col("o_custkey") <= 300) & F.col("o_orderdate").isNotNull())
         .select(
             "o_custkey",
             "o_orderkey",
@@ -214,6 +222,7 @@ def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 days AS (SELECT DISTINCT d FROM du)
 SELECT CAST(days.d AS TIMESTAMP) AS d,
@@ -241,7 +250,9 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     du = ev.select(
         F.col("ts").cast("date").alias("d"), "user_id"
     ).distinct()
@@ -269,6 +280,7 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 days AS (SELECT DISTINCT d FROM du)
 SELECT CAST(days.d AS TIMESTAMP) AS d,
@@ -295,7 +307,9 @@ def win_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     day = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
         F.collect_set("user_id").alias("users"),
@@ -334,7 +348,7 @@ SELECT c_custkey, c_mktsegment,
        ROUND(cume_dist() OVER w, 9) AS cume
 FROM customer
 WHERE c_custkey % 20 = 0
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal NULLS LAST, c_custkey)
 """,
     tags=("window", "ranking", "distribution"),
 )
@@ -346,7 +360,9 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket boundaries are deterministic across engines and partition
     layouts."""
     prep(spark)
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey"
+    )
     return (
         table(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % 20 == 0)
@@ -367,7 +383,7 @@ WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
          CAST(date_part('epoch', date_trunc('day', ts)) / 86400 AS BIGINT) AS x,
          CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT d, total,
        CAST(COUNT(*) OVER w AS INT) AS n_window,
@@ -396,6 +412,7 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
         .groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"),
             (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
