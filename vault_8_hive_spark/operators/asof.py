@@ -75,6 +75,16 @@ def asof_join(
     r_struct = F.struct(*[F.col(c) for c in value_cols])
     r_struct_type = right.select(r_struct.alias("s")).schema["s"].dataType
 
+    # NULL semantics must match SQL ASOF (null-flood sweep, round 7):
+    # a right row with a NULL time or NULL key can never satisfy
+    # `l.time >= r.time AND l.key = r.key` — but in the union-merge a
+    # NULL time sorts NULLS-FIRST (carried into EVERY left row) and the
+    # window's partitionBy groups NULL keys together (SQL equality
+    # never matches NULL). Drop them before the union.
+    right = right.where(F.col(right_time).isNotNull())
+    for k in on:
+        right = right.where(F.col(k).isNotNull())
+
     l_proj = left.select(
         *on,
         F.col(left_time).alias("__t"),
@@ -107,8 +117,15 @@ def asof_join(
     carried = l_proj.unionByName(r_proj).select(
         "*", carry.over(w).alias("__asof")
     )
+    # A left row with a NULL time matches nothing in SQL ASOF (the
+    # comparison is NULL); backward gets that for free (NULLS FIRST sees
+    # no prior right row) but FORWARD would hand it the first future
+    # right row — gate the carried payload on a present left time.
     return carried.where(F.col("__tag") == 1).select(
         *on,
         *l_payload,
-        *[F.col(f"__asof.{c}").alias(c) for c in value_cols],
+        *[
+            F.when(F.col("__t").isNotNull(), F.col(f"__asof.{c}")).alias(c)
+            for c in value_cols
+        ],
     )

@@ -218,9 +218,18 @@ WITH daily AS (
          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,4))), 4) AS DOUBLE) AS day_spend
   FROM orders GROUP BY o_custkey, o_orderdate
 )
-SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.day_spend AS prior_day_spend
-FROM orders o
-ASOF LEFT JOIN daily d ON o.o_custkey = d.custkey AND o.o_orderdate > d.d
+, m AS (
+  -- the asof contract: a row with no time matches NOTHING. DuckDB's raw
+  -- ASOF instead inherits its sort's NULLS-LAST order (a NULL left time
+  -- silently matches the LATEST right row — the data-corrupting artifact
+  -- the round-7 null-flood sweep caught), so the contract is spelled
+  -- explicitly: asof over dated rows, dateless rows rejoin with NULL.
+  SELECT o.o_orderkey, d.day_spend
+  FROM (SELECT * FROM orders WHERE o_orderdate IS NOT NULL) o
+  ASOF LEFT JOIN daily d ON o.o_custkey = d.custkey AND o.o_orderdate > d.d
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, m.day_spend AS prior_day_spend
+FROM orders o LEFT JOIN m ON m.o_orderkey = o.o_orderkey
 """,
     tags=("join", "asof", "window"),
 )
@@ -554,7 +563,7 @@ WITH p AS (
   SELECT p_partkey, p_brand,
          split_part(p_name, ' ', 1) AS adj,
          split_part(p_name, ' ', -1) AS noun
-  FROM part WHERE p_partkey < 500
+  FROM part WHERE p_partkey < 500 AND p_name IS NOT NULL
 )
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.noun,
        a.adj AS adj_a, b.adj AS adj_b,
@@ -581,7 +590,7 @@ def join_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     parts = (
         table(spark, sf_dir, "part")
-        .where(F.col("p_partkey") < 500)
+        .where((F.col("p_partkey") < 500) & F.col("p_name").isNotNull())
         .select(
             "p_partkey",
             "p_brand",
@@ -698,9 +707,16 @@ GROUP BY n_name
     oracle="""
 WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
 p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
-m AS (
+vm AS (
+  -- no-time-no-match: see join_asof_prior_spend's oracle note
   SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value
-  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts < p.ts
+  FROM (SELECT * FROM v WHERE ts IS NOT NULL) v
+  ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts < p.ts
+),
+m AS (
+  SELECT user_id, view_ts, purchase_ts, value FROM vm
+  UNION ALL
+  SELECT user_id, ts, NULL, NULL FROM v WHERE ts IS NULL
 )
 SELECT user_id,
        COUNT(*) AS n_views,
@@ -934,14 +950,20 @@ WITH pv AS (
 spine AS (
   SELECT event_id, user_id, ts
   FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  -- no-time-no-match (see join_asof_prior_spend's oracle note)
+  SELECT s.event_id, p.pv_value, p.ts AS p_ts
+  FROM (SELECT * FROM spine WHERE ts IS NOT NULL) s
+  ASOF LEFT JOIN pv p ON s.user_id = p.user_id AND s.ts >= p.ts
 )
 SELECT s.event_id, s.user_id, s.ts,
-       p.pv_value AS prior_view_value,
-       CASE WHEN p.ts IS NULL THEN NULL
-            ELSE epoch_us(s.ts - p.ts) END AS view_age_us,
+       m.pv_value AS prior_view_value,
+       CASE WHEN m.p_ts IS NULL THEN NULL
+            ELSE epoch_us(s.ts - m.p_ts) END AS view_age_us,
        c.c_mktsegment AS segment
 FROM spine s
-ASOF LEFT JOIN pv p ON s.user_id = p.user_id AND s.ts >= p.ts
+LEFT JOIN m ON m.event_id = s.event_id
 LEFT JOIN customer c ON c.c_custkey = s.user_id
 """,
     tags=("join", "asof", "feature-store", "point-in-time"),

@@ -25,13 +25,14 @@ from . import register
     "scalar_string",
     oracle="""
 SELECT p_partkey,
-       p_brand || '/' || p_type                          AS brand_type,
+       concat_ws('/', p_brand, p_type)                   AS brand_type,
        substr(p_name, 1, 6)                              AS name6,
        upper(p_name)                                     AS name_upper,
        lower(p_brand)                                    AS brand_lower,
        trim('  ' || p_name || ' ')                       AS name_trim,
        lpad(CAST(p_size AS VARCHAR), 4, '0')             AS size_pad,
-       split_part(p_name, ' ', 1)                        AS first_word,
+       CASE WHEN p_name IS NULL THEN NULL
+            ELSE split_part(p_name, ' ', 1) END           AS first_word,
        regexp_extract(p_brand, '#([0-9]+)', 1)           AS brand_num,
        regexp_replace(c_like.p_name_num, '[0-9]+', '#')  AS masked,
        p_type LIKE 'PRO%'                                AS is_promo,
@@ -307,9 +308,13 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "event_id",
         F.col("p.k").alias("k_val"),
-        F.to_json(F.struct(F.col("p.k").alias("k"), F.col("event_type").alias("t"))).alias(
-            "reencoded"
-        ),
+        # ignoreNullFields=false: Spark's to_json DROPS null struct
+        # fields by default where DuckDB renders "t":null (null-flood
+        # sweep, round 7) — the JSON bytes must agree.
+        F.to_json(
+            F.struct(F.col("p.k").alias("k"), F.col("event_type").alias("t")),
+            {"ignoreNullFields": "false"},
+        ).alias("reencoded"),
     )
 
 
@@ -327,6 +332,7 @@ SELECT event_id,
 FROM events
 WHERE event_id <= 1000
   AND regexp_matches(props, '^\{"k": -?[0-9]+\}$')
+  AND user_id IS NOT NULL AND event_type IS NOT NULL
 """,
     tags=("scalar", "variant", "json", "semi-structured"),
 )
@@ -355,6 +361,8 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").where(
         (F.col("event_id") <= 1000)
         & F.col("props").rlike('^\\{"k": -?[0-9]+\\}$')
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
     )
     doc = F.format_string(
         '{"meta":{"type":"%s","uid":%d},"p":%s,"tags":[%d,%d]}',

@@ -141,8 +141,13 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._chars = 0
 
         def eval(self, row):
+            # NULL text yields NOTHING — including no summary row:
+            # DuckDB's unnest(string_split(NULL)) emits zero rows, so a
+            # doc of only-NULL text never appears in the oracle at all.
+            if row.text is None:
+                return
             self._doc = row.doc_id
-            for i, w in enumerate((row.text or "").split(" ")):
+            for i, w in enumerate(row.text.split(" ")):
                 self._chars += len(w)
                 yield (row.doc_id, i, w, len(w))
 
@@ -377,9 +382,12 @@ END
     oracle="""
 WITH va AS (
   SELECT user_id, ts, CAST(ROUND(MAX(value) * 100, 0) AS BIGINT) AS vcents
-  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+  FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id, ts
 ),
-p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+p AS (SELECT user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL),
 m AS (
   SELECT p.user_id, va.vcents
   FROM p ASOF LEFT JOIN va ON p.user_id = va.user_id AND p.ts >= va.ts
@@ -410,9 +418,17 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     dual (operators/asof.py) is the JVM-only twin; this row exercises
     the cogroup API surface itself."""
     prep(spark)
-    ev = table(spark, sf_dir, "events")
+    # Event-time domain: pd.merge_asof REFUSES NaT merge keys outright
+    # ('Merge keys contain null values') — the asof domain is
+    # timestamped rows, explicit in both spellings (null-flood sweep).
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # The view (match-source) side also drops NULL users: cogroup puts
+    # NULL keys in ONE group (pandas would happily merge them) but SQL
+    # equality never matches NULL = NULL — purchases of unknown users
+    # stay in the output with zero matches.
     views = (
         ev.where(F.col("event_type") == "view")
+        .where(F.col("user_id").isNotNull())
         .groupBy("user_id", "ts")
         .agg(
             F.round(F.max("value") * 100, 0).cast("bigint").alias("vcents")
@@ -474,7 +490,7 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH v AS (
   SELECT o_orderpriority AS priority,
          CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 r AS (
   SELECT priority, cents,
@@ -541,7 +557,9 @@ def udf_grouped_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         core = s[k : len(s) - k]
         return float(core.sum()) / len(core)
 
-    v = table(spark, sf_dir, "orders").select(
+    v = table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    ).select(
         F.col("o_orderpriority").alias("priority"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
     )
