@@ -205,9 +205,11 @@ _BFS_SQL = f"""
 WITH RECURSIVE edges AS (
   SELECT DISTINCT o_custkey AS src, {_SUPP_BASE} + l_suppkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
   UNION
   SELECT DISTINCT {_SUPP_BASE} + l_suppkey AS src, o_custkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
 ),
 walk(node, hops) AS (
   SELECT CAST(1 AS BIGINT) AS node, 0 AS hops
@@ -278,8 +280,13 @@ def graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # A NULL endpoint is not a graph node — and the frontier's
+    # left_anti dedup can never retire a NULL (anti-join equality is
+    # never TRUE for NULL), so it would re-surface every round.
     pairs = orders.join(
         li, F.col("o_orderkey") == F.col("l_orderkey")
+    ).where(
+        F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull()
     ).select(
         F.col("o_custkey").alias("cust"),
         (F.lit(_SUPP_BASE) + F.col("l_suppkey")).alias("supp"),
@@ -696,6 +703,7 @@ _LP_CAP = 24  # per-customer supplier cap before pair generation
 WITH raw AS (
   SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS n_li
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
   GROUP BY 1, 2
 ),
 e AS (
@@ -758,6 +766,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             table(spark, sf_dir, "lineitem"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
+        .where(F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull())
         .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .agg(F.count(F.lit(1)).alias("n_li"))
     )

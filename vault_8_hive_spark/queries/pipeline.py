@@ -662,6 +662,7 @@ WITH raw AS (
   FROM orders
   JOIN lineitem ON l_orderkey = o_orderkey
   JOIN part ON p_partkey = l_partkey
+  WHERE o_custkey IS NOT NULL AND p_brand IS NOT NULL
   GROUP BY 1, 2
 ),
 -- heavy-user cap: keep each user's top-20 items by interaction count
@@ -730,6 +731,7 @@ def reco_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             table(spark, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey")
         )
+        .where(F.col("o_custkey").isNotNull() & F.col("p_brand").isNotNull())
         .groupBy(F.col("o_custkey").alias("u"), F.col("p_brand").alias("item"))
         .agg(F.count(F.lit(1)).alias("n_ui"))
     )
@@ -899,6 +901,7 @@ WITH scored AS (
          ROUND({_o_score()}, 9) AS s,
          CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
   FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
 ),
 ranked AS (
   SELECT y, s,
@@ -947,7 +950,9 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rank import global_cumsum
 
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
     score = F.round(
         sum(
             F.element_at("embedding", i).cast("double")
@@ -1057,6 +1062,7 @@ WITH scored AS (
          ROUND({_o_score()}, 9) AS s,
          CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
   FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
 ),
 probs AS (
   SELECT vec_id, y,
@@ -1105,7 +1111,9 @@ def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rank import global_row_number, ntile_from_rank
 
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
     s = F.round(
         sum(
             F.element_at("embedding", i).cast("double")
@@ -1154,6 +1162,7 @@ WITH dims AS (
          g.d
   FROM embeddings,
        unnest(generate_series(1, len(embedding))) AS g(d)
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
 ),
 cent AS (
   SELECT label AS c_label, d, SUM(x4) AS s, COUNT(*) AS n_l
@@ -1205,7 +1214,9 @@ def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs anything.
     """
     prep(spark)
-    dims = table(spark, sf_dir, "embeddings").select(
+    dims = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    ).select(
         "vec_id",
         "label",
         F.posexplode("embedding").alias("d0", "x"),
@@ -1254,6 +1265,7 @@ WITH dims AS (
          g.d
   FROM embeddings,
        unnest(generate_series(1, len(embedding))) AS g(d)
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
 ),
 cent AS (
   SELECT label AS c_label, d, SUM(x4) AS s, COUNT(*) AS n_l
@@ -1358,6 +1370,7 @@ WITH v AS (
          CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y,
          l_orderkey, l_linenumber
   FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 ),
 s AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -1428,7 +1441,9 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rank import global_cumsum
 
     prep(spark)
-    v = table(spark, sf_dir, "lineitem").select(
+    v = table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).select(
         scaled_long("l_quantity").alias("x"),
         scaled_long("l_extendedprice").alias("y"),
         "l_orderkey",

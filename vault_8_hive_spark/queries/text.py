@@ -1465,7 +1465,7 @@ dom AS (
   SELECT source, lang AS dominant_lang FROM (
     SELECT source, lang,
            row_number() OVER (PARTITION BY source
-                              ORDER BY n_docs DESC, lang) AS rn
+                              ORDER BY n_docs DESC, lang NULLS LAST) AS rn
     FROM base
   ) WHERE rn = 1
 )
@@ -1498,7 +1498,12 @@ def text_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
     )
     tot = base.agg(F.sum("n_docs").alias("td"), F.sum("chars").alias("tc"))
-    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), "lang")
+    # lang NULLS LAST: the unknown-language bucket stays a report ROW,
+    # but must not WIN a dominant-language tie by engine-default NULL
+    # placement (Spark ASC = NULLS FIRST vs DuckDB = NULLS LAST).
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_docs"), F.asc_nulls_last("lang")
+    )
     dom = (
         base.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

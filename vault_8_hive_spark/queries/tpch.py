@@ -1053,7 +1053,7 @@ WITH f AS (
   SELECT l_orderkey, l_suppkey,
          l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-  WHERE o_orderstatus = 'F'
+  WHERE o_orderstatus = 'F' AND l_suppkey IS NOT NULL
 ),
 late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM f WHERE late)
 SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
@@ -1098,7 +1098,15 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # l_suppkey IS NOT NULL: an unattributed line can neither make a
+    # supplier 'waiting' nor witness that another supplier exists — and
+    # the oracle's l2.l_suppkey <> l1.l_suppkey is never TRUE for NULL,
+    # while count(*) over the pair reduction would count it (null-flood).
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey").isNotNull())
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
     f = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey",
         "l_suppkey",
@@ -1181,7 +1189,9 @@ WITH spans AS (
          CAST(o.o_orderdate AS DATE) AS d0,
          CAST(MAX(l.l_shipdate) AS DATE) AS d1
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate IS NOT NULL
   GROUP BY o.o_orderkey, o.o_orderdate
+  HAVING MAX(l.l_shipdate) IS NOT NULL
 ),
 deltas AS (
   SELECT d0 AS d, 1 AS delta FROM spans
@@ -1234,13 +1244,18 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     prep(spark)
+    # Dated spans only: an order with no order date (or no shipped
+    # line) has no place on the timeline, and a NULL day would sit at
+    # OPPOSITE ends of the two engines' running sums (null-flood sweep).
     ends = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("ship_end"))
+        .where(F.col("ship_end").isNotNull())
     )
     deltas = (
         table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").isNotNull())
         .select("o_orderkey", "o_orderdate")
         .join(ends, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(

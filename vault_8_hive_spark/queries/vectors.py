@@ -566,15 +566,16 @@ def _memo_put(memo: dict, key, value) -> None:
     memo[key] = value
 
 _O_CENT = f"""
+lbl AS (SELECT * FROM {_O_EMB_NZ} WHERE label IS NOT NULL),
 elems AS (
   SELECT label, pos, ROUND(SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*), 6) AS cv
-  FROM {_O_EMB_NZ}, generate_series(1, 64) AS g(pos)
+  FROM lbl, generate_series(1, 64) AS g(pos)
   GROUP BY label, pos
 ),
 cent AS (
   SELECT label AS c_label, list(cv ORDER BY pos) AS c FROM elems GROUP BY label
 ),
-q AS (SELECT embedding FROM {_O_EMB_NZ} WHERE vec_id = 0),
+q AS (SELECT embedding FROM lbl WHERE vec_id = 0),
 probe AS (
   SELECT c_label FROM (
     SELECT c_label,
@@ -588,7 +589,7 @@ assigned AS (
     SELECT e.vec_id, e.label, e.embedding, cent.c_label,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
              i -> (cent.c[i] - CAST(e.embedding[i] AS DOUBLE)) * (cent.c[i] - CAST(e.embedding[i] AS DOUBLE)))), 6), cent.c_label) AS rn
-    FROM {_O_EMB_NZ} e, cent
+    FROM lbl e, cent
   ) t WHERE rn = 1
 )
 """
@@ -625,7 +626,12 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same corpus.
     """
     prep(spark)
-    emb = _nz(table(spark, sf_dir, "embeddings"))
+    # labeled-vector domain: the label IS the inverted-list id — an
+    # unlabeled vector is not in the index (and a NULL label would
+    # crash the driver-side sorted(centroids) probe pick).
+    emb = _nz(table(spark, sf_dir, "embeddings")).where(
+        F.col("label").isNotNull()
+    )
 
     # Coarse centroids: element-wise mean per label (exactly the oracle's
     # `elems` CTE: double sum / count, rounded to 6). 64 column-sums in ONE
@@ -735,10 +741,12 @@ def _kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:
         f"""WITH v AS (
   SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
   FROM embeddings, range(1, {dim + 1}) t(i)
+  WHERE embedding IS NOT NULL
 ),
 seeds AS (
   SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+        ORDER BY vec_id LIMIT {k})
 ),
 c0 AS (SELECT s.cluster, v.pos, v.val FROM seeds s JOIN v USING (vec_id))"""
     ]
@@ -790,7 +798,9 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans
 
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     assigned, _, _ = kmeans(emb, "embedding", "vec_id", k=4, iters=3, dim=DIM)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -929,7 +939,8 @@ _PQ_FULLDIST = (
 WITH subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
 codebook AS (
   SELECT c.vec_id AS code, subs.s, c.embedding
-  FROM embeddings c, subs WHERE c.vec_id < {_PQ_K}
+  FROM embeddings c, subs
+  WHERE c.vec_id < {_PQ_K} AND c.embedding IS NOT NULL
 ),
 enc AS (
   SELECT vec_id, s, code FROM (
@@ -938,10 +949,11 @@ enc AS (
              PARTITION BY e.vec_id, cb.s
              ORDER BY {_pq_subdist("e.embedding", "cb.embedding", "cb.s")}, cb.code
            ) AS rn
-    FROM embeddings e, codebook cb
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, codebook cb
   ) WHERE rn = 1
 ),
-queries AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {_PQ_NQ}),
+queries AS (SELECT vec_id AS qid, embedding FROM embeddings
+            WHERE vec_id < {_PQ_NQ} AND embedding IS NOT NULL),
 adc AS (
   SELECT q.qid, cb.s, cb.code,
          {_pq_subdist("q.embedding", "cb.embedding", "cb.s")} AS d
@@ -992,7 +1004,9 @@ def vec_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate path. All distances round to 1e-6 before any argmin/rank
     (module discipline), with code/vec_id tie-breaks."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
 
     def subvec(col: str, s) -> "F.Column":
         return F.slice(to_double(col), s * _PQ_SUB + 1, _PQ_SUB)
@@ -1336,6 +1350,7 @@ WITH v AS (
          CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7'
               THEN 'a' ELSE 'b' END AS half
   FROM embeddings, generate_series(1, 64) AS g(i)
+  WHERE embedding IS NOT NULL
 ),
 cent AS (
   SELECT half, pos, ROUND(AVG(val), 9) AS mu, COUNT(*) AS n
@@ -1370,7 +1385,9 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers are arithmetic on those cells. Per-dim means round to 1e-9
     before the cross-half arithmetic (module float discipline)."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     half = F.when(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "7", "a"
     ).otherwise("b")
