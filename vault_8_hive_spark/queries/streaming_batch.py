@@ -24,6 +24,7 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
     tags=("streaming", "window-time"),
@@ -53,6 +54,7 @@ WITH marked AS (
                    OR ts - LAG(ts) OVER w >= INTERVAL 30 minutes
               THEN 1 ELSE 0 END AS is_new
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -92,6 +94,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type, COUNT(*) AS n_unique
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY event_type
 """,
     tags=("streaming", "dedup"),
@@ -115,6 +118,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY user_id
 """,
     tags=("streaming", "stateful", "udf"),
@@ -135,6 +139,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_mktsegment, COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
+WHERE ts IS NOT NULL
 GROUP BY c_mktsegment
 """,
     tags=("streaming", "join", "agg"),
@@ -528,11 +533,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT user_id, event_id AS view_id, ts AS view_ts
-  FROM events WHERE event_type = 'view'
+  FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 p AS (
   SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
-  FROM events WHERE event_type = 'purchase'
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 pairs AS (
   SELECT v.user_id, v.view_id, p.purchase_id,
@@ -659,7 +666,13 @@ def _flushed_events_landing(spark: SparkSession, sf_dir: str) -> str:
         pass
     if not current:
         shutil.rmtree(land, ignore_errors=True)
-        ev = normalize_events_ts(spark.read.parquet(src))
+        # stream-stream interval joins are keyed, event-time operators:
+        # the landing declares the (ts, user) domain — a NULL in either
+        # can never match, and the batch-dual oracles carry the same
+        # WHERE (null-flood sweep, round 7).
+        ev = normalize_events_ts(spark.read.parquet(src)).where(
+            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        )
         ev.write.mode("overwrite").parquet(land)
         mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
         import datetime
@@ -689,11 +702,13 @@ def _flushed_events_landing(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
 WITH v AS (
   SELECT user_id, event_id AS view_id, ts AS view_ts
-  FROM events WHERE event_type = 'view'
+  FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 p AS (
   SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
-  FROM events WHERE event_type = 'purchase'
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 pairs AS (
   SELECT COALESCE(v.user_id, p.p_user) AS user_id, v.view_id, p.purchase_id
@@ -782,9 +797,18 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_transform_with_state",
     oracle="""
-WITH tc AS (
+WITH ev AS (
+  -- the stateful processor's declared input domain: fully-present rows
+  -- (a NULL user key, NaT event time, NaN cents, or None map key each
+  -- crash or silently skew a python-side state update — null-flood
+  -- sweep; real deployments validate-then-route before stateful ops)
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL AND event_type IS NOT NULL
+),
+tc AS (
   SELECT user_id, event_type, COUNT(*) AS c
-  FROM events GROUP BY user_id, event_type
+  FROM ev GROUP BY user_id, event_type
 ),
 top AS (
   SELECT user_id, event_type AS top_type
@@ -802,7 +826,7 @@ base AS (
          COUNT(*)                                        AS n_ids,
          MIN(event_id)                                   AS min_id,
          MAX(event_id)                                   AS max_id
-  FROM events GROUP BY user_id
+  FROM ev GROUP BY user_id
 )
 SELECT b.user_id, n_events,
        CAST(cents AS DOUBLE) / 100.0 AS total_value,
@@ -834,6 +858,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
     stream = normalize_events_ts(
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    ).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull() & F.col("event_type").isNotNull()
     )
     final, _engine = transform_user_stats(spark, stream)
     return final.select(
@@ -855,6 +882,7 @@ SELECT user_id,
        COUNT(*) AS n_events,
        SUM(CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT)) AS total_cents
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY user_id
 """,
     tags=("streaming", "statestore", "introspection"),
@@ -979,11 +1007,13 @@ def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT user_id, event_id AS view_id, ts AS view_ts
-  FROM events WHERE event_type = 'view'
+  FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 p AS (
   SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
-  FROM events WHERE event_type = 'purchase'
+  FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
 ),
 pairs AS (
   SELECT p.p_user AS user_id, v.view_id, p.purchase_id,

@@ -639,7 +639,7 @@ def _bm25_oracle() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t))) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -694,7 +694,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            F.transform(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0), F.lower)
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -708,7 +708,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = docs.select(
         "doc_id",
         F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            F.transform(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0), F.lower)
         ).cast("long").alias("dl"),
     ).where(F.col("dl") > 0)
     stats = dl.agg(
@@ -821,7 +821,7 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_vocab_coverage",
     oracle="""
 WITH toks AS (
-  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  SELECT unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t))) AS term
   FROM documents
 ),
 freq AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
@@ -857,7 +857,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            F.transform(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0), F.lower)
         ).alias("term")
     )
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
@@ -894,7 +894,7 @@ WITH split AS (
   FROM documents
 ),
 words AS (
-  SELECT doc_id, split, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  SELECT doc_id, split, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t)) AS ws
   FROM split
 ),
 shingles AS (
@@ -951,7 +951,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = docs.select(
         "doc_id",
         F.when(bucket < 90, "train").otherwise("eval").alias("split"),
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("ws"),
+        F.transform(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0), F.lower).alias("ws"),
     )
     # size >= 8 guard: a shorter document has no 8-gram, and
     # sequence(1, size - 7) with size < 8 runs DESCENDING through 0
@@ -990,7 +990,7 @@ _FH_DIMS = 16
     "text_feature_hashing",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t))) AS term
   FROM documents WHERE doc_id < 50
 ),
 hashed AS (
@@ -1022,7 +1022,7 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     term = F.explode(
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        F.transform(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0), F.lower)
     ).alias("term")
     toks = docs.select("doc_id", term)
     h = F.md5("term")
@@ -1716,7 +1716,7 @@ def text_keyphrase_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_edit1_fastss",
     oracle="""
 WITH tok AS (
-  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  SELECT DISTINCT unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t))) AS t
   FROM documents
 ),
 vocab AS (SELECT t FROM tok WHERE length(t) BETWEEN 5 AND 10),
@@ -1762,7 +1762,7 @@ def text_edit1_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         docs.select(
             F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+                F.transform(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0), F.lower)
             ).alias("t")
         )
         .where(F.length("t").between(5, 10))
@@ -1797,7 +1797,7 @@ def text_edit1_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_dup_spans",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t)) AS ts
   FROM documents
 ),
 grams AS (
@@ -1886,7 +1886,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("ts"),
+        F.transform(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0), F.lower).alias("ts"),
     ).where(F.size("ts") >= 8)
     # Explode positions first, hash after: the 8-token slice exists only
     # inside the map stage and is projected away before the shuffle.
@@ -1956,7 +1956,7 @@ _PMI_LIFT = (
     "text_pmi_collocations",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t)) AS ts
   FROM documents
 ),
 uni AS (
@@ -2018,7 +2018,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("ts")
+        F.transform(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0), F.lower).alias("ts")
     )
     big = (
         toks.where(F.size("ts") >= 2)
@@ -2279,7 +2279,7 @@ WITH d AS (
          GREATEST(len(list_filter(
            regexp_split_to_array(text, '[.!?]+'),
            x -> trim(x) <> '')), 1) AS n_sentences,
-         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syll
   FROM documents
 )
 SELECT doc_id,
@@ -2325,7 +2325,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1),
     )
     n_syll = F.size(
-        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        F.expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)")
     )
     d = doc.select(
         "doc_id",

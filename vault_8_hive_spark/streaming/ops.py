@@ -42,7 +42,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     from ..catalog import normalize_events_ts
 
-    return normalize_events_ts(raw)
+    # Event-time streaming is DEFINED over timestamped rows: a NULL
+    # event time under a watermark is engine-defined behavior (window
+    # aggs silently drop it, joins never match it, state ops can crash
+    # on NaT) — the source declares the domain instead (null-flood
+    # sweep, round 7; every consumer's oracle carries the same WHERE).
+    return normalize_events_ts(raw).where(F.col("ts").isNotNull())
 
 
 def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
