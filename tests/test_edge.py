@@ -242,3 +242,87 @@ def test_query_survives_total_ties(name, spark, ties_dir):
     rep = compare(name, spdf, opdf)
     assert rep.ok, f"{name} on all-ties corpus: {rep.detail}"
     assert rep.exact, f"{name} on all-ties corpus: inexact — {rep.detail}"
+
+
+# The round-7 NULL-FLOOD sweep (every nullable non-key column ~30% NULL,
+# FKs and event timestamps ~5%) failed 88/348 on first contact — the
+# largest haul of any wave. Mechanisms (FIXTURES.md "NULL-flood
+# robustness"): engine-default NULL placement shifting every frame/cut
+# (Spark ASC = NULLS FIRST vs DuckDB = NULLS LAST), the event-time
+# domain (F.window silently drops NULL event times, state ops crash on
+# NaT), SQL-equality NULL semantics vs positional operators (the as-of
+# union-merge; DuckDB ASOF's NULLS-LAST artifact), non-total splits and
+# blocking keys (ts<cut/ts>=cut both reject NULL; split_part(NULL)=''
+# forged a giant block), and per-function semantics (concat vs
+# concat_ws, to_json null fields, COALESCE-'ALL' label collisions,
+# pandas dropna). Pinned: one representative per mechanism class.
+NULL_PINNED = [
+    "events_sessionize",          # event-time + user domain
+    "events_anomaly_zscore",      # trailing frame under NULL placement
+    "win_analytic",               # explicit NULLS LAST window order
+    "win_frames",                 # RANGE frame needs a dated timeline
+    "agg_sketch_kll",             # GROUPING() vs real NULL group key
+    "agg_salted_skew",            # COUNT(key) vs COUNT(*) in two-phase
+    "incremental_rollup_merge",   # total split: NULLs route explicitly
+    "join_asof_prior_spend",      # asof no-time-no-match contract
+    "join_fuzzy_linkage",         # blocking keys exclude NULL
+    "scalar_json",                # to_json ignoreNullFields=false
+    "udf_cogrouped_asof",         # merge_asof refuses NaT; NULL groups
+    "udf_grouped_agg_trimmed",    # NaN poisons a numpy trim
+    "vec_ivf_topk",               # labeled-vector index domain
+    "stream_tumbling_counts",     # streaming source declares its domain
+    "stream_stream_left_outer",   # keyed interval-join landing domain
+    "orders_open_backlog",        # delta timeline excludes undated spans
+]
+
+
+@pytest.fixture(scope="session")
+def nulls_dir(tmp_path_factory, spark) -> str:
+    from edge_corpus import nulls
+
+    out = tmp_path_factory.mktemp("nulls") / "null_corpus"
+    nulls(out, scale=0.2)
+    return str(out)
+
+
+@pytest.mark.parametrize("name", NULL_PINNED)
+def test_query_survives_null_flood(name, spark, nulls_dir):
+    q = QUERIES[name]
+    spdf = q.fn(spark, nulls_dir).toPandas()  # abort = regression
+    opdf = run_oracle(q.oracle, nulls_dir)
+    rep = compare(name, spdf, opdf)
+    assert rep.ok, f"{name} on null-flood corpus: {rep.detail}"
+    assert rep.exact, f"{name} on null-flood corpus: inexact — {rep.detail}"
+
+
+# The round-7 MULTILINGUAL sweep (CJK/RTL/NFD/emoji/fullwidth documents)
+# failed 5/348, one mechanism: engine case-mapping tables ran BEFORE
+# token extraction (JVM lower('İ') = 'i'+U+0307, DuckDB = 'i' — the two
+# engines tokenized DIFFERENT strings). Tokenizers now extract
+# [A-Za-z0-9]+ from RAW text and case-fold per ASCII token.
+MULTILINGUAL_PINNED = [
+    "text_bm25_search",
+    "text_pmi_collocations",
+    "text_profile",
+    "text_readability",
+    "text_vocab_coverage",
+]
+
+
+@pytest.fixture(scope="session")
+def multilingual_dir(tmp_path_factory, spark) -> str:
+    from edge_corpus import multilingual
+
+    out = tmp_path_factory.mktemp("ml") / "ml_corpus"
+    multilingual(out, scale=0.2)
+    return str(out)
+
+
+@pytest.mark.parametrize("name", MULTILINGUAL_PINNED)
+def test_query_survives_multilingual(name, spark, multilingual_dir):
+    q = QUERIES[name]
+    spdf = q.fn(spark, multilingual_dir).toPandas()
+    opdf = run_oracle(q.oracle, multilingual_dir)
+    rep = compare(name, spdf, opdf)
+    assert rep.ok, f"{name} on multilingual corpus: {rep.detail}"
+    assert rep.exact, f"{name} on multilingual corpus: inexact — {rep.detail}"
