@@ -29,7 +29,10 @@ QTY_DEC = "decimal(18,4)"
 
 def dec(col: Column | str, typ: str = PRICE_DEC) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(typ)
+    # finite-measure contract: see scaled_long — an ANSI decimal cast of
+    # NaN/Inf aborts the job (and 1e150 overflows DECIMAL(18,4));
+    # both spellings treat an out-of-domain measure as NULL instead.
+    return F.when(~F.isnan(c) & (F.abs(c) < F.lit(1e12)), c).cast(typ)
 
 
 def exact_sum(col: Column | str, typ: str = PRICE_DEC) -> Column:
@@ -83,7 +86,17 @@ def scaled_long(col: Column | str, digits: int = 2) -> Column:
     floor(-1.00*100 + 0.5) = -100, where a cast would yield -99.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * (10**digits) + F.lit(0.5)).cast("long")
+    # TOTAL under ANSI for out-of-contract measures (extremes sweep,
+    # round 7): floor(NaN/Inf) survives the multiply but the long cast
+    # ABORTS the job, a finite-but-huge value (1e150) overflows the
+    # scaled int64, and DuckDB's decimal cast errors both ways — so both
+    # spellings treat a measure outside the money domain (non-finite or
+    # |x| >= 1e12) as NULL: excluded from sums like SQL NULL, the
+    # documented finite-measure contract.
+    ok = ~F.isnan(c) & (F.abs(c) < F.lit(1e12))
+    return F.floor(
+        F.when(ok, c) * (10**digits) + F.lit(0.5)
+    ).cast("long")
 
 
 def _unscale_dec(sum_long: Column, digits: int) -> Column:

@@ -1968,7 +1968,7 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 med AS (SELECT ROUND(quantile_cont(total, 0.5), 6) AS m FROM daily),
@@ -2064,7 +2064,7 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract itself, not just engine parity.
     oracle="""
 SELECT event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+       CAST(SUM(CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
          AS total_value,
        MAX(ts) AS latest_ts
 FROM events GROUP BY event_type
@@ -2305,7 +2305,7 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS dn,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS v
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS v
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
 slopes AS (

@@ -51,7 +51,7 @@ def timed(spark: SparkSession, sf_dir: str, *, user: bool = False,
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2
@@ -848,7 +848,7 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events GROUP BY 1
 ),
 -- calendar-lag (d - k days), NOT positional lag(): matches the Spark
@@ -920,7 +920,7 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 roll AS (
@@ -990,7 +990,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 m AS (SELECT ROUND(AVG(total), 6) AS mu FROM daily),
@@ -1341,7 +1341,7 @@ touch AS (
 ),
 credit AS (
   SELECT strftime(date_trunc('day', vts), '%Y-%m-%d') AS day,
-         CAST(ROUND(CAST(value AS DECIMAL(18,4))
+         CAST(ROUND(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))
               / COUNT(*) OVER (PARTITION BY pid), 6) AS DOUBLE) AS share
   FROM touch
 )
@@ -1467,7 +1467,7 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 )
 SELECT d, total,
@@ -1534,7 +1534,7 @@ base AS (
   SELECT user_id,
          date_diff('day', CAST(MAX(ts) AS DATE), anchor.a) AS recency_days,
          COUNT(*) AS frequency,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS monetary
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS monetary
   FROM events, anchor WHERE event_type = 'purchase'
   GROUP BY user_id, anchor.a
 ),
@@ -1621,7 +1621,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h_idx,
          CAST(date_part('hour', ts) AS INT) AS hod,
-         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_c
+         SUM(CAST(FLOOR(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100 + 0.5) AS BIGINT)) AS total_c
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 trended AS (
@@ -1720,11 +1720,11 @@ WITH anchor AS (
 ),
 scored AS (
   SELECT user_id,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+         CAST(FLOOR(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100 + 0.5) AS BIGINT)
            * CAST(POWER(2, 4 - (anchor.ad -
                date_diff('day', DATE '2000-01-01', CAST(ts AS DATE))) // 7)
              AS BIGINT) AS wv,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+         CAST(FLOOR(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100 + 0.5) AS BIGINT) AS v
   FROM events, anchor
   WHERE event_type = 'purchase'
     AND anchor.ad - date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) <= 34
@@ -1999,12 +1999,12 @@ def events_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH vd AS (
   SELECT date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS dn,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS v
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS v
   FROM events WHERE event_type = 'view' GROUP BY 1
 ),
 pd AS (
   SELECT date_diff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS dn,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS p
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS p
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
 lags AS (SELECT unnest(generate_series(-7, 7)) AS lag_days),
@@ -2205,7 +2205,7 @@ def events_sprt_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events GROUP BY 1
 ),
 pairs AS (
@@ -2303,7 +2303,7 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE daily AS (
   SELECT CAST(ts AS DATE) AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 idx AS (
@@ -2393,7 +2393,7 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))) * 100, 0) AS BIGINT)
            AS cents
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
@@ -2508,7 +2508,7 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE daily AS (
   SELECT CAST(ts AS DATE) AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS x
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS x
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 idx AS (
@@ -2716,7 +2716,7 @@ def _hw_oracle() -> str:
     return f"""
 WITH RECURSIVE daily AS (
   SELECT CAST(ts AS DATE) AS d,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, total FROM daily),
@@ -2825,7 +2825,7 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
-         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+         SUM(CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT)) AS cents
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 w AS (
@@ -2913,7 +2913,7 @@ def events_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
-         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+         SUM(CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT)) AS cents
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 cum AS (
@@ -2978,7 +2978,7 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
-         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+         SUM(CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT)) AS cents
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 nb AS (
@@ -3171,10 +3171,10 @@ def events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
          SUM(CASE WHEN event_type = 'view'
-                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+                  THEN CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT) ELSE 0 END)
            AS v,
          SUM(CASE WHEN event_type = 'purchase'
-                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+                  THEN CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT) ELSE 0 END)
            AS p
   FROM events
   WHERE event_type IN ('view', 'purchase') AND ts IS NOT NULL
@@ -3485,10 +3485,10 @@ per_user AS (
   SELECT user_id,
          CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
          SUM(CASE WHEN epoch_us(ts) < mid_us
-                  THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                  THEN CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT)
                   ELSE 0 END) AS x,
          SUM(CASE WHEN epoch_us(ts) >= mid_us
-                  THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                  THEN CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT)
                   ELSE 0 END) AS y
   FROM events CROSS JOIN span
   GROUP BY user_id
@@ -3663,7 +3663,7 @@ cells AS (
          CASE WHEN epoch_us(ts) < mid_us THEN 'pre' ELSE 'post' END
            AS period,
          COUNT(*) AS n,
-         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+         SUM(CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT)) AS cents
   FROM events CROSS JOIN span
   GROUP BY 1, 2
 ),

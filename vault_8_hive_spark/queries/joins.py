@@ -722,7 +722,7 @@ SELECT user_id,
        COUNT(*) AS n_views,
        COUNT(purchase_ts) AS n_converted,
        ROUND(AVG(epoch(purchase_ts) - epoch(view_ts)) / 60.0, 6) AS avg_min_to_convert,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,4))), 4) AS DOUBLE) AS attributed_value
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(28,4))), 4) AS DOUBLE) AS attributed_value
 FROM m
 GROUP BY user_id
 HAVING COUNT(purchase_ts) > 0

@@ -902,6 +902,7 @@ WITH scored AS (
          CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
   FROM embeddings
   WHERE embedding IS NOT NULL AND label IS NOT NULL
+    AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
 ),
 ranked AS (
   SELECT y, s,
@@ -953,6 +954,11 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
+    from ..operators.similarity import sq_norm
+    from .vectors import to_double
+
+    _n = sq_norm(to_double("embedding"))
+    emb = emb.where((_n != F.lit(float("inf"))) & ~F.isnan(_n))
     score = F.round(
         sum(
             F.element_at("embedding", i).cast("double")
@@ -1063,6 +1069,7 @@ WITH scored AS (
          CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
   FROM embeddings
   WHERE embedding IS NOT NULL AND label IS NOT NULL
+    AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
 ),
 probs AS (
   SELECT vec_id, y,
@@ -1114,6 +1121,11 @@ def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
+    from ..operators.similarity import sq_norm
+    from .vectors import to_double
+
+    _n = sq_norm(to_double("embedding"))
+    emb = emb.where((_n != F.lit(float("inf"))) & ~F.isnan(_n))
     s = F.round(
         sum(
             F.element_at("embedding", i).cast("double")
@@ -1163,6 +1175,7 @@ WITH dims AS (
   FROM embeddings,
        unnest(generate_series(1, len(embedding))) AS g(d)
   WHERE embedding IS NOT NULL AND label IS NOT NULL
+    AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
 ),
 cent AS (
   SELECT label AS c_label, d, SUM(x4) AS s, COUNT(*) AS n_l
@@ -1214,8 +1227,13 @@ def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs anything.
     """
     prep(spark)
+    from ..operators.similarity import sq_norm
+    from .vectors import to_double
+
+    _n = sq_norm(to_double("embedding"))
     dims = table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
+        & (_n != F.lit(float("inf"))) & ~F.isnan(_n)
     ).select(
         "vec_id",
         "label",
@@ -1266,6 +1284,7 @@ WITH dims AS (
   FROM embeddings,
        unnest(generate_series(1, len(embedding))) AS g(d)
   WHERE embedding IS NOT NULL AND label IS NOT NULL
+    AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
 ),
 cent AS (
   SELECT label AS c_label, d, SUM(x4) AS s, COUNT(*) AS n_l

@@ -1163,7 +1163,7 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT event_type AS grp, event_id,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+         CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT) AS cents
   FROM events WHERE value IS NOT NULL
 ),
 r AS (
@@ -1631,7 +1631,7 @@ WITH p AS (
   SELECT substr(md5('pseud-key-2026|' || CAST(user_id AS VARCHAR)), 1, 16)
            AS pid,
          event_type,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+         CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT) AS cents
   FROM events
 ),
 agg AS (

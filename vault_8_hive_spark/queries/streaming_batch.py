@@ -22,7 +22,7 @@ from . import register
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2
@@ -116,7 +116,8 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stateful_user_stats",
     oracle="""
-SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+SELECT user_id, COUNT(*) AS n_events,
+       MAX(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END) AS max_value
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY user_id
@@ -137,7 +138,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_join",
     oracle="""
 SELECT c_mktsegment, COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 WHERE ts IS NOT NULL
 GROUP BY c_mktsegment
@@ -287,7 +288,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_foreach_batch_upsert",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
 FROM events
 GROUP BY user_id
 """,
@@ -821,7 +822,7 @@ top AS (
 base AS (
   SELECT user_id,
          COUNT(*)                                        AS n_events,
-         SUM(CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT)) AS cents,
+         SUM(CAST(ROUND(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4)) * 100, 0) AS BIGINT)) AS cents,
          COUNT(DISTINCT event_type)                      AS n_types,
          COUNT(*)                                        AS n_ids,
          MIN(event_id)                                   AS min_id,
@@ -880,7 +881,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT)) AS total_cents
+       SUM(CAST(ROUND(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4)) * 100, 0) AS BIGINT)) AS total_cents
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY user_id

@@ -381,7 +381,7 @@ END
     "udf_cogrouped_asof",
     oracle="""
 WITH va AS (
-  SELECT user_id, ts, CAST(ROUND(MAX(value) * 100, 0) AS BIGINT) AS vcents
+  SELECT user_id, ts, CAST(ROUND(MAX(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END) * 100, 0) AS BIGINT) AS vcents
   FROM events
   WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
   GROUP BY user_id, ts
@@ -431,7 +431,17 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id").isNotNull())
         .groupBy("user_id", "ts")
         .agg(
-            F.round(F.max("value") * 100, 0).cast("bigint").alias("vcents")
+            F.round(
+                F.max(
+                    F.when(
+                        ~F.isnan("value")
+                        & (F.abs("value") < F.lit(1e12)),
+                        F.col("value"),
+                    )
+                )
+                * 100,
+                0,
+            ).cast("bigint").alias("vcents")
         )
     )
     # Fresh aliases break the shared-attribute lineage with the view

@@ -60,14 +60,34 @@ _O_SQN = (
     "list_sum(list_transform(generate_series(1, 64), "
     "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
 )
-_O_EMB_NZ = f"(SELECT * FROM embeddings WHERE ({_O_SQN}) > 0)"
+# > 0 AND finite: the cosine domain is vectors with a USABLE norm — an
+# all-denormal vector underflows to 0, a 1e200 vector overflows to Inf,
+# and one NaN component poisons every product (extremes sweep, round 7).
+_O_EMB_NZ = f"(SELECT * FROM embeddings WHERE ({_O_SQN}) > 0 AND isfinite({_O_SQN}))"
+
+
+def _finite(emb: DataFrame) -> DataFrame:
+    """embeddings that are PRESENT with a finite squared norm — the
+    distance-computation domain (kmeans/PQ/drift): a NaN component or an
+    overflowing magnitude poisons every distance, identically nulled in
+    the oracles. Zero/denormal vectors stay (distances remain finite)."""
+    from ..operators.similarity import sq_norm
+
+    n = sq_norm(to_double("embedding"))
+    return emb.where(
+        F.col("embedding").isNotNull() & (n != F.lit(float("inf"))) & ~F.isnan(n)
+    )
 
 
 def _nz(emb: DataFrame) -> DataFrame:
-    """embeddings with zero-norm rows dropped (the cosine domain)."""
+    """embeddings with a USABLE norm (the cosine domain): positive and
+    finite — see the _O_EMB_NZ note on denormal/overflow/NaN vectors."""
     from ..operators.similarity import sq_norm
 
-    return emb.where(sq_norm(to_double("embedding")) > 0)
+    n = sq_norm(to_double("embedding"))
+    # ~isnan is explicit: Spark's total ordering ranks NaN ABOVE every
+    # value, so NaN > 0 is TRUE here (DuckDB's isfinite says false).
+    return emb.where((n > 0) & (n != F.lit(float("inf"))) & ~F.isnan(n))
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -741,11 +761,12 @@ def _kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:
         f"""WITH v AS (
   SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
   FROM embeddings, range(1, {dim + 1}) t(i)
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
 ),
 seeds AS (
   SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
-  FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+  FROM (SELECT vec_id FROM embeddings
+        WHERE embedding IS NOT NULL AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
         ORDER BY vec_id LIMIT {k})
 ),
 c0 AS (SELECT s.cluster, v.pos, v.val FROM seeds s JOIN v USING (vec_id))"""
@@ -798,9 +819,7 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans
 
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-    )
+    emb = _finite(table(spark, sf_dir, "embeddings"))
     assigned, _, _ = kmeans(emb, "embedding", "vec_id", k=4, iters=3, dim=DIM)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -941,6 +960,7 @@ codebook AS (
   SELECT c.vec_id AS code, subs.s, c.embedding
   FROM embeddings c, subs
   WHERE c.vec_id < {_PQ_K} AND c.embedding IS NOT NULL
+    AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
 ),
 enc AS (
   SELECT vec_id, s, code FROM (
@@ -949,11 +969,13 @@ enc AS (
              PARTITION BY e.vec_id, cb.s
              ORDER BY {_pq_subdist("e.embedding", "cb.embedding", "cb.s")}, cb.code
            ) AS rn
-    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e, codebook cb
+    FROM (SELECT * FROM embeddings
+          WHERE embedding IS NOT NULL AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))) e, codebook cb
   ) WHERE rn = 1
 ),
 queries AS (SELECT vec_id AS qid, embedding FROM embeddings
-            WHERE vec_id < {_PQ_NQ} AND embedding IS NOT NULL),
+            WHERE vec_id < {_PQ_NQ} AND embedding IS NOT NULL
+              AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
 adc AS (
   SELECT q.qid, cb.s, cb.code,
          {_pq_subdist("q.embedding", "cb.embedding", "cb.s")} AS d
@@ -1004,9 +1026,7 @@ def vec_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate path. All distances round to 1e-6 before any argmin/rank
     (module discipline), with code/vec_id tie-breaks."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-    )
+    emb = _finite(table(spark, sf_dir, "embeddings"))
 
     def subvec(col: str, s) -> "F.Column":
         return F.slice(to_double(col), s * _PQ_SUB + 1, _PQ_SUB)
@@ -1350,7 +1370,7 @@ WITH v AS (
          CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7'
               THEN 'a' ELSE 'b' END AS half
   FROM embeddings, generate_series(1, 64) AS g(i)
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
 ),
 cent AS (
   SELECT half, pos, ROUND(AVG(val), 9) AS mu, COUNT(*) AS n
@@ -1385,9 +1405,7 @@ def vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers are arithmetic on those cells. Per-dim means round to 1e-9
     before the cross-half arithmetic (module float discipline)."""
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-    )
+    emb = _finite(table(spark, sf_dir, "embeddings"))
     half = F.when(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "7", "a"
     ).otherwise("b")
@@ -1674,6 +1692,7 @@ WITH dims AS MATERIALIZED (
          CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 1000000 + 0.5)
               AS BIGINT) AS x6
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)
+  WHERE embedding IS NOT NULL AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
 ),
 mu AS (
   SELECT d,
@@ -1748,7 +1767,7 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     PCA; noted, not needed at embedding dims.
     """
     prep(spark)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _finite(table(spark, sf_dir, "embeddings"))
     x6arr = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast(
@@ -1860,6 +1879,7 @@ WITH dims AS MATERIALIZED (
          CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 1000000 + 0.5)
               AS BIGINT) AS x6
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)
+  WHERE embedding IS NOT NULL AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
 ),
 proj AS MATERIALIZED (
   SELECT vec_id, j.j,
@@ -1904,7 +1924,7 @@ def vec_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     dims = (
-        table(spark, sf_dir, "embeddings")
+        _finite(table(spark, sf_dir, "embeddings"))
         .select("vec_id", F.posexplode("embedding").alias("d0", "x"))
         .select(
             "vec_id",
@@ -1971,6 +1991,7 @@ WITH dims AS MATERIALIZED (
          CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 10000 + 0.5)
               AS BIGINT) AS x4
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(d)
+  WHERE embedding IS NOT NULL AND isfinite(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
 ),
 cent AS MATERIALIZED (
   SELECT label, d, SUM(x4) AS s, COUNT(*) AS n_l
@@ -2029,7 +2050,7 @@ def vec_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     dims = (
-        table(spark, sf_dir, "embeddings")
+        _finite(table(spark, sf_dir, "embeddings"))
         .select("vec_id", "label", F.posexplode("embedding").alias("d0", "x"))
         .select(
             "label",

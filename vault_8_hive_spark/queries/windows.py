@@ -382,7 +382,7 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
          CAST(date_part('epoch', date_trunc('day', ts)) / 86400 AS BIGINT) AS x,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+         CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT d, total,

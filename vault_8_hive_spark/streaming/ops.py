@@ -95,12 +95,23 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, max_value double"
 def _user_stats(key, pdf_iter, state: GroupState):
     """Arbitrary stateful aggregation: running event count + max value per
     user (the engine's flatMapGroupsWithState analog; the fleet-liveness
-    detector uses the same shape over beacon streams)."""
-    n, vmax = state.get if state.exists else (0, float("-inf"))
+    detector uses the same shape over beacon streams).
+
+    The max rides the FINITE-measure contract (functions/exact.py
+    scaled_long): a float column reaching pandas can't distinguish SQL
+    NULL from NaN, and pandas .max() skips NaN where SQL MAX ranks it
+    greatest — so both spellings reduce over finite values only, and a
+    user with none reports NULL (extremes sweep, round 7)."""
+    import numpy as np
+
+    n, vmax = state.get if state.exists else (0, None)
     for pdf in pdf_iter:
         n += len(pdf)
-        if len(pdf):
-            vmax = max(vmax, float(pdf["value"].max()))
+        vals = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
+        vals = vals[np.isfinite(vals) & (np.abs(vals) < 1e12)]
+        if len(vals):
+            m = float(vals.max())
+            vmax = m if vmax is None else max(vmax, m)
     state.update((n, vmax))
     yield pd.DataFrame([(key[0], n, vmax)], columns=["user_id", "n_events", "max_value"])
 
