@@ -556,6 +556,9 @@ _composite(
         ("xml", "scan_xml_roundtrip",
          {"k1": "CAST(s_nationkey AS STRING)", "n": "n_suppliers",
           "d1": "total_bal"}),
+        ("text_lines", "scan_text_lines",
+         {"k1": "lang", "k2": "CAST(n_null_text AS STRING)",
+          "n": "n_docs", "d1": "CAST(n_tokens AS DOUBLE)"}),
     ],
     tags=("scan", "sink", "csv", "json", "orc", "partition-pruning",
           "python-datasource", "schema-evolution", "observability",
@@ -917,6 +920,11 @@ _composite(
         ("dup_spans", "text_dup_spans",
          {"a": "doc_a", "b": "doc_b", "i1": "CAST(max_span_tokens AS INT)",
           "s1": _cat("n_spans", "first_start_a")}),
+        ("bucket_audit", "text_lsh_bucket_audit",
+         {"a": "bucket_size", "b": "n_buckets",
+          "d1": "CAST(pair_budget AS DOUBLE)"}),
+        ("incremental", "text_incremental_neardup",
+         {"a": "new_doc", "b": "old_doc", "d1": "jaccard"}),
     ],
     tags=("text", "dedup", "ngram", "simhash", "containment", "iterative",
           "edit-distance", "composite"),
@@ -972,6 +980,9 @@ _composite(
           "n1": "cluster_size"}),
         ("lsh_recall", "text_lsh_recall_audit",
          {"n1": "n_truth", "n2": "n_lsh", "n3": "n_hit", "d1": "recall"}),
+        ("novelty", "text_ngram_novelty",
+         {"s1": "source", "n1": "n_docs", "n2": "n_shingles",
+          "n3": "n_first_seen", "d1": "novelty_rate"}),
     ],
     tags=("text", "pipeline", "sampling", "curation", "composite"),
 )

@@ -502,6 +502,108 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _ensure_text_lines(spark: SparkSession, sf_dir: str) -> str:
+    """Raw line-oriented landing file (doc_id < 200): one record per line,
+    `doc_id<TAB>lang<TAB>payload`, NULL spelled `\\N` (the classic dump
+    convention — an empty string and SQL NULL must survive the text
+    round trip as distinct values), and TAB/CR/LF inside any field
+    folded to a single space so one record is always one line. Written
+    deterministically and fingerprinted against the source parquet so a
+    regenerated testdata dir rebuilds it."""
+    path = _work(sf_dir, "docs_text_lines")
+    src = os.path.join(sf_dir, "documents.parquet")
+    fingerprint = _src_fingerprint(src)
+    marker = os.path.join(path, "_FINGERPRINT")
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            if fh.read() == fingerprint:
+                return path
+    except OSError:
+        pass
+    rows = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .collect()  # <=200 bounded rows, driver-side fixture write by design
+    )
+
+    def esc(v):
+        if v is None:
+            return "\\N"
+        return v.replace("\t", " ").replace("\r", " ").replace("\n", " ")
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.txt"), "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(f"{r['doc_id']}\t{esc(r['lang'])}\t{esc(r['text'])}\n")
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(fingerprint)
+    return path
+
+
+_O_ESC = (
+    "replace(replace(replace({c}, chr(9), ' '), chr(13), ' '), chr(10), ' ')"
+)
+
+
+@register(
+    "scan_text_lines",
+    oracle=f"""
+-- NULLIF mirrors the line format's \\N convention end to end: a field
+-- whose DATA is the literal two characters \\N is indistinguishable
+-- from NULL after the text round trip, so the oracle adopts the same
+-- collapse (lossy by design of any dump format; folding can't create
+-- the sequence, so only exact-literal fields are affected).
+SELECT NULLIF({_O_ESC.format(c="lang")}, '\\N') AS lang,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN text IS NULL OR text = '\\N' THEN 1 END) AS n_null_text,
+       CAST(COALESCE(SUM(CASE WHEN text IS NULL OR text = '\\N' THEN 0
+                     ELSE len(regexp_extract_all(text, '[A-Za-z0-9]+')) END),
+                     0) AS BIGINT) AS n_tokens
+FROM documents WHERE doc_id < 200
+GROUP BY 1
+""",
+    tags=("scan", "text", "lines", "ingest"),
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line ingest (`spark.read.text`) + regexp silver parse:
+    the log-file landing path — no schema, no delimiter inference, just
+    one string column per line, parsed by expression into typed fields.
+    The fixture writes docs as TAB-separated lines with `\\N` NULLs;
+    the parse splits (limit 3, so a pathological payload can never
+    shift fields), restores NULLs, and rolls up per-lang doc/token
+    counts. The oracle recomputes the same rollup from the parquet
+    table through the identical field-folding, so the text round trip
+    is value-checked end to end — including the NULL-vs-empty-string
+    distinction a naive CSV read destroys.
+
+    Scale: read.text splits by line across executors like any file
+    source (no driver parse); the regexp/split work is JVM codegen.
+    Tokenization is whitespace-class-insensitive, so the TAB/LF->space
+    folding the line format requires cannot change token counts."""
+    prep(spark)
+    path = _ensure_text_lines(spark, sf_dir)
+    parts = F.split("value", "\t", 3)
+    parsed = (
+        spark.read.text(path)
+        .select(
+            F.element_at(parts, 1).cast("bigint").alias("doc_id"),
+            F.nullif(F.element_at(parts, 2), F.lit("\\N")).alias("lang"),
+            F.nullif(F.element_at(parts, 3), F.lit("\\N")).alias("payload"),
+        )
+    )
+    toks = F.size(F.regexp_extract_all("payload", F.lit("[A-Za-z0-9]+"), 0))
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("payload").isNull()).alias("n_null_text"),
+        F.coalesce(
+            F.sum(F.when(F.col("payload").isNull(), 0).otherwise(toks)),
+            F.lit(0),
+        ).cast("bigint").alias("n_tokens"),
+    )
+
+
 def _ensure_binary_blobs(spark: SparkSession, sf_dir: str) -> str:
     """One deterministic .bin file per region row (content
     '<key>|<name>\\n'), fingerprinted against the source parquet so a

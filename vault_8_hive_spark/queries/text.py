@@ -80,45 +80,10 @@ sh AS (SELECT doc_id,
        WHERE len(words) >= 3)
 """
 
-
-@register(
-    "text_exact_dedup",
-    oracle="""
-WITH all_docs AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
-)
-SELECT md5(text) AS content_hash,
-       MIN(doc_id) AS keeper_doc_id,
-       COUNT(*) AS n_copies
-FROM all_docs
-GROUP BY md5(text)
-HAVING COUNT(*) > 1
-""",
-    tags=("text", "dedup"),
-)
-def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup by md5 hash-groupBy (the corpus is unioned with
-    a shifted copy of every 5th doc so the query demonstrably finds dups).
-    At 100 TB this is one shuffle on a 128-bit key — the cheapest dedup."""
-    prep(spark)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = docs.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    return (
-        docs.unionByName(dups)
-        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
-        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .where(F.col("n_copies") > 1)
-    )
-
-
-@register(
-    "text_minhash_lsh",
-    oracle=f"""
-WITH {_O_SHINGLES},
+# MinHash signature + LSH band keys (shared CTE chain: the minhash
+# near-dup query and the bucket audit compute IDENTICAL band keys by
+# construction, because both oracles read this one text).
+_O_BANDS = f"""{_O_SHINGLES},
 hh AS (SELECT doc_id, list_transform(shingles, s -> md5(s)||md5('x'||s)) AS hv FROM sh),
 sigs AS (SELECT doc_id,
                 [list_min(list_transform(hv, h -> h[o:o+7]))
@@ -127,46 +92,13 @@ sigs AS (SELECT doc_id,
 bands AS (SELECT doc_id,
                  unnest([md5(sig[1]||sig[2]), md5(sig[3]||sig[4]),
                          md5(sig[5]||sig[6]), md5(sig[7]||sig[8])]) AS band_key
-          FROM sigs),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-SELECT c.doc_a, c.doc_b,
-       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-             len(list_distinct(list_concat(sa.shingles, sb.shingles))), 9) AS jaccard
-FROM cand c
-JOIN sh sa ON sa.doc_id = c.doc_a
-JOIN sh sb ON sb.doc_id = c.doc_b
-WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-      len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.2
-""",
-    tags=("text", "dedup", "minhash", "lsh"),
-    bench=True,
-)
-def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (8 perms) + LSH (4 bands x 2 rows) near-duplicate pairs,
-    verified by exact shingle-set Jaccard >= 0.2.
+          FROM sigs)"""
 
-    The 8 permutations are lexicographic mins over 8 disjoint 32-bit hex
-    slices of a 256-bit per-shingle digest (md5(s) || md5('x'||s)) — two
-    md5 evaluations per shingle instead of eight, engine-portable, and
-    cluster-deterministic. The band-key equi-join replaces the O(n^2)
-    pair scan; only LSH candidates are verified. Scale: bands explode
-    4 rows/doc; the band join shuffles on a uniform 128-bit key (no
-    skew); verification joins rehydrate the two shingle sets per
-    candidate pair only.
-    """
-    prep(spark)
-    # Repartition before the CPU-heavy hashing: a single parquet file is
-    # one input split, which would serialize all md5 work into one task.
-    par = spark.sparkContext.defaultParallelism
-    # The repartition exchange IS the shared materialization point: every
-    # consumer below (band side, b2 side, both verification rehydration
-    # sides) contains the identical exchange subtree, so the planner
-    # collapses them into ONE shuffle write + ReusedExchange reads
-    # (asserted in tests/test_plans.py). Shuffle files hold the shingled
-    # docs exactly once — the plan-cacheable handoff a localCheckpoint
-    # used to provide, without driver-pinned blocks leaking across runs.
-    sh = _shingled(table(spark, sf_dir, "documents")).repartition(par, "doc_id")
+
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_key) LSH band rows from shingled docs — the shared
+    candidate-generation core of text_minhash_lsh and the bucket audit
+    (one row per doc per band; N_BANDS = 4, 2 signature rows per band)."""
 
     def digest(s):  # 256-bit per-shingle digest
         return F.concat(F.md5(s.cast("binary")), F.md5(F.concat(F.lit("x"), s).cast("binary")))
@@ -208,7 +140,87 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
-    bands = sh.select("doc_id", F.explode(band_arr).alias("band_key"))
+    return sh.select("doc_id", F.explode(band_arr).alias("band_key"))
+
+
+@register(
+    "text_exact_dedup",
+    oracle="""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM all_docs
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+""",
+    tags=("text", "dedup"),
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup by md5 hash-groupBy (the corpus is unioned with
+    a shifted copy of every 5th doc so the query demonstrably finds dups).
+    At 100 TB this is one shuffle on a 128-bit key — the cheapest dedup."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionByName(dups)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "text_minhash_lsh",
+    oracle=f"""
+WITH {_O_BANDS},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+             len(list_distinct(list_concat(sa.shingles, sb.shingles))), 9) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.2
+""",
+    tags=("text", "dedup", "minhash", "lsh"),
+    bench=True,
+)
+def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms) + LSH (4 bands x 2 rows) near-duplicate pairs,
+    verified by exact shingle-set Jaccard >= 0.2.
+
+    The 8 permutations are lexicographic mins over 8 disjoint 32-bit hex
+    slices of a 256-bit per-shingle digest (md5(s) || md5('x'||s)) — two
+    md5 evaluations per shingle instead of eight, engine-portable, and
+    cluster-deterministic. The band-key equi-join replaces the O(n^2)
+    pair scan; only LSH candidates are verified. Scale: bands explode
+    4 rows/doc; the band join shuffles on a uniform 128-bit key (no
+    skew); verification joins rehydrate the two shingle sets per
+    candidate pair only.
+    """
+    prep(spark)
+    # Repartition before the CPU-heavy hashing: a single parquet file is
+    # one input split, which would serialize all md5 work into one task.
+    par = spark.sparkContext.defaultParallelism
+    # The repartition exchange IS the shared materialization point: every
+    # consumer below (band side, b2 side, both verification rehydration
+    # sides) contains the identical exchange subtree, so the planner
+    # collapses them into ONE shuffle write + ReusedExchange reads
+    # (asserted in tests/test_plans.py). Shuffle files hold the shingled
+    # docs exactly once — the plan-cacheable handoff a localCheckpoint
+    # used to provide, without driver-pinned blocks leaking across runs.
+    sh = _shingled(table(spark, sf_dir, "documents")).repartition(par, "doc_id")
+    bands = _minhash_bands(sh)
     b2 = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk"))
     cand = (
         bands.join(b2, (bands.band_key == b2.bk) & (bands.doc_id < b2.doc_b))
@@ -225,6 +237,178 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .where(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+    )
+
+
+@register(
+    "text_lsh_bucket_audit",
+    oracle=f"""
+WITH {_O_BANDS},
+sizes AS (SELECT band_key, COUNT(*) AS k FROM bands GROUP BY band_key)
+SELECT CAST(k AS BIGINT) AS bucket_size,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS pair_budget
+FROM sizes
+GROUP BY k
+""",
+    tags=("text", "dedup", "lsh", "audit", "skew", "capacity"),
+)
+def text_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size histogram + candidate-pair budget: for each band
+    bucket of k docs the band join will emit k(k-1)/2 candidate pairs,
+    so this ONE cheap aggregate (group band keys, count, histogram) is
+    the capacity plan for the dedup run — the pair budget IS the join
+    output size, and a boilerplate cluster or adversarial key shows up
+    here as a giant bucket BEFORE the quadratic join is paid for (the
+    measured failure mode: tools/dupskew_probe.py records a single hot
+    shingle driving 1.2e8 pairs into one task). Production near-dup at
+    100 TB runs this audit first and routes oversized buckets to the
+    df-cap/exact-dedup path; it shares `_minhash_bands` with the live
+    text_minhash_lsh plan, so the audit inspects exactly the keys the
+    join will shuffle, not a parallel approximation of them.
+
+    Scale: band keys are md5s (uniform 128-bit); the audit is two
+    hash aggregations, no join, output bounded by distinct bucket
+    sizes."""
+    prep(spark)
+    sh = _shingled(table(spark, sf_dir, "documents"))
+    sizes = _minhash_bands(sh).groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return sizes.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("bigint").alias("pair_budget"),
+    ).select(
+        F.col("k").cast("bigint").alias("bucket_size"), "n_buckets", "pair_budget"
+    )
+
+
+@register(
+    "text_incremental_neardup",
+    oracle=f"""
+WITH {_O_BANDS},
+cand AS (SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+         FROM bands n JOIN bands o ON n.band_key = o.band_key
+         WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0)
+SELECT c.new_doc, c.old_doc,
+       ROUND(CAST(len(list_intersect(sn.shingles, so.shingles)) AS DOUBLE) /
+             len(list_distinct(list_concat(sn.shingles, so.shingles))), 9) AS jaccard
+FROM cand c
+JOIN sh sn ON sn.doc_id = c.new_doc
+JOIN sh so ON so.doc_id = c.old_doc
+WHERE CAST(len(list_intersect(sn.shingles, so.shingles)) AS DOUBLE) /
+      len(list_distinct(list_concat(sn.shingles, so.shingles))) >= 0.2
+""",
+    tags=("text", "dedup", "minhash", "lsh", "incremental"),
+)
+def text_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: dedup a NEW crawl increment against the
+    EXISTING corpus (here: every 10th doc plays the daily batch, the
+    rest the standing corpus) — the asymmetric band join a production
+    pipeline runs every ingest cycle instead of re-running the full
+    self-join. Same MinHash/LSH machinery as text_minhash_lsh (shared
+    `_minhash_bands`), but the join is new-vs-old only: candidates are
+    bounded by the increment's bucket overlap, and new-vs-new pairs are
+    deferred to the increment's own (tiny) self-dedup.
+
+    Scale: this is the shape that makes LSH dedup AFFORDABLE at 100 TB
+    — the standing corpus's band keys are computed once and stored
+    (bucketed by band_key, so only the increment side shuffles at
+    ingest); per-day cost is O(increment), not O(corpus). Verification
+    rehydrates shingle sets for candidate pairs only."""
+    prep(spark)
+    par = spark.sparkContext.defaultParallelism
+    sh = _shingled(table(spark, sf_dir, "documents")).repartition(par, "doc_id")
+    bands = _minhash_bands(sh)
+    new_b = bands.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_doc"), "band_key"
+    )
+    old_b = bands.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("old_doc"), F.col("band_key").alias("bk")
+    )
+    cand = (
+        new_b.join(old_b, new_b.band_key == old_b.bk)
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    sn = sh.select(F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_n"))
+    so = sh.select(F.col("doc_id").alias("old_doc"), F.col("shingles").alias("sh_o"))
+    jac = F.size(F.array_intersect("sh_n", "sh_o")).cast("double") / F.size(
+        F.array_union("sh_n", "sh_o")
+    )
+    return (
+        cand.join(sn, "new_doc")
+        .join(so, "old_doc")
+        .where(jac >= 0.2)
+        .select("new_doc", "old_doc", F.round(jac, 9).alias("jaccard"))
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH {_O_SHINGLES},
+grams AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+first_seen AS (SELECT s, MIN(doc_id) AS keeper FROM grams GROUP BY s),
+novel AS (SELECT keeper, COUNT(*) AS n_novel FROM first_seen GROUP BY keeper),
+perdoc AS (
+  SELECT d.source, len(sh.shingles) AS n_sh, COALESCE(nv.n_novel, 0) AS n_novel
+  FROM sh
+  JOIN documents d ON d.doc_id = sh.doc_id
+  LEFT JOIN novel nv ON nv.keeper = sh.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_first_seen,
+       ROUND(CAST(SUM(n_novel) AS DOUBLE) / NULLIF(SUM(n_sh), 0), 6)
+         AS novelty_rate
+FROM perdoc
+GROUP BY source
+""",
+    tags=("text", "curation", "novelty", "ngram", "dedup"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seer novelty scoring: the fraction of a doc's distinct
+    shingles never seen in any earlier doc (by doc_id order), rolled up
+    per source — the 'new information rate' a curation pipeline uses to
+    down-weight sources that mostly restate the existing corpus (the
+    incremental-crawl dual of dedup: dedup asks 'is this a copy?',
+    novelty asks 'how much of this is new?'). Exact integers throughout;
+    the per-source rate divides ONCE from exact sums, so no
+    cross-partition double-summation order can enter the hash.
+
+    Scale: one corpus-sized shingle explode, one shuffle keyed by
+    shingle (min-doc per shingle = the same partial-aggregate shape as
+    decontamination's leakage join), then a doc-count-sized attribution:
+    novelty is credited via groupBy(keeper) — NO join back to the
+    corpus-sized gram relation. A skewed shingle (boilerplate) costs one
+    combiner cell here, not a quadratic bucket."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingled(docs)
+    grams = sh.select("doc_id", F.explode("shingles").alias("s"))
+    novel = (
+        grams.groupBy("s")
+        .agg(F.min("doc_id").alias("keeper"))
+        .groupBy("keeper")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    perdoc = (
+        sh.select("doc_id", F.size("shingles").alias("n_sh"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .join(novel, F.col("doc_id") == F.col("keeper"), "left")
+        .select("source", "n_sh", F.coalesce("n_novel", F.lit(0)).alias("n_novel"))
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sh").cast("bigint").alias("n_shingles"),
+        F.sum("n_novel").cast("bigint").alias("n_first_seen"),
+        F.round(
+            F.sum("n_novel").cast("double")
+            / F.nullif(F.sum("n_sh"), F.lit(0)),
+            6,
+        ).alias("novelty_rate"),
     )
 
 
