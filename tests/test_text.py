@@ -54,3 +54,32 @@ def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
     assert (pdf["jaccard"] >= 0.2).all()
     if len(pdf):
         assert pdf["jaccard"].max() > 0.5
+
+
+def test_bucket_audit_surfaces_planted_cluster(spark, tmp_path):
+    """The capacity-audit contract: a near-dup cluster of k docs lands
+    k copies of the SAME band key in every band, so the audit must show
+    a bucket of size >= k with its k(k-1)/2 pair budget — the
+    observable form of the dupskew cliff (tools/dupskew_probe.py)
+    BEFORE the quadratic join runs."""
+    k = 12
+    boiler = "standard corporate disclaimer header applies to this text " * 4
+    rows = [(i, boiler.strip(), "en", "boiler", len(boiler)) for i in range(k)]
+    rows += [
+        (100 + i, f"unique body {i} with distinct words w{i}a w{i}b w{i}c w{i}d",
+         "en", "organic", 40)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = str(tmp_path / "corpus")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    hist = {
+        r["bucket_size"]: r
+        for r in QUERIES["text_lsh_bucket_audit"].fn(spark, out).collect()
+    }
+    assert k in hist, f"no size-{k} bucket in {sorted(hist)}"
+    # identical docs share ALL 4 band keys -> 4 buckets of size k
+    assert hist[k]["n_buckets"] == 4
+    assert hist[k]["pair_budget"] == 4 * k * (k - 1) // 2
