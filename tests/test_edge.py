@@ -326,3 +326,50 @@ def test_query_survives_multilingual(name, spark, multilingual_dir):
     rep = compare(name, spdf, opdf)
     assert rep.ok, f"{name} on multilingual corpus: {rep.detail}"
     assert rep.exact, f"{name} on multilingual corpus: inexact — {rep.detail}"
+
+
+# The round-7 EXTREMES sweep (NaN/Inf/-0.0/denormal measures, 1970/2262
+# date edges, INT64-max keys, malformed JSON, overflow/underflow vectors,
+# token-flood documents) failed 96/348 on first contact — one contract
+# closed it: finite-measure money (functions/exact.py treats non-finite
+# or |x| >= 1e12 as NULL in BOTH spellings, since an ANSI decimal cast
+# of NaN ABORTS the job), positive-FINITE vector norms (Spark's total
+# ordering ranks NaN above zero, so ~isnan is spelled explicitly), and
+# finite-only reduction in pandas-state operators (a float column
+# reaching pandas cannot distinguish SQL NULL from NaN). This pin covers
+# each mechanism class; the full-registry sweep ran once (FIXTURES.md).
+EXTREMES_PINNED = [
+    "agg_core",            # money sums + exact moments over NaN/Inf/1e9 rows
+    "agg_approx_moments",  # builtin double-path moments at the margin
+    "agg_regression",      # regr_* over non-finite measures
+    "pricing_summary",     # the flagship money aggregate
+    "tpch_scalar_metrics", # money + graph composite
+    "events_ewma",         # recursive time-series over extreme values
+    "scalar_json",         # malformed-JSON parse path
+    "stream_stateful_user_stats",  # pandas-state finite-only max
+    "udf_surface",         # Arrow boundary with non-finite floats
+    "vec_ann",             # cosine ladder over overflow/underflow vectors
+    "vec_kmeans_clusters", # distance iteration under _finite domain
+    "vec_semdedup",        # LSH-coarse cosine under _nz domain
+    "vec_embedding_drift", # centroid drift over denormal vectors
+    "vec_pca_power",       # integer Gram under overflow vectors
+]
+
+
+@pytest.fixture(scope="session")
+def extremes_dir(tmp_path_factory, spark) -> str:
+    from edge_corpus import extremes
+
+    out = tmp_path_factory.mktemp("extremes") / "extremes_corpus"
+    extremes(out, seed=4242, scale=0.3)
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EXTREMES_PINNED)
+def test_query_survives_extremes(name, spark, extremes_dir):
+    q = QUERIES[name]
+    spdf = q.fn(spark, extremes_dir).toPandas()
+    opdf = run_oracle(q.oracle, extremes_dir)
+    rep = compare(name, spdf, opdf)
+    assert rep.ok, f"{name} on extremes corpus: {rep.detail}"
+    assert rep.exact, f"{name} on extremes corpus: inexact — {rep.detail}"

@@ -1240,6 +1240,7 @@ WITH g AS (
          COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
   FROM events
   WHERE event_type IN ('view', 'purchase')
+    AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1e12
   GROUP BY event_type
 ),
 a AS (SELECT * FROM g WHERE event_type = 'view'),
@@ -1269,8 +1270,16 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 and the statistic is O(1) arithmetic on six aggregates, well
     inside the rounding tolerance on both engines."""
     prep(spark)
+    # Finite-measure domain (extremes-pin finding, round 7): one Inf
+    # value drives VAR_SAMP out of double range — DuckDB raises where
+    # Spark silently says Inf/NaN, the cross-engine divergence class.
+    # The sample is the OBSERVED measures (n counts what mean/var use,
+    # the statistically coherent spelling), bounded by the money domain.
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(1e12))
     )
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1493,9 +1502,11 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_psi_drift",
     oracle="""
 WITH ev2 AS (
-  SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bucket,
+  SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS INT) AS bucket,
          CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
-  FROM events WHERE event_type IN ('view', 'purchase')
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+    AND value IS NOT NULL AND isfinite(value) AND abs(value) < 1e12
 ),
 b AS (
   SELECT bucket, SUM(g1) AS c1, SUM(1 - g1) AS c2 FROM ev2 GROUP BY bucket
@@ -1531,11 +1542,22 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
+    # Finite-measure domain + CLAMPED bucket (extremes-pin finding,
+    # round 7): floor(-Inf/50) lands at LONG-min, whose INT cast ABORTS
+    # under ANSI (DuckDB's INT cast of the same value errors too), and
+    # a finite-but-huge measure still out-ranges INT through /50 — so
+    # the measure rides the money domain and the bucket is total on it:
+    # everything below the [0, 500) grid folds into the edge buckets.
     ev2 = (
         table(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("view", "purchase"))
+        .where(
+            F.col("event_type").isin("view", "purchase")
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(1e12))
+        )
         .select(
-            F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+            F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9))
             .cast("int")
             .alias("bucket"),
             F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g1"),
@@ -2583,11 +2605,11 @@ s AS (
          CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
          CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
          CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x1 * x1 AS HUGEINT)) AS DOUBLE) AS s11,
-         CAST(SUM(CAST(x1 * x2 AS HUGEINT)) AS DOUBLE) AS s12,
-         CAST(SUM(CAST(x2 * x2 AS HUGEINT)) AS DOUBLE) AS s22,
-         CAST(SUM(CAST(x1 * y AS HUGEINT)) AS DOUBLE) AS s1y,
-         CAST(SUM(CAST(x2 * y AS HUGEINT)) AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
          CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
   FROM p
 ),
@@ -2631,12 +2653,16 @@ def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(d38(F.col("x1"))).cast("double").alias("s1"),
             F.sum(d38(F.col("x2"))).cast("double").alias("s2"),
             F.sum(d38(F.col("y"))).cast("double").alias("sy"),
-            F.sum(d38(F.col("x1") * F.col("x1"))).cast("double").alias("s11"),
-            F.sum(d38(F.col("x1") * F.col("x2"))).cast("double").alias("s12"),
-            F.sum(d38(F.col("x2") * F.col("x2"))).cast("double").alias("s22"),
-            F.sum(d38(F.col("x1") * F.col("y"))).cast("double").alias("s1y"),
-            F.sum(d38(F.col("x2") * F.col("y"))).cast("double").alias("s2y"),
-            F.sum(d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+            # widen BEFORE the product: cents-scaled longs at the 1e12
+            # money-domain edge multiply to ~1e22, past INT64 — an ANSI
+            # long*long ABORTS the job (extremes-pin finding, round 7);
+            # the oracle's HUGEINT casts moved inside SUM() the same way.
+            F.sum(d38(F.col("x1")) * d38(F.col("x1"))).cast("double").alias("s11"),
+            F.sum(d38(F.col("x1")) * d38(F.col("x2"))).cast("double").alias("s12"),
+            F.sum(d38(F.col("x2")) * d38(F.col("x2"))).cast("double").alias("s22"),
+            F.sum(d38(F.col("x1")) * d38(F.col("y"))).cast("double").alias("s1y"),
+            F.sum(d38(F.col("x2")) * d38(F.col("y"))).cast("double").alias("s2y"),
+            F.sum(d38(F.col("y")) * d38(F.col("y"))).cast("double").alias("syy"),
         )
     )
     c = s.selectExpr("*", *_OLS_COEF)
