@@ -2753,17 +2753,19 @@ WITH v AS (
 g AS (
   SELECT seg, COUNT(*) AS n_g,
          SUM(cents) AS s_g,
-         SUM(cents * cents) AS ss_g
+         SUM(CAST(cents AS HUGEINT) * cents) AS ss_g
   FROM v GROUP BY seg
 ),
 t AS (
   SELECT COUNT(*) AS k,
          SUM(n_g) AS n,
          CAST(SUM(s_g) AS DOUBLE) AS s,
-         SUM(ROUND(CAST(ss_g AS DOUBLE)
-                   - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6))
+         CAST(SUM(CAST(ROUND(CAST(ss_g AS DOUBLE)
+                   - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE)
            AS ssw,
-         SUM(ROUND(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6))
+         CAST(SUM(CAST(ROUND(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE)
            AS sb_raw
   FROM g
 )
@@ -2784,13 +2786,15 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mann-Whitney, KS) with the k-group omnibus test.
 
     Sufficient statistics only: each group reduces to (n, sum, sum-of-
-    squares) on EXACT integer cents (cents^2 <= 1.2e12 per row keeps the
-    int64 group sums safe past 7e6 rows per group; at cluster scale the
-    ss_g sum flips to DECIMAL(38,0) with identical output), then the
-    F decomposition runs on the k-row result. Per-group double terms are
-    rounded to 1e-6 BEFORE the k-way sum so both engines add identical
-    values in any order — the same round-before-sum discipline as
-    text_unigram_xent. SS columns are reported in dollar^2 units (/1e4).
+    squares) on EXACT integer cents, the square pre-widened to
+    DECIMAL(38,0)/HUGEINT (a money-domain-edge balance squares past
+    INT64), then the F decomposition runs on the k-row result.
+    Per-group double terms are rounded to 1e-6 BEFORE the k-way sum and
+    the sum itself runs in DECIMAL(38,6) — exact in any order — because
+    at extreme magnitudes a double k-way sum's order noise can flip the
+    final rounding at a tie (extremes-sweep finding); same
+    round-before-sum discipline as text_unigram_xent, hardened. SS
+    columns are reported in dollar^2 units (/1e4).
 
     Scale: one map-side-combinable groupBy over the fact; everything
     after is k rows. The degenerate guards (k>=2, n>k, ssw>0) drop the
@@ -2805,18 +2809,30 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_g"),
             F.sum("cents").alias("s_g"),
-            F.sum(F.col("cents") * F.col("cents")).alias("ss_g"),
+            # widen BEFORE squaring: cents at the money-domain edge
+            # square past INT64 (extremes-sweep class; oracle HUGEINT)
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).alias("ss_g"),
         )
     )
     sd = F.col("s_g").cast("double")
+    # The per-group rounded terms are bit-identical across engines
+    # (same IEEE ops on same inputs); summing them as DOUBLES is not —
+    # at extreme magnitudes (ULP ~4 at 2e16) the k-way sum ORDER flips
+    # the final 1e-4 rounding at a tie (extremes full-sweep finding).
+    # DECIMAL(38,6) sums of the rounded terms are exact in any order.
     t = g.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n_g").alias("n"),
         F.sum("s_g").cast("double").alias("s"),
         F.sum(
             F.round(F.col("ss_g").cast("double") - sd * sd / F.col("n_g"), 6)
-        ).alias("ssw"),
-        F.sum(F.round(sd * sd / F.col("n_g"), 6)).alias("sb_raw"),
+            .cast("decimal(38,6)")
+        ).cast("double").alias("ssw"),
+        F.sum(
+            F.round(sd * sd / F.col("n_g"), 6).cast("decimal(38,6)")
+        ).cast("double").alias("sb_raw"),
     )
     k, n, s = F.col("k"), F.col("n"), F.col("s")
     ssb = F.col("sb_raw") - s * s / n

@@ -57,6 +57,15 @@ def _composite(
 
     schema: (column, spark_type) pairs shared by every branch.
     branches: (variant, fine_query_name, {column: portable_sql_expr}).
+
+    Projection expressions must be TOTAL on the branch's full output
+    domain: an unbounded id (user_id/key can be INT64-max on the
+    extremes corpus) never rides a bare CAST(... AS INT) — the ANSI
+    cast ABORTS the whole composite even though the fine-grained query
+    is green (extremes full-sweep finding, round 7); such ids carry
+    `% 1000000000` first (identical in both engines, both operands
+    non-negative — the slot is a carried label, not an arithmetic
+    result).
     """
 
     # Double slots get `+ 0.0` on BOTH engines: DuckDB's ROUND yields -0.0
@@ -665,10 +674,10 @@ _composite(
         ("funnel", "events_funnel",
          {"i1": "stage", "s1": "name", "n": "n_users"}),
         ("funnel_exclusion", "events_funnel_exclusion",
-         {"n": "n_clean_converters", "i1": "CAST(first_user AS INT)",
+         {"n": "n_clean_converters", "i1": "CAST(first_user % 1000000000 AS INT)",
           "d1": "avg_minutes_to_convert"}),
         ("gapfill_locf", "events_gapfill_locf",
-         {"ts1": "hour", "i1": "CAST(user_id AS INT)",
+         {"ts1": "hour", "i1": "CAST(user_id % 1000000000 AS INT)",
           "n": "n_events", "d1": "locf_value"}),
         ("cohort_retention", "events_cohort_retention",
          {"ts1": "cohort_week", "i1": "week_offset",
@@ -678,7 +687,7 @@ _composite(
         ("chi_square", "events_chi_square",
          {"s1": "event_type", "i1": "n_cells", "d1": "chi2_part"}),
         ("cdc_apply", "events_cdc_apply",
-         {"s1": "last_type", "i1": "CAST(key AS INT)", "n": "n_ops",
+         {"s1": "last_type", "i1": "CAST(key % 1000000000 AS INT)", "n": "n_ops",
           "d1": "last_value"}),
         ("session_paths", "events_session_paths",
          {"s1": "path", "n": "n_sessions"}),
@@ -696,7 +705,7 @@ _composite(
         ("cusum", "events_cusum_changepoint",
          {"s1": "d", "n": "CAST(is_extreme AS BIGINT)", "d1": "cusum"}),
         ("interval_union", "events_interval_union",
-         {"i1": "CAST(user_id AS INT)", "n": "covered_us",
+         {"i1": "CAST(user_id % 1000000000 AS INT)", "n": "covered_us",
           "d1": "CAST(n_islands AS DOUBLE)", "ts1": "NULL"}),
         ("stickiness", "events_stickiness",
          {"s1": "day", "i1": "CAST(dau AS INT)", "n": "wau",
@@ -704,10 +713,10 @@ _composite(
         ("attribution", "events_attribution_linear",
          {"s1": "day", "n": "n_touches", "d1": "credited_value"}),
         ("session_dynamic_gap", "events_session_dynamic_gap",
-         {"i1": "CAST(user_id AS INT)", "ts1": "session_start",
+         {"i1": "CAST(user_id % 1000000000 AS INT)", "ts1": "session_start",
           "n": "n_events"}),
         ("gapfill_lerp", "events_gapfill_lerp",
-         {"ts1": "hour", "i1": "CAST(user_id AS INT)",
+         {"ts1": "hour", "i1": "CAST(user_id % 1000000000 AS INT)",
           "n": "CAST(was_gap AS BIGINT)", "d1": "lerp_value"}),
         ("rolling_median", "events_rolling_median",
          # rolling_max is 2-decimal exact, so *100 is integral and the
@@ -718,7 +727,7 @@ _composite(
           "n": "CAST(ROUND(rolling_max * 100, 0) AS BIGINT)",
           "d1": "rolling_med"}),
         ("rfm", "events_rfm_segments",
-         {"s1": "segment", "i1": "CAST(user_id AS INT)", "n": "frequency",
+         {"s1": "segment", "i1": "CAST(user_id % 1000000000 AS INT)", "n": "frequency",
           "d1": "monetary"}),
         ("seasonal", "events_seasonal_decompose",
          {"i1": "hod", "n": "n_obs", "d1": "seasonal"}),
@@ -755,7 +764,7 @@ _composite(
          {"ts1": "d", "i1": "n", "n": "CAST(n AS BIGINT)",
           "d1": "rolling_corr"}),
         ("burstiness", "events_burstiness",
-         {"i1": "CAST(user_id AS INT)", "n": "n_gaps",
+         {"i1": "CAST(user_id % 1000000000 AS INT)", "n": "n_gaps",
           "d1": "burstiness"}),
         ("ab_test", "events_ab_proportion_test",
          {"n": "n_a", "i1": "CAST(n_b AS INT)", "d1": "z_stat",
@@ -767,7 +776,7 @@ _composite(
          {"s1": "arm", "n": "n_users", "d1": "variance_reduction",
           "i1": "CAST(ROUND(mean_cuped, 0) AS INT)"}),
         ("cdc_asof", "events_cdc_asof",
-         {"i1": "CAST(key AS INT)", "s1": "last_type", "n": "n_ops_asof",
+         {"i1": "CAST(key % 1000000000 AS INT)", "s1": "last_type", "n": "n_ops_asof",
           "d1": "last_value"}),
         ("kaplan_meier", "events_kaplan_meier",
          {"i1": "duration_days", "n": "n_risk", "d1": "survival",

@@ -1519,8 +1519,16 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d",
         "total",
-        n.cast("int").alias("n_window"),
-        F.round((mid_lo + mid_hi) / 2, 4).alias("rolling_med"),
+        # n_window counts frame ROWS (the oracle's COUNT(*) OVER), not
+        # collect_list's length: collect_list SKIPS a NULL total (a day
+        # whose every measure is out of the money domain), so the two
+        # counts diverge on such days (extremes-sweep finding). The
+        # median itself IS the NULL-skipping statistic on both engines,
+        # so it keeps riding the collected frame — when()-guarded for
+        # the all-NULL frame, where element_at(empty, 1) aborts under
+        # ANSI and DuckDB's MEDIAN says NULL.
+        F.count(F.lit(1)).over(w).cast("int").alias("n_window"),
+        F.when(n > 0, F.round((mid_lo + mid_hi) / 2, 4)).alias("rolling_med"),
         F.min("total").over(w).alias("rolling_min"),
         F.max("total").over(w).alias("rolling_max"),
     )
@@ -3286,7 +3294,7 @@ gaps AS (
 ),
 s AS (
   SELECT user_id, COUNT(*) AS n,
-         SUM(gap) AS sg, SUM(gap * gap) AS sgg
+         SUM(gap) AS sg, SUM(CAST(gap AS HUGEINT) * gap) AS sgg
   FROM gaps GROUP BY user_id
   HAVING COUNT(*) >= 20
 ),
@@ -3342,7 +3350,12 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("gap").alias("sg"),
-            F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+            # widen BEFORE squaring: a 1970->2262 timestamp gap is
+            # ~9.2e9 s, whose square passes INT64 — ANSI long*long
+            # ABORTS (extremes full-sweep finding; oracle HUGEINT
+            # matches). The >= 20-gap HAVING can't save it: the sum
+            # computes before the filter.
+            F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")).alias("sgg"),
         )
         .where(F.col("n") >= 20)
     )

@@ -1162,9 +1162,14 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_quantile_normalize",
     oracle="""
 WITH v AS (
+  -- out-of-domain measures (non-finite / past the money bound) leave
+  -- the relation entirely: a NULL cents row would otherwise RANK, and
+  -- the two engines place NULLs at opposite ends of an ORDER BY
+  -- (extremes-sweep finding) — the domain filter is the contract.
   SELECT event_type AS grp, event_id,
-         CAST(ROUND(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END * 100, 0) AS BIGINT) AS cents
-  FROM events WHERE value IS NOT NULL
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+  WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e12
 ),
 r AS (
   SELECT grp, cents,
@@ -1233,12 +1238,13 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rank import global_cumsum
 
     prep(spark)
-    v = table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()
-    ).select(
+    # scaled_long maps out-of-domain measures to NULL; those rows must
+    # LEAVE the relation (matching the oracle's WHERE) — a NULL rank key
+    # sorts first in Spark and last in DuckDB.
+    v = table(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"),
         scaled_long("value").alias("cents"),
-    )
+    ).where(F.col("cents").isNotNull())
     gd = global_cumsum(
         v.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt")),
         ["cents"],

@@ -24,7 +24,7 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
 FROM events
-WHERE ts IS NOT NULL
+WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01'
 GROUP BY 1, 2
 """,
     tags=("streaming", "window-time"),
@@ -54,7 +54,7 @@ WITH marked AS (
                    OR ts - LAG(ts) OVER w >= INTERVAL 30 minutes
               THEN 1 ELSE 0 END AS is_new
   FROM events
-  WHERE ts IS NOT NULL
+  WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01'
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -94,7 +94,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type, COUNT(*) AS n_unique
 FROM events
-WHERE ts IS NOT NULL
+WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01'
 GROUP BY event_type
 """,
     tags=("streaming", "dedup"),
@@ -119,7 +119,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, COUNT(*) AS n_events,
        MAX(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END) AS max_value
 FROM events
-WHERE ts IS NOT NULL
+WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01'
 GROUP BY user_id
 """,
     tags=("streaming", "stateful", "udf"),
@@ -140,7 +140,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_mktsegment, COUNT(*) AS n_events,
        CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
-WHERE ts IS NOT NULL
+WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01'
 GROUP BY c_mktsegment
 """,
     tags=("streaming", "join", "agg"),
@@ -535,12 +535,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH v AS (
   SELECT user_id, event_id AS view_id, ts AS view_ts
   FROM events
-  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+  WHERE event_type = 'view' AND ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01' AND user_id IS NOT NULL
 ),
 p AS (
   SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
   FROM events
-  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01' AND user_id IS NOT NULL
 ),
 pairs AS (
   SELECT v.user_id, v.view_id, p.purchase_id,
@@ -669,10 +669,17 @@ def _flushed_events_landing(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(land, ignore_errors=True)
         # stream-stream interval joins are keyed, event-time operators:
         # the landing declares the (ts, user) domain — a NULL in either
-        # can never match, and the batch-dual oracles carry the same
-        # WHERE (null-flood sweep, round 7).
+        # can never match (null-flood sweep, round 7), and the event
+        # time is BOUNDED like stream_events' (an epoch-edge or
+        # far-future row turns watermark survival into a batch-
+        # scheduling artifact — extremes sweep); the batch-dual oracles
+        # carry the same WHERE. The flush sentinel is derived from the
+        # IN-DOMAIN max, so it stays just past the real data.
         ev = normalize_events_ts(spark.read.parquet(src)).where(
-            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+            F.col("ts").isNotNull()
+            & (F.col("ts") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2200-01-01").cast("timestamp"))
+            & F.col("user_id").isNotNull()
         )
         ev.write.mode("overwrite").parquet(land)
         mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
@@ -704,12 +711,12 @@ def _flushed_events_landing(spark: SparkSession, sf_dir: str) -> str:
 WITH v AS (
   SELECT user_id, event_id AS view_id, ts AS view_ts
   FROM events
-  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+  WHERE event_type = 'view' AND ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01' AND user_id IS NOT NULL
 ),
 p AS (
   SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
   FROM events
-  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01' AND user_id IS NOT NULL
 ),
 pairs AS (
   SELECT COALESCE(v.user_id, p.p_user) AS user_id, v.view_id, p.purchase_id
@@ -804,7 +811,7 @@ WITH ev AS (
   -- crash or silently skew a python-side state update — null-flood
   -- sweep; real deployments validate-then-route before stateful ops)
   SELECT * FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01'
     AND value IS NOT NULL AND event_type IS NOT NULL
 ),
 tc AS (
@@ -861,6 +868,8 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     ).where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & (F.col("ts") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2200-01-01").cast("timestamp"))
         & F.col("value").isNotNull() & F.col("event_type").isNotNull()
     )
     final, _engine = transform_user_stats(spark, stream)
@@ -883,7 +892,7 @@ SELECT user_id,
        COUNT(*) AS n_events,
        SUM(CAST(ROUND(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4)) * 100, 0) AS BIGINT)) AS total_cents
 FROM events
-WHERE ts IS NOT NULL
+WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01'
 GROUP BY user_id
 """,
     tags=("streaming", "statestore", "introspection"),
@@ -905,11 +914,16 @@ def stream_state_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .formats import _work
 
     prep(spark)
+    from ..functions.exact import dec
+
+    # dec(), not a raw decimal cast: an out-of-domain measure (1e150
+    # overflows DECIMAL(18,4), NaN/Inf abort the ANSI cast) must ride
+    # the finite-measure contract INSIDE the stream too — a poisoned
+    # micro-batch otherwise kills the whole query (extremes-sweep
+    # finding; the oracle's CASE WHEN isfinite() already matched).
     ev = stream_events(spark, sf_dir).select(
         "user_id",
-        F.round(F.col("value").cast("decimal(18,4)") * 100, 0)
-        .cast("bigint")
-        .alias("cents"),
+        F.round(dec("value") * 100, 0).cast("bigint").alias("cents"),
     )
     agg = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
@@ -1009,12 +1023,12 @@ def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH v AS (
   SELECT user_id, event_id AS view_id, ts AS view_ts
   FROM events
-  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+  WHERE event_type = 'view' AND ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01' AND user_id IS NOT NULL
 ),
 p AS (
   SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
   FROM events
-  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-01-01' AND user_id IS NOT NULL
 ),
 pairs AS (
   SELECT p.p_user AS user_id, v.view_id, p.purchase_id,

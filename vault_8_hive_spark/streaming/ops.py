@@ -47,7 +47,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggs silently drop it, joins never match it, state ops can crash
     # on NaT) — the source declares the domain instead (null-flood
     # sweep, round 7; every consumer's oracle carries the same WHERE).
-    return normalize_events_ts(raw).where(F.col("ts").isNotNull())
+    # ... and the domain is BOUNDED: a single far-future event advances
+    # the watermark past every honest producer (everything after it
+    # drops as "late"), and an epoch-zero event is late the moment any
+    # current event arrives — WHICH micro-batch such a row lands in
+    # decides whether it survives, i.e. the answer becomes a SCHEDULING
+    # artifact (observed live: the extremes corpus's 1970 view survived
+    # one run's batching and not another's). Every production stream
+    # carries this clock-skew guard; every consumer's oracle carries the
+    # identical WHERE.
+    return normalize_events_ts(raw).where(
+        F.col("ts").isNotNull()
+        & (F.col("ts") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2200-01-01").cast("timestamp"))
+    )
 
 
 def run_to_memory(df: DataFrame, mode: str) -> DataFrame:

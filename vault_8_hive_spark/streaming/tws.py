@@ -44,14 +44,25 @@ _ROCKSDB = (
 )
 
 
-def _batch_cents(pdf: pd.DataFrame) -> int:
+def _batch_cents(pdf: pd.DataFrame) -> tuple[int, int]:
     # per-row HALF_UP to int64 cents (floor(x*100 + 0.5) — matching both
     # engines' DECIMAL ROUND, unlike pandas' banker's rounding), then
     # exact integer sum. Robust to any value precision, not just the
     # current 2-decimal testdata.
+    #
+    # Finite-measure contract (extremes-sweep finding): a float column
+    # reaching pandas cannot distinguish SQL NULL from NaN, and numpy's
+    # int64 cast of a non-finite is the INT64-MIN sentinel — one
+    # poisoned row would silently corrupt the running state by -9.2e18.
+    # Out-of-domain measures (non-finite or past the 1e12 money bound)
+    # contribute nothing, exactly like the batch dual's dec() NULL — and
+    # the in-domain COUNT rides along so a key with zero in-domain
+    # measures can report SQL's SUM-over-empty NULL instead of 0.
     import numpy as np
 
-    return int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum())
+    v = pdf["value"].to_numpy()
+    v = v[np.isfinite(v) & (np.abs(v) < 1e12)]
+    return len(v), int(np.floor(v * 100 + 0.5).astype("int64").sum())
 
 
 def _make_processor():
@@ -62,17 +73,23 @@ def _make_processor():
 
     class UserActivityStats(StatefulProcessor):
         def init(self, handle):
-            self.totals = handle.getValueState("totals", "n bigint, cents bigint")
+            self.totals = handle.getValueState(
+                "totals", "n bigint, cents bigint, m bigint"
+            )
             self.types = handle.getMapState("types", "t string", "c bigint")
             self.ids = handle.getListState("ids", "id bigint")
 
         def handleInputRows(self, key, rows, timerValues):
-            n, cents = self.totals.get() if self.totals.exists() else (0, 0)
+            n, cents, m = (
+                self.totals.get() if self.totals.exists() else (0, 0, 0)
+            )
             for pdf in rows:
                 if not len(pdf):
                     continue
                 n += len(pdf)
-                cents += _batch_cents(pdf)
+                dm, dc = _batch_cents(pdf)
+                m += dm
+                cents += dc
                 for t, c in pdf["event_type"].value_counts().items():
                     cur = (
                         self.types.getValue((t,))
@@ -82,7 +99,7 @@ def _make_processor():
                     base = cur[0] if cur is not None else 0
                     self.types.updateValue((t,), (base + int(c),))
                 self.ids.appendList([(int(i),) for i in pdf["event_id"]])
-            self.totals.update((n, cents))
+            self.totals.update((n, cents, m))
             items = [(k[0], v[0]) for k, v in self.types.iterator()]
             ids = [r[0] for r in self.ids.get()]
             top_type = sorted(items, key=lambda kv: (-kv[1], kv[0]))[0][0]
@@ -91,7 +108,7 @@ def _make_processor():
                     (
                         key[0],
                         n,
-                        cents,
+                        cents if m > 0 else None,  # SUM over empty = NULL
                         len(items),
                         top_type,
                         len(ids),
@@ -120,8 +137,8 @@ def _make_processor():
 # --- v1 fallback (applyInPandasWithState; no protobuf dependency) ----------
 
 _V1_STATE = (
-    "n bigint, cents bigint, types string, n_ids bigint, min_id bigint, "
-    "max_id bigint"
+    "n bigint, cents bigint, m bigint, types string, n_ids bigint, "
+    "min_id bigint, max_id bigint"
 )
 
 
@@ -129,25 +146,30 @@ def _v1_stats(key, pdf_iter, state):
     import json
 
     if state.exists:
-        n, cents, types_json, n_ids, min_id, max_id = state.get
+        n, cents, m, types_json, n_ids, min_id, max_id = state.get
         types = dict(json.loads(types_json))
     else:
-        n, cents, types, n_ids, min_id, max_id = 0, 0, {}, 0, None, None
+        n, cents, m, types, n_ids, min_id, max_id = 0, 0, 0, {}, 0, None, None
     for pdf in pdf_iter:
         if not len(pdf):
             continue
         n += len(pdf)
-        cents += _batch_cents(pdf)
+        dm, dc = _batch_cents(pdf)
+        m += dm
+        cents += dc
         for t, c in pdf["event_type"].value_counts().items():
             types[t] = types.get(t, 0) + int(c)
         n_ids += len(pdf)
         lo, hi = int(pdf["event_id"].min()), int(pdf["event_id"].max())
         min_id = lo if min_id is None else min(min_id, lo)
         max_id = hi if max_id is None else max(max_id, hi)
-    state.update((n, cents, json.dumps(types, sort_keys=True), n_ids, min_id, max_id))
+    state.update(
+        (n, cents, m, json.dumps(types, sort_keys=True), n_ids, min_id, max_id)
+    )
     top_type = sorted(types.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
     yield pd.DataFrame(
-        [(key[0], n, cents, len(types), top_type, n_ids, min_id, max_id)],
+        [(key[0], n, cents if m > 0 else None, len(types), top_type,
+          n_ids, min_id, max_id)],
         columns=[
             "user_id",
             "n_events",
