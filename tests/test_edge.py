@@ -339,6 +339,19 @@ def test_query_survives_multilingual(name, spark, multilingual_dir):
 # reaching pandas cannot distinguish SQL NULL from NaN). This pin covers
 # each mechanism class; the full-registry sweep ran once (FIXTURES.md).
 EXTREMES_PINNED = [
+    # -- the full-registry re-sweep's 13-failure set (session 2): --
+    "agg_anova_f",         # cents^2 widening + DECIMAL(38,6) k-way term sum
+    "agg_ols_multi",       # Gram products widen BEFORE the multiply
+    "agg_psi_drift",       # finite domain + total bucket clamp
+    "agg_welch_ttest",     # Inf drives VAR_SAMP out of range (DuckDB raises)
+    "events_burstiness",   # 292-year gap squares past INT64
+    "events_rolling_median",   # n_window counts rows, not collect_list len
+    "events_time_windows",     # composite projections total on INT64-max ids
+    "feature_quantile_normalize",  # NULL rank keys rank at opposite ends
+    "stream_dedup_watermark",      # bounded event-time domain (flaky class)
+    "stream_stream_left_outer",    # flushed landing carries the domain
+    "stream_transform_with_state", # pandas finite-measure + SUM-empty NULL
+    # -- the original mechanism-class pin: --
     "agg_core",            # money sums + exact moments over NaN/Inf/1e9 rows
     "agg_approx_moments",  # builtin double-path moments at the margin
     "agg_regression",      # regr_* over non-finite measures

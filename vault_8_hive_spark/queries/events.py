@@ -993,7 +993,8 @@ WITH daily AS (
          CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
-m AS (SELECT ROUND(AVG(total), 6) AS mu FROM daily),
+m AS (SELECT ROUND(CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mu FROM daily),
 dev AS (
   SELECT d, total, ROUND(total - m.mu, 6) AS dev,
          SUM(ROUND(total - m.mu, 6)) OVER (ORDER BY d) AS cusum
@@ -1028,7 +1029,19 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"))
         .agg(long_sum(F.sum(scaled_long("value")), 2).alias("total"))
     )
-    mu = daily.agg(F.round(F.avg("total"), 6).alias("mu"))
+    # mu's numerator is an EXACT decimal sum, not F.avg: totals are
+    # 2-decimal exact but a distributed double average's partition
+    # order adds ~ULP noise per merge, and at extreme magnitudes
+    # (1e9-scale days) that noise crosses the 1e-6 rounding quantum —
+    # observed as a FLAKY is_extreme flip (1-in-3 runs) on the extremes
+    # corpus; the exact numerator + one division is order-free.
+    mu = daily.agg(
+        F.round(
+            F.sum(F.col("total").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mu")
+    )
     w = (
         Window.partitionBy(F.lit(1))
         .orderBy("d")
