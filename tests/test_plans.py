@@ -652,19 +652,29 @@ def test_dup_spans_is_posting_group_not_self_join(spark, sf_dir):
     """text_dup_spans must match grams by ONE groupBy on the dual
     xxhash64 key — the r7 rewrite removed the self-join whose
     post-explode size estimate slipped a corpus-sized build side under
-    the broadcast threshold. No join of any kind belongs in this plan,
-    and the only hash exchanges are the gram grouping and the
-    span/pair rollups."""
+    the broadcast threshold. No DATA-relation join belongs in this
+    plan; the single allowed join is the r8 df-cap audit — a
+    BroadcastNestedLoopJoin carrying the ONE-ROW max-posting-size
+    scalar — and the gram relation must be shuffled exactly once
+    (the audit branch reuses the posting exchange, never re-shuffles)."""
     from vault_8_hive_spark.queries.text import text_dup_spans
 
-    plan = (
-        text_dup_spans(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Join" not in plan, plan[:1500]
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            text_dup_spans(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert bad not in plan, (bad, plan[:1500])
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:1500]
     assert "xxhash64" in plan, plan[:1500]
+    assert plan.count("ReusedExchange") >= 1, plan[:1500]
 
 
 def test_reco_pair_stage_is_basket_expansion(spark, sf_dir):

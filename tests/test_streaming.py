@@ -454,16 +454,21 @@ def test_transform_with_state_runs_v2_engine(spark, sf_dir):
     assert engine == "tws"
     tws_rows = {r.user_id: tuple(r) for r in tws_df.collect()}
 
-    # force the v1 path by running the fallback operator directly
+    # force the v1 path by running the fallback operator directly (over
+    # the same map-side pre-reduction transform_user_stats wires in)
     from vault_8_hive_spark.streaming.tws import (
         OUT_SCHEMA,
+        PARTIAL_SCHEMA,
         _V1_STATE,
         _finalize,
+        _pre_reduce,
         _run_update_stream,
         _v1_stats,
     )
 
-    v1_out = stream().groupBy("user_id").applyInPandasWithState(
+    v1_out = stream().mapInPandas(
+        _pre_reduce, PARTIAL_SCHEMA
+    ).groupBy("user_id").applyInPandasWithState(
         _v1_stats,
         outputStructType=OUT_SCHEMA,
         stateStructType=_V1_STATE,
@@ -717,3 +722,256 @@ def test_full_outer_interval_join_null_extends_both_sides(spark):
         assert silent_views[2] >= 1 and orphan_purchases[4] >= 1, emitted
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- kill/restart recovery on the RocksDB state store (round 8) ------------
+# The dual of test_foreach_batch_upsert_recovers_and_never_double_applies
+# for the two operators whose state lives in RocksDB: the v2 stateful
+# processor (transformWithStateInPandas) and the stream-stream interval
+# join. Contract: stop the query between micro-batches, restart on the
+# SAME checkpoint, and the final emission must equal the uninterrupted
+# run (TWS) / the batch dual (join) — recovered state, no double-count,
+# no lost batch.
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _run_killable(spark, build_query, sink, ckpt):
+    """Start build_query() -> foreachBatch(sink) on ckpt, stop it after
+    the first committed batch, then restart to completion."""
+    import time
+
+    def start():
+        return (
+            build_query()
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while q.isActive and not sink.seen and time.time() < deadline:
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination()
+    assert sink.seen, "stream never committed a batch before the kill"
+    n_before = len(sink.seen)
+    q = start()
+    q.awaitTermination()
+    return n_before
+
+
+class _CapturingSink:
+    """foreachBatch sink: keep the LAST delivery per batch id (a batch
+    killed mid-flight is legitimately retried under the same id) and
+    sleep so the kill lands between micro-batches."""
+
+    def __init__(self, delay=1.5):
+        self.seen: dict[int, list] = {}
+        self.delay = delay
+
+    def __call__(self, batch_df, batch_id):
+        import time
+
+        self.seen[int(batch_id)] = batch_df.collect()
+        time.sleep(self.delay)
+
+
+def test_tws_rocksdb_kill_restart_recovers_state(spark, sf_dir):
+    """transformWithStateInPandas (state v2, RocksDB): kill after the
+    first committed micro-batch, restart on the same checkpoint; the
+    finalized per-user snapshot must equal the uninterrupted run's."""
+    import pytest
+
+    from vault_8_hive_spark.catalog import normalize_events_ts
+    from vault_8_hive_spark.compat.protobuf_alias import ensure_tws_env
+    from vault_8_hive_spark.queries.streaming_batch import _events_split4
+    from vault_8_hive_spark.streaming.tws import (
+        OUT_SCHEMA,
+        PARTIAL_SCHEMA,
+        _make_processor,
+        _pre_reduce,
+        transform_user_stats,
+    )
+
+    if not ensure_tws_env():
+        pytest.skip("TWS env unavailable")
+    src = _events_split4(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return normalize_events_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    base = f"{WORK_DIR}/tws_recovery_{uuid.uuid4().hex[:8]}"
+    sink = _CapturingSink()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    try:
+        def build_query():
+            out = (
+                stream()
+                .mapInPandas(_pre_reduce, PARTIAL_SCHEMA)
+                .groupBy("user_id")
+                .transformWithStateInPandas(
+                    _make_processor(),
+                    outputStructType=OUT_SCHEMA,
+                    outputMode="Update",
+                    timeMode="None",
+                )
+            )
+            return out.writeStream.foreachBatch(sink).outputMode("update")
+
+        n_before = _run_killable(spark, build_query, sink, f"{base}/ckpt")
+        uninterrupted, engine = transform_user_stats(
+            spark, stream(), allow_fallback=False
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        shutil.rmtree(base, ignore_errors=True)
+
+    assert engine == "tws"
+    assert set(sink.seen) == {0, 1, 2, 3}
+    assert 1 <= n_before < 4, "kill must land mid-stream"
+    # finalize the captured update-mode emissions exactly like _finalize
+    last: dict[int, tuple] = {}
+    for rows in sink.seen.values():
+        for r in rows:
+            if r["user_id"] not in last or r["n_events"] > last[r["user_id"]][1]:
+                last[r["user_id"]] = tuple(r)
+    expected = {r["user_id"]: tuple(r) for r in uninterrupted.collect()}
+    assert last == expected
+
+
+def test_stream_stream_join_rocksdb_kill_restart(spark, sf_dir):
+    """Stream-stream interval join on RocksDB: kill between micro-batches
+    of a 4-file ts-ordered replay, restart on the same checkpoint; merged
+    per-batch partials must equal the batch interval join exactly (the
+    ts-range split keeps every in-window partner alive at the watermark,
+    so the batch dual applies)."""
+    from vault_8_hive_spark.catalog import normalize_events_ts
+
+    events = normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("ts") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2200-01-01").cast("timestamp"))
+    )
+    base = f"{WORK_DIR}/ssj_recovery_{uuid.uuid4().hex[:8]}"
+    src = f"{base}/src"
+    events.repartitionByRange(4, "ts").write.parquet(src)
+    # The file source replays in MODIFICATION-TIME order, and parallel-
+    # written range files share an mtime — ties scramble the replay out
+    # of ts order, watermarks jump ahead, and genuine in-window partners
+    # drop as late (observed live building this test). Stamp ascending
+    # mtimes in range (= part-name) order so event time is monotone
+    # across batches — the batch oracle applies only under ordered
+    # delivery (SCALE.md "bounded event time" note).
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, pth in enumerate(sorted(_glob.glob(f"{src}/part-*"))):
+        _os.utime(pth, (now - 400 + i * 60, now - 400 + i * 60))
+    schema = spark.read.parquet(src).schema
+
+    def side(event_type, pfx):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{pfx}_user"),
+                F.col("ts").alias(f"{pfx}_ts"),
+            )
+            .withWatermark(f"{pfx}_ts", "30 minutes")
+        )
+
+    sink = _CapturingSink()
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    try:
+        def build_query():
+            pairs = side("view", "v").join(
+                side("purchase", "p"),
+                F.expr(
+                    "v_user = p_user AND p_ts >= v_ts "
+                    "AND p_ts <= v_ts + interval 1 hour"
+                ),
+            ).select(
+                F.col("v_user").alias("user_id"),
+                (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+            )
+            # executor-side partial agg per batch (bounded rows at driver)
+            return pairs.writeStream.foreachBatch(
+                lambda bdf, bid: sink(
+                    bdf.groupBy("user_id").agg(
+                        F.count(F.lit(1)).alias("pn"),
+                        F.max("gap_us").alias("pm"),
+                    ),
+                    bid,
+                )
+            )
+
+        n_before = _run_killable(spark, build_query, sink, f"{base}/ckpt")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    assert 1 <= n_before, "kill must land after a committed batch"
+    got: dict[int, tuple[int, int]] = {}
+    for rows in sink.seen.values():
+        for r in rows:
+            n, m = got.get(r["user_id"], (0, None))
+            got[r["user_id"]] = (
+                n + r["pn"],
+                r["pm"] if m is None else max(m, r["pm"]),
+            )
+    v = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = (
+        v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts "
+                "AND p_ts <= v_ts + interval 1 hour"
+            ),
+        )
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.unix_micros("p_ts") - F.unix_micros("v_ts")
+            ).alias("m"),
+        )
+    )
+    expected = {r["user_id"]: (r["n"], r["m"]) for r in batch.collect()}
+    shutil.rmtree(base, ignore_errors=True)
+    assert got == expected

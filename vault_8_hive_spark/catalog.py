@@ -47,6 +47,53 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 _HANDLES: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def build_lock(path: str):
+    """Exclusive advisory lock serializing concurrent builders of one
+    derived fixture dir (pytest-xdist workers, a parallel bench run):
+    check-marker / rebuild / stamp-marker is not atomic, so two sessions
+    interleaving over the same sf_dir could let one reader see a
+    partially rewritten fixture before the marker lands (round-8 ADVICE).
+    The lock file is a SIBLING of the fixture dir (`<path>.lock`), never
+    inside it — a builder's rmtree would delete an in-dir lock file and
+    later openers would lock a fresh inode, silently splitting the lock.
+    Callers re-check the fingerprint marker AFTER acquiring: the peer
+    that held the lock usually just built the fixture."""
+    import fcntl
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _lock():
+        lf = os.path.normpath(path) + ".lock"
+        os.makedirs(os.path.dirname(lf), exist_ok=True)
+        with open(lf, "a+", encoding="utf-8") as fh:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+
+    return _lock()
+
+
+def write_atomic(dest: str, text: str) -> None:
+    """Write-temp-then-os.replace so no reader ever opens a half-written
+    file; used for fixture data files and ALWAYS for the fingerprint
+    marker (the marker landing last + atomically is what makes the
+    fast-path marker check safe without taking the lock)."""
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    os.replace(tmp, dest)
+
+
+def marker_current(marker: str, fingerprint: str) -> bool:
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            return fh.read() == fingerprint
+    except OSError:
+        return False
+
+
 def _opt_path(sf_dir: str, name: str) -> str:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     # Same guard as queries.formats._work: a corpus living directly
@@ -165,16 +212,18 @@ def optimize_tables(
         dst = _opt_path(sf_dir, name)
         if _opt_is_current(sf_dir, name):
             continue
-        # Capture the fingerprint BEFORE reading: if the source is
-        # regenerated mid-compaction, the stale copy gets stamped with
-        # the OLD identity and the next check correctly rebuilds.
-        fp = _src_fingerprint(sf_dir, name)
-        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Small dims stay single-file (splitting 5 rows buys nothing).
-        parts = 1 if name in BROADCAST_TABLES else n
-        raw.repartition(parts).write.mode("overwrite").parquet(dst)
-        with open(os.path.join(dst, "_SRC_FINGERPRINT"), "w", encoding="utf-8") as fh:
-            fh.write(fp)
+        with build_lock(dst):
+            if _opt_is_current(sf_dir, name):
+                continue  # a concurrent session built it while we waited
+            # Capture the fingerprint BEFORE reading: if the source is
+            # regenerated mid-compaction, the stale copy gets stamped with
+            # the OLD identity and the next check correctly rebuilds.
+            fp = _src_fingerprint(sf_dir, name)
+            raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            # Small dims stay single-file (splitting 5 rows buys nothing).
+            parts = 1 if name in BROADCAST_TABLES else n
+            raw.repartition(parts).write.mode("overwrite").parquet(dst)
+            write_atomic(os.path.join(dst, "_SRC_FINGERPRINT"), fp)
         # Invalidate memoized handles that still point at the raw file.
         key = (spark.sparkContext.applicationId, sf_dir, name, fp)
         _HANDLES.pop(key, None)
@@ -211,35 +260,12 @@ def bucketed_table(
     path = os.path.join(WORK_DIR, sf_tag, "bucket", f"{name}_by_{key}_{buckets}")
     tag = os.path.join(path, "_SRC_FINGERPRINT")
     fp = _src_fingerprint(sf_dir, name)
-    current = False
-    try:
-        with open(tag, encoding="utf-8") as fh:
-            current = fh.read() == fp
-    except OSError:
-        current = False
-    if not current:
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        (
-            # repartition on the BUCKET key first: DataFrame hash
-            # partitioning and bucket-id assignment use the same
-            # pmod(murmur3) function, so each write task holds exactly
-            # one bucket and emits ONE file per bucket. That single-file
-            # property is load-bearing: a one-file bucket lets the scan
-            # report the SORTED BY ordering, so key-joins skip the Sort
-            # as well as the Exchange (multi-file buckets force a
-            # read-side sort — measured 3x slower at 15M rows,
-            # tools/bucket_probe.py).
-            table(spark, sf_dir, name)
-            .repartition(buckets, F.col(key))
-            .write.mode("overwrite")
-            .bucketBy(buckets, key)
-            .sortBy(key)
-            .option("path", path)
-            .saveAsTable(tbl)
-        )
-        with open(tag, "w", encoding="utf-8") as fh:
-            fh.write(fp)
-    elif not spark.catalog.tableExists(tbl):
+    if not marker_current(tag, fp):
+        with build_lock(path):
+            if not marker_current(tag, fp):
+                _write_buckets(spark, sf_dir, name, key, buckets, tbl, path)
+                write_atomic(tag, fp)
+    if not spark.catalog.tableExists(tbl):
         # Files are current but this session's (in-memory) catalog has
         # never seen them: attach metadata-only. Spark reads the bucket id
         # from each file's _NNNNN name suffix, so no data moves. Schema
@@ -255,6 +281,28 @@ def bucketed_table(
             f"LOCATION '{path}'"
         )
     return spark.table(tbl)
+
+
+def _write_buckets(spark, sf_dir, name, key, buckets, tbl, path):
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        # repartition on the BUCKET key first: DataFrame hash
+        # partitioning and bucket-id assignment use the same
+        # pmod(murmur3) function, so each write task holds exactly
+        # one bucket and emits ONE file per bucket. That single-file
+        # property is load-bearing: a one-file bucket lets the scan
+        # report the SORTED BY ordering, so key-joins skip the Sort
+        # as well as the Exchange (multi-file buckets force a
+        # read-side sort — measured 3x slower at 15M rows,
+        # tools/bucket_probe.py).
+        table(spark, sf_dir, name)
+        .repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(tbl)
+    )
 
 
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -2822,6 +2822,11 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at extreme magnitudes (ULP ~4 at 2e16) the k-way sum ORDER flips
     # the final 1e-4 rounding at a tie (extremes full-sweep finding).
     # DECIMAL(38,6) sums of the rounded terms are exact in any order.
+    # Bound: the (38,6) cast aborts under ANSI once a per-group term
+    # reaches 1e32 — with cents^2 ~1e28 at the money-domain edge that
+    # is ~1e4 edge-balance rows in ONE group (SCALE.md "ANSI totality",
+    # anova entry). Kept as a loud failure rather than try_cast: a
+    # NULLed term would silently drop a group's variance from ssw.
     t = g.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n_g").alias("n"),

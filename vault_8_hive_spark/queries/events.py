@@ -993,7 +993,7 @@ WITH daily AS (
          CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) AND abs(value) < 1e12 THEN value END AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
   FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
-m AS (SELECT ROUND(CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE)
+m AS (SELECT ROUND(CAST(ROUND(SUM(CAST(total AS DECIMAL(38,6))), 4) AS DOUBLE)
              / COUNT(*), 6) AS mu FROM daily),
 dev AS (
   SELECT d, total, ROUND(total - m.mu, 6) AS dev,
@@ -1035,9 +1035,14 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (1e9-scale days) that noise crosses the 1e-6 rounding quantum —
     # observed as a FLAKY is_extreme flip (1-in-3 runs) on the extremes
     # corpus; the exact numerator + one division is order-free.
+    # round4 BEFORE the double cast (lossless: totals are 2-decimal
+    # exact) so the unscaled value stays inside 2^53 — a bare
+    # decimal(38,6)->double cast re-rounds per engine once the daily
+    # grand total passes ~9e9, the exact divergence round4 exists for.
     mu = daily.agg(
         F.round(
-            F.sum(F.col("total").cast("decimal(38,6)")).cast("double")
+            F.round(F.sum(F.col("total").cast("decimal(38,6)")), 4)
+            .cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("mu")

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..catalog import table
+from ..catalog import build_lock, marker_current, table, write_atomic
 from ..session import prep
 from . import register
 
@@ -292,28 +292,23 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file must rebuild them (same contract as catalog compaction).
     fp = _src_fingerprint(sf_dir, "orders")
     tag = os.path.join(base, "_SRC_FINGERPRINT")
-    current = False
-    try:
-        with open(tag, encoding="utf-8") as fh:
-            current = fh.read() == fp
-    except OSError:
-        current = False
-    if not current:
-        (
-            orders.where(F.col("o_orderkey") % 2 == 0)
-            .select("o_orderkey", "o_totalprice")
-            .write.mode("overwrite")
-            .parquet(os.path.join(base, "gen1"))
-        )
-        (
-            orders.where(F.col("o_orderkey") % 2 == 1)
-            .select("o_orderkey", "o_totalprice", "o_orderpriority")
-            .write.mode("overwrite")
-            .parquet(os.path.join(base, "gen2"))
-        )
-        os.makedirs(base, exist_ok=True)
-        with open(tag, "w", encoding="utf-8") as fh:
-            fh.write(fp)
+    if not marker_current(tag, fp):
+        with build_lock(base):
+            if not marker_current(tag, fp):
+                (
+                    orders.where(F.col("o_orderkey") % 2 == 0)
+                    .select("o_orderkey", "o_totalprice")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(base, "gen1"))
+                )
+                (
+                    orders.where(F.col("o_orderkey") % 2 == 1)
+                    .select("o_orderkey", "o_totalprice", "o_orderpriority")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(base, "gen2"))
+                )
+                os.makedirs(base, exist_ok=True)
+                write_atomic(tag, fp)
     evolved = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(base, "gen1"), os.path.join(base, "gen2")
     )
@@ -433,28 +428,30 @@ def _ensure_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     fingerprint = _src_fingerprint(src)
     marker = os.path.join(path, "_FINGERPRINT")
-    try:
-        with open(marker, encoding="utf-8") as fh:
-            if fh.read() == fingerprint:
-                return path
-    except OSError:
-        pass
-    rows = (
-        table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 100)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-        .collect()  # 100 metadata-sized rows, driver-side by design
-    )
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "part-0.jsonl"), "w", encoding="utf-8") as fh:
+    if marker_current(marker, fingerprint):
+        return path
+    with build_lock(path):
+        if marker_current(marker, fingerprint):
+            return path
+        rows = (
+            table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 100)
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+            .collect()  # 100 metadata-sized rows, driver-side by design
+        )
+        lines = []
         for r in rows:
             if r["doc_id"] % 10 == 0:
-                fh.write(f'{{"doc_id": {r["doc_id"]}, "lang": UNQUOTED_GARBAGE\n')
+                lines.append(f'{{"doc_id": {r["doc_id"]}, "lang": UNQUOTED_GARBAGE')
             else:
-                fh.write(_json.dumps({"doc_id": r["doc_id"], "lang": r["lang"]}) + "\n")
-    with open(marker, "w", encoding="utf-8") as fh:
-        fh.write(fingerprint)
+                lines.append(_json.dumps({"doc_id": r["doc_id"], "lang": r["lang"]}))
+        os.makedirs(path, exist_ok=True)
+        # temp-then-replace for the data file, marker atomically LAST:
+        # a lock-free fast-path reader either sees the old consistent
+        # (file, marker) pair or the new one, never a torn file.
+        write_atomic(os.path.join(path, "part-0.jsonl"), "\n".join(lines) + "\n")
+        write_atomic(marker, fingerprint)
     return path
 
 
@@ -514,31 +511,33 @@ def _ensure_text_lines(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     fingerprint = _src_fingerprint(src)
     marker = os.path.join(path, "_FINGERPRINT")
-    try:
-        with open(marker, encoding="utf-8") as fh:
-            if fh.read() == fingerprint:
-                return path
-    except OSError:
-        pass
-    rows = (
-        table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 200)
-        .select("doc_id", "lang", "text")
-        .orderBy("doc_id")
-        .collect()  # <=200 bounded rows, driver-side fixture write by design
-    )
+    if marker_current(marker, fingerprint):
+        return path
+    with build_lock(path):
+        if marker_current(marker, fingerprint):
+            return path
+        rows = (
+            table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 200)
+            .select("doc_id", "lang", "text")
+            .orderBy("doc_id")
+            .collect()  # <=200 bounded rows, driver-side fixture by design
+        )
 
-    def esc(v):
-        if v is None:
-            return "\\N"
-        return v.replace("\t", " ").replace("\r", " ").replace("\n", " ")
+        def esc(v):
+            if v is None:
+                return "\\N"
+            return v.replace("\t", " ").replace("\r", " ").replace("\n", " ")
 
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "part-0.txt"), "w", encoding="utf-8") as fh:
-        for r in rows:
-            fh.write(f"{r['doc_id']}\t{esc(r['lang'])}\t{esc(r['text'])}\n")
-    with open(marker, "w", encoding="utf-8") as fh:
-        fh.write(fingerprint)
+        os.makedirs(path, exist_ok=True)
+        write_atomic(
+            os.path.join(path, "part-0.txt"),
+            "".join(
+                f"{r['doc_id']}\t{esc(r['lang'])}\t{esc(r['text'])}\n"
+                for r in rows
+            ),
+        )
+        write_atomic(marker, fingerprint)
     return path
 
 
@@ -612,26 +611,21 @@ def _ensure_binary_blobs(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(path, "_FINGERPRINT")
     src = f"{sf_dir}/region.parquet"
     fingerprint = _src_fingerprint(src)
-    current = False
-    try:
-        with open(marker, encoding="utf-8") as fh:
-            current = fh.read() == fingerprint
-    except OSError:
-        pass
-    if not current:
+    if not marker_current(marker, fingerprint):
         import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
-        os.makedirs(path, exist_ok=True)
-        rows = table(spark, sf_dir, "region").collect()  # 5-row dim
-        for r in rows:
-            blob = f"{r['r_regionkey']}|{r['r_name']}\n".encode()
-            with open(
-                os.path.join(path, f"region_{r['r_regionkey']}.bin"), "wb"
-            ) as fh:
-                fh.write(blob)
-        with open(marker, "w", encoding="utf-8") as fh:
-            fh.write(fingerprint)
+        with build_lock(path):
+            if marker_current(marker, fingerprint):
+                return path
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)
+            rows = table(spark, sf_dir, "region").collect()  # 5-row dim
+            for r in rows:
+                blob = f"{r['r_regionkey']}|{r['r_name']}\n"
+                write_atomic(
+                    os.path.join(path, f"region_{r['r_regionkey']}.bin"), blob
+                )
+            write_atomic(marker, fingerprint)
     return path
 
 
@@ -695,23 +689,21 @@ def _ensure_rangefiles(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(path, "_FINGERPRINT")
     src = f"{sf_dir}/orders.parquet"
     fingerprint = _src_fingerprint(src)
-    try:
-        with open(marker, encoding="utf-8") as fh:
-            if fh.read() == fingerprint:
-                return path
-    except OSError:
-        pass
-    import shutil
+    if marker_current(marker, fingerprint):
+        return path
+    with build_lock(path):
+        if marker_current(marker, fingerprint):
+            return path
+        import shutil
 
-    shutil.rmtree(path, ignore_errors=True)
-    (
-        table(spark, sf_dir, "orders")
-        .repartitionByRange(8, "o_orderkey")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    with open(marker, "w", encoding="utf-8") as fh:
-        fh.write(fingerprint)
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            table(spark, sf_dir, "orders")
+            .repartitionByRange(8, "o_orderkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        write_atomic(marker, fingerprint)
     return path
 
 

@@ -143,6 +143,61 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
     return sh.select("doc_id", F.explode(band_arr).alias("band_key"))
 
 
+# --- high-document-frequency skew guard (the df-cap) ------------------------
+# A posting list / LSH bucket of k docs expands to k(k-1)/2 pairs inside ONE
+# task; tools/dupskew_probe.py measured the cliff (30% boilerplate => a
+# 15.7k-doc posting list => 1.2e8 pairs per gram: JVM-heap-fatal DNF plain,
+# 9.5 s with lists > 256 dropped before expansion — BASELINE §3e-bis). A
+# gram or band bucket shared by thousands of documents is template text
+# carrying no dedup signal, so production span/near-dup pipelines drop
+# high-DF keys before pairing. The guard is OFF on healthy corpora (driver
+# data maxes at df=4, measured at sf0.1 AND the 25x probe) and auto-engages
+# only when the corpus's worst group crosses the cliff — decided INSIDE the
+# plan by broadcasting the one-row max-group-size audit, so no extra pass
+# over the corpus and the DuckDB oracle stays hash-exact everywhere the cap
+# stays disengaged.
+DF_CAP_CONF = "spark.vault8.dedup.dfCap"  # "auto" (default) | "off" | <int>
+DF_CLIFF = 2048  # worst group size beyond which auto mode engages the cap
+DF_CAP = 256  # engaged cap (the dupskew-probe-measured production value)
+
+
+def _df_cap_mode(spark: SparkSession) -> tuple[str, int | None]:
+    v = str(spark.conf.get(DF_CAP_CONF, "auto")).strip().lower()
+    if v in ("off", "none", "false"):
+        return ("off", None)
+    if v == "auto":
+        return ("auto", DF_CAP)
+    return ("static", int(v))
+
+
+def _cap_sized(
+    spark: SparkSession,
+    rel: DataFrame,
+    k_col: str,
+    mx: DataFrame | None = None,
+) -> DataFrame:
+    """Apply the df-cap posture to a relation carrying its group size in
+    `k_col`: off = passthrough, static = unconditional cap, auto = cap
+    every group iff the corpus's WORST group crosses DF_CLIFF (one
+    broadcast scalar, so clean corpora keep byte-identical output and a
+    boilerplate corpus degrades to the capped plan instead of an OOM).
+    `mx` may supply the one-row audit (column `_df_mx`) from a CHEAPER
+    branch than rel itself — e.g. a counts-only aggregate sharing rel's
+    exchange — so the audit never re-pays a collect_list merge."""
+    mode, cap = _df_cap_mode(spark)
+    if mode == "off":
+        return rel
+    if mode == "static":
+        return rel.where(F.col(k_col) <= F.lit(cap))
+    if mx is None:
+        mx = rel.agg(F.max(k_col).alias("_df_mx"))
+    return (
+        rel.crossJoin(F.broadcast(mx))
+        .where((F.col("_df_mx") <= F.lit(DF_CLIFF)) | (F.col(k_col) <= F.lit(cap)))
+        .drop("_df_mx")
+    )
+
+
 @register(
     "text_exact_dedup",
     oracle="""
@@ -221,9 +276,19 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # used to provide, without driver-pinned blocks leaking across runs.
     sh = _shingled(table(spark, sf_dir, "documents")).repartition(par, "doc_id")
     bands = _minhash_bands(sh)
-    b2 = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk"))
+    # df-cap on bucket size (auto, see _cap_sized): the count-window's
+    # exchange on band_key is the SAME partitioning the self-join needs,
+    # so the audit adds no extra shuffle — a template-text bucket past
+    # DF_CLIFF would otherwise emit k(k-1)/2 candidates into one task.
+    from pyspark.sql import Window as _W
+
+    wb = bands.withColumn(
+        "k", F.count(F.lit(1)).over(_W.partitionBy("band_key"))
+    )
+    safe = _cap_sized(spark, wb, "k").drop("k")
+    b2 = safe.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk"))
     cand = (
-        bands.join(b2, (bands.band_key == b2.bk) & (bands.doc_id < b2.doc_b))
+        safe.join(b2, (safe.band_key == b2.bk) & (safe.doc_id < b2.doc_b))
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
@@ -325,10 +390,20 @@ def text_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     sh = _shingled(table(spark, sf_dir, "documents")).repartition(par, "doc_id")
     bands = _minhash_bands(sh)
-    new_b = bands.where(F.col("doc_id") % 10 == 0).select(
+    # Same df-cap posture as text_minhash_lsh: bucket size is audited
+    # over the FULL band relation (a boilerplate bucket is hot however
+    # the corpus is split), then the asymmetric new/old sides come from
+    # the capped rows.
+    from pyspark.sql import Window as _W
+
+    wb = bands.withColumn(
+        "k", F.count(F.lit(1)).over(_W.partitionBy("band_key"))
+    )
+    safe = _cap_sized(spark, wb, "k").drop("k")
+    new_b = safe.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("new_doc"), "band_key"
     )
-    old_b = bands.where(F.col("doc_id") % 10 != 0).select(
+    old_b = safe.where(F.col("doc_id") % 10 != 0).select(
         F.col("doc_id").alias("old_doc"), F.col("band_key").alias("bk")
     )
     cand = (
@@ -2122,6 +2197,18 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "p")).alias("occ"))
         .where(F.size("occ") >= 2)
     )
+    # df-cap (auto, see _cap_sized): a boilerplate gram's posting list
+    # past DF_CLIFF flips the whole corpus to the capped plan — the
+    # registered operator now survives the dupskew probe's 30%-
+    # boilerplate corpus instead of OOMing (round-8 item; pinned by
+    # tests/test_text.py::test_dup_spans_df_cap_*). The audit scalar is
+    # max(size(occ)) over the SAME aggregate subtree, so the planner
+    # shares the gram shuffle between both consumers (ReusedExchange,
+    # asserted in tests/test_plans.py) — the audit re-pays only the
+    # post-shuffle merge, never a second corpus shuffle. (Filtering to
+    # size>=2 first is decision-equivalent: a corpus whose every list
+    # is a singleton has mx=NULL/1, far below the cliff.)
+    occ = _cap_sized(spark, occ.withColumn("k", F.size("occ")), "k").drop("k")
     matched = occ.select(
         F.explode(
             F.expr(

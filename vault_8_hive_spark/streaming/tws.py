@@ -44,25 +44,77 @@ _ROCKSDB = (
 )
 
 
-def _batch_cents(pdf: pd.DataFrame) -> tuple[int, int]:
-    # per-row HALF_UP to int64 cents (floor(x*100 + 0.5) — matching both
-    # engines' DECIMAL ROUND, unlike pandas' banker's rounding), then
-    # exact integer sum. Robust to any value precision, not just the
-    # current 2-decimal testdata.
-    #
-    # Finite-measure contract (extremes-sweep finding): a float column
-    # reaching pandas cannot distinguish SQL NULL from NaN, and numpy's
-    # int64 cast of a non-finite is the INT64-MIN sentinel — one
-    # poisoned row would silently corrupt the running state by -9.2e18.
-    # Out-of-domain measures (non-finite or past the 1e12 money bound)
-    # contribute nothing, exactly like the batch dual's dec() NULL — and
-    # the in-domain COUNT rides along so a key with zero in-domain
-    # measures can report SQL's SUM-over-empty NULL instead of 0.
+# --- map-side pre-reduction (round 8) ---------------------------------------
+# The stateful operator's cost at scale is the Arrow/python boundary: one
+# row per EVENT crossing into the state worker made the operator 31x the
+# batch dual at native sf1 (BASELINE §3g-bis — python-compute bound, not
+# state-store bound). Every emitted stat is decomposable, so each Arrow
+# batch is first reduced STATELESSLY to per-(user, event_type) partials —
+# the map-side-combine discipline the interval join's stream_partial_agg
+# already uses — and the shuffle + state boundary carry keys, not events.
+# At 100 TB this is the difference between state traffic proportional to
+# the event rate and proportional to the active-key rate.
+PARTIAL_SCHEMA = (
+    "user_id bigint, event_type string, n bigint, m bigint, cents bigint, "
+    "min_id bigint, max_id bigint"
+)
+
+_PARTIAL_COLS = ["user_id", "event_type", "n", "m", "cents", "min_id", "max_id"]
+
+
+def _pre_reduce(it):
+    """Stateless per-Arrow-batch reduce: (user, type) -> (n, in-domain m,
+    exact integer cents, id lo/hi).
+
+    Cents are per-row HALF_UP int64 (floor(x*100 + 0.5) — matching both
+    engines' DECIMAL ROUND, unlike pandas' banker's rounding), summed
+    exactly; partial sums merge associatively so the result is
+    batch-slicing invariant.
+
+    Finite-measure contract (extremes-sweep finding): a float column
+    reaching pandas cannot distinguish SQL NULL from NaN, and numpy's
+    int64 cast of a non-finite is the INT64-MIN sentinel — one poisoned
+    row would silently corrupt the running state by -9.2e18. Out-of-
+    domain measures (non-finite or past the 1e12 money bound) contribute
+    nothing, exactly like the batch dual's dec() NULL — and the
+    in-domain count m rides along so a key with zero in-domain measures
+    reports SQL's SUM-over-empty NULL instead of 0."""
     import numpy as np
 
-    v = pdf["value"].to_numpy()
-    v = v[np.isfinite(v) & (np.abs(v) < 1e12)]
-    return len(v), int(np.floor(v * 100 + 0.5).astype("int64").sum())
+    for pdf in it:
+        if not len(pdf):
+            continue
+        v = pdf["value"].to_numpy(dtype="float64", na_value=float("nan"))
+        ok = np.isfinite(v) & (np.abs(v) < 1e12)
+        cents = np.floor(np.where(ok, v, 0.0) * 100 + 0.5).astype("int64")
+        cents[~ok] = 0
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "event_type": pdf["event_type"],
+                    "n": np.ones(len(pdf), dtype="int64"),
+                    "m": ok.astype("int64"),
+                    "cents": cents,
+                    "min_id": pdf["event_id"].to_numpy(),
+                    "max_id": pdf["event_id"].to_numpy(),
+                }
+            )
+            # dropna=False: a null event_type must still count toward n
+            # (the per-event path counted every row; value_counts-style
+            # NaN dropping applies only to the TYPE map, downstream)
+            .groupby(["user_id", "event_type"], as_index=False, dropna=False)
+            .agg(
+                {
+                    "n": "sum",
+                    "m": "sum",
+                    "cents": "sum",
+                    "min_id": "min",
+                    "max_id": "max",
+                }
+            )
+        )
+        yield g[_PARTIAL_COLS]
 
 
 def _make_processor():
@@ -77,20 +129,29 @@ def _make_processor():
                 "totals", "n bigint, cents bigint, m bigint"
             )
             self.types = handle.getMapState("types", "t string", "c bigint")
+            # Append-only id-watermark log: one (lo) + one (hi) entry per
+            # incoming PARTIAL, not per event — min/max over the list
+            # equal the per-event extremes, and the ListState primitive
+            # stays exercised with state bounded by partial count (an
+            # unbounded per-event id log was itself a 100 TB hazard).
             self.ids = handle.getListState("ids", "id bigint")
 
         def handleInputRows(self, key, rows, timerValues):
             n, cents, m = (
                 self.totals.get() if self.totals.exists() else (0, 0, 0)
             )
+            marks = []
             for pdf in rows:
                 if not len(pdf):
                     continue
-                n += len(pdf)
-                dm, dc = _batch_cents(pdf)
-                m += dm
-                cents += dc
-                for t, c in pdf["event_type"].value_counts().items():
+                n += int(pdf["n"].sum())
+                m += int(pdf["m"].sum())
+                cents += int(pdf["cents"].sum())
+                # NaN-typed partials count toward n above but never
+                # enter the type map — same as value_counts' NaN drop
+                # in the per-event formulation.
+                tc = pdf.groupby("event_type", dropna=True)["n"].sum()
+                for t, c in tc.items():
                     cur = (
                         self.types.getValue((t,))
                         if self.types.containsKey((t,))
@@ -98,7 +159,10 @@ def _make_processor():
                     )
                     base = cur[0] if cur is not None else 0
                     self.types.updateValue((t,), (base + int(c),))
-                self.ids.appendList([(int(i),) for i in pdf["event_id"]])
+                marks.append((int(pdf["min_id"].min()),))
+                marks.append((int(pdf["max_id"].max()),))
+            if marks:
+                self.ids.appendList(marks)
             self.totals.update((n, cents, m))
             items = [(k[0], v[0]) for k, v in self.types.iterator()]
             ids = [r[0] for r in self.ids.get()]
@@ -111,7 +175,7 @@ def _make_processor():
                         cents if m > 0 else None,  # SUM over empty = NULL
                         len(items),
                         top_type,
-                        len(ids),
+                        n,  # n_ids: every event carries one id
                         min(ids),
                         max(ids),
                     )
@@ -143,6 +207,7 @@ _V1_STATE = (
 
 
 def _v1_stats(key, pdf_iter, state):
+    # Consumes the SAME pre-reduced partials as the v2 processor.
     import json
 
     if state.exists:
@@ -153,14 +218,14 @@ def _v1_stats(key, pdf_iter, state):
     for pdf in pdf_iter:
         if not len(pdf):
             continue
-        n += len(pdf)
-        dm, dc = _batch_cents(pdf)
-        m += dm
-        cents += dc
-        for t, c in pdf["event_type"].value_counts().items():
+        dn = int(pdf["n"].sum())
+        n += dn
+        m += int(pdf["m"].sum())
+        cents += int(pdf["cents"].sum())
+        for t, c in pdf.groupby("event_type", dropna=True)["n"].sum().items():
             types[t] = types.get(t, 0) + int(c)
-        n_ids += len(pdf)
-        lo, hi = int(pdf["event_id"].min()), int(pdf["event_id"].max())
+        n_ids += dn
+        lo, hi = int(pdf["min_id"].min()), int(pdf["max_id"].max())
         min_id = lo if min_id is None else min(min_id, lo)
         max_id = hi if max_id is None else max(max_id, hi)
     state.update(
@@ -233,7 +298,10 @@ def transform_user_stats(
     v2 operator ran, 'v1' when the applyInPandasWithState fallback did."""
     from ..compat.protobuf_alias import ensure_tws_env
 
-    grouped = events.groupBy("user_id")
+    # Map-side pre-reduction (see _pre_reduce): the stateful operator
+    # receives per-(user, type) partials, so the state-boundary Arrow
+    # traffic scales with active keys per batch, not events.
+    grouped = events.mapInPandas(_pre_reduce, PARTIAL_SCHEMA).groupBy("user_id")
     if ensure_tws_env():
         prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
