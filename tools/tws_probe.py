@@ -21,8 +21,10 @@ from vault_8_hive_spark.queries.streaming_batch import _events_split4  # noqa: E
 from vault_8_hive_spark.session import get_spark  # noqa: E402
 from vault_8_hive_spark.streaming.tws import (  # noqa: E402
     OUT_SCHEMA,
+    PARTIAL_SCHEMA,
     _V1_STATE,
     _finalize,
+    _pre_reduce,
     _run_update_stream,
     _v1_stats,
     transform_user_stats,
@@ -52,7 +54,9 @@ def main() -> None:
         assert engine == "tws"
 
         t0 = time.time()
-        v1 = stream().groupBy("user_id").applyInPandasWithState(
+        v1 = stream().mapInPandas(
+            _pre_reduce, PARTIAL_SCHEMA
+        ).groupBy("user_id").applyInPandasWithState(
             _v1_stats,
             outputStructType=OUT_SCHEMA,
             stateStructType=_V1_STATE,

@@ -45,11 +45,12 @@ import duckdb
 sf_dir, sql = sys.argv[1], sys.stdin.read()
 conn = duckdb.connect()
 conn.execute("SET enable_progress_bar = false")
+import os
 for t in ("region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"):
-    conn.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet*')"
-    )
+    p = f"{sf_dir}/{t}.parquet"
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    conn.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 conn.execute(sql).df()  # warm
 runs = []
 for _ in range(3):

@@ -250,6 +250,8 @@ _STREAM_ROWS = [
         f"FROM {_values(_STREAM_ROWS, _STREAM_COLS)}"
     ),
     tags=("domain", "streaming", "codec", "udf"),
+    # fn DRIVES the stream eagerly — benchlib must time it end-to-end
+    rebuild_per_run=True,
 )
 def stream_beacon_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's beacon data path (SURVEY.md §3.1) end-to-end as a
@@ -425,6 +427,9 @@ def _pyds_stream_expected() -> list[tuple]:
         f"FROM {_values(_pyds_stream_expected(), ['os_name', 'n'])}"
     ),
     tags=("streaming", "source", "python-datasource", "codec"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same custom format as a STREAMING source: the
@@ -541,6 +546,9 @@ def io_pyds_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM {_values(_pyds_stream_expected(), ['os_name', 'n'])}"
     ),
     tags=("streaming", "sink", "python-datasource", "commit-protocol"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource STREAMING sink: the 4-file blob stream

@@ -123,14 +123,26 @@ def text_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.substring("simhash_hex", b * 4 + 1, 4) for b in range(4)])
         ).alias("b", "bk"),
     )
-    right = bands.select(
+    # Same auto df-cap as the minhash band joins (queries/text.py
+    # _cap_sized): a template-text band bucket past the cliff would
+    # expand k(k-1)/2 candidates in one task; the count-window exchanges
+    # on the join's own (b, bk) key.
+    from pyspark.sql import Window as _W
+
+    from .text import _cap_sized
+
+    wb = bands.withColumn(
+        "k", F.count(F.lit(1)).over(_W.partitionBy("b", "bk"))
+    )
+    safe = _cap_sized(spark, wb, "k").drop("k")
+    right = safe.select(
         F.col("doc_id").alias("doc_b"), F.col("h1").alias("g1"),
         F.col("h2").alias("g2"), F.col("b").alias("b2"), F.col("bk").alias("bk2"),
     )
     cand = (
-        bands.join(
+        safe.join(
             right,
-            (bands.b == right.b2) & (bands.bk == right.bk2) & (bands.doc_id < right.doc_b),
+            (safe.b == right.b2) & (safe.bk == right.bk2) & (safe.doc_id < right.doc_b),
         )
         .select(F.col("doc_id").alias("doc_a"), "doc_b", "h1", "h2", "g1", "g2")
         .distinct()

@@ -28,6 +28,9 @@ WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-0
 GROUP BY 1, 2
 """,
     tags=("streaming", "window-time"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation as a real streaming query;
@@ -69,6 +72,9 @@ FROM sess
 GROUP BY user_id, seq
 """,
     tags=("streaming", "session-window"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (session_window, 30-min gap).
@@ -98,6 +104,9 @@ WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-0
 GROUP BY event_type
 """,
     tags=("streaming", "dedup"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: the stream is unioned with a full copy of
@@ -123,6 +132,9 @@ WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-0
 GROUP BY user_id
 """,
     tags=("streaming", "stateful", "udf"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing (applyInPandasWithState): running
@@ -144,6 +156,9 @@ WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-0
 GROUP BY c_mktsegment
 """,
     tags=("streaming", "join", "agg"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
@@ -221,6 +236,9 @@ def _late_fixture() -> tuple[list[tuple[int, int]], list[tuple[int, int]], list[
         + ") AS t(window_start, n_events)"
     ),
     tags=("streaming", "watermark", "late-data"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data drop, end to end and driver-checkable: two
@@ -293,6 +311,9 @@ FROM events
 GROUP BY user_id
 """,
     tags=("streaming", "foreachBatch", "sink", "agg"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink: the event stream is consumed one file per
@@ -467,6 +488,9 @@ SELECT user_id, COUNT(*) AS n_attributed,
 FROM pairs GROUP BY user_id
 """,
     tags=("streaming", "stream-stream-join", "watermark", "interval"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join (view -> purchase attribution): two
@@ -558,6 +582,9 @@ SELECT user_id,
 FROM pairs GROUP BY user_id
 """,
     tags=("streaming", "stream-stream-join", "outer", "watermark", "interval"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join — "views with NO purchase
@@ -735,6 +762,9 @@ SELECT user_id,
 FROM pairs GROUP BY user_id
 """,
     tags=("streaming", "stream-stream-join", "outer", "watermark", "interval"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream FULL OUTER interval join — both directions of the
@@ -842,6 +872,9 @@ SELECT b.user_id, n_events,
 FROM base b JOIN top USING (user_id)
 """,
     tags=("streaming", "stateful", "transformWithState", "rocksdb"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming v2 (transformWithStateInPandas): the
@@ -896,6 +929,9 @@ WHERE ts IS NOT NULL AND ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2200-0
 GROUP BY user_id
 """,
     tags=("streaming", "statestore", "introspection"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_state_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming state introspection (Spark 4 state data source): run a
@@ -967,6 +1003,9 @@ SELECT user_id,
 FROM conv GROUP BY user_id
 """,
     tags=("streaming", "stream-stream-join", "semi", "watermark", "interval"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_stream_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT SEMI interval join — "views that DID convert
@@ -1046,6 +1085,9 @@ SELECT user_id,
 FROM pairs GROUP BY user_id
 """,
     tags=("streaming", "stream-stream-join", "outer", "watermark", "interval"),
+    # fn DRIVES the stream eagerly (availableNow + awaitTermination);
+    # benchlib must time it end-to-end, not just the lazy merge tail
+    rebuild_per_run=True,
 )
 def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream RIGHT OUTER interval join — "purchases with NO view

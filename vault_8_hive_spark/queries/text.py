@@ -274,7 +274,19 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (asserted in tests/test_plans.py). Shuffle files hold the shingled
     # docs exactly once — the plan-cacheable handoff a localCheckpoint
     # used to provide, without driver-pinned blocks leaking across runs.
-    sh = _shingled(table(spark, sf_dir, "documents")).repartition(par, "doc_id")
+    # Explicit isnotnull(doc_id) BELOW the shared exchange (a no-op:
+    # every output row flows through inner joins on doc_id): the self-
+    # join INFERS this constraint onto the rehydration sides, but the
+    # inference cannot push through the df-cap's count-window on the
+    # band side (doc_id is not the window partition key) — without the
+    # explicit filter the two subtrees differ by that one Filter and the
+    # planner stops collapsing them into ReusedExchange (= a second
+    # corpus scan+shingle pass; found by tests/test_plans.py's scan cap).
+    sh = (
+        _shingled(table(spark, sf_dir, "documents"))
+        .where(F.col("doc_id").isNotNull())
+        .repartition(par, "doc_id")
+    )
     bands = _minhash_bands(sh)
     # df-cap on bucket size (auto, see _cap_sized): the count-window's
     # exchange on band_key is the SAME partitioning the self-join needs,
@@ -388,7 +400,14 @@ def text_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rehydrates shingle sets for candidate pairs only."""
     prep(spark)
     par = spark.sparkContext.defaultParallelism
-    sh = _shingled(table(spark, sf_dir, "documents")).repartition(par, "doc_id")
+    # isnotnull(doc_id) below the exchange: same ReusedExchange-
+    # preserving no-op as text_minhash_lsh (the inferred join constraint
+    # cannot push through the df-cap window).
+    sh = (
+        _shingled(table(spark, sf_dir, "documents"))
+        .where(F.col("doc_id").isNotNull())
+        .repartition(par, "doc_id")
+    )
     bands = _minhash_bands(sh)
     # Same df-cap posture as text_minhash_lsh: bucket size is audited
     # over the FULL band relation (a boilerplate bucket is hot however
@@ -486,6 +505,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # Bare groupBy, DELIBERATELY: the map-side partial min IS the
+    # per-partition distinct-shingle pre-aggregation — 3-word shingles
+    # repeat heavily inside a partition (common trigrams), so the
+    # partial agg collapses repeats before the shuffle. The
+    # repartition-then-complete-agg idiom (waiting_suppliers' pair
+    # reduction) was tried in round 8 and measured SLOWER at 25x
+    # (4.2-5.6x vs 3.56x): it ships every gram occurrence into the
+    # exchange. Partial aggregation pays off exactly when keys repeat
+    # within partitions — which unsalted natural-language shingles do.
     novel = (
         grams.groupBy("g.h1", "g.h2")
         .agg(F.min("doc_id").alias("keeper"))

@@ -382,13 +382,38 @@ def vec_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition after the signature projection: one exchange feeds both
     # self-join sides via ReusedExchange, so the hyperplane signatures
     # compute once (no localCheckpoint needed).
-    sigs = emb.select(
+    # The exchange carries the NARROW (vec_id, embedding) row and the
+    # signature is computed ABOVE it (the minhash-shape layout): every
+    # consumer — both self-join sides AND the df-cap audit branch —
+    # then needs the identical columns below the exchange, so the
+    # column pruner cannot split them into two differently-projected
+    # exchanges (which costs a second scan; found by the plan test when
+    # the audit branch pruned `embedding` away). The signature fold is
+    # re-evaluated once in the audit branch — a linear map-side pass,
+    # cheap next to a duplicated scan.
+    base = (
+        emb.where(F.col("vec_id").isNotNull())
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    sigs = base.select(
         "vec_id", "embedding", lsh_signature(to_double("embedding"), PLANES).alias("bucket")
-    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    right = sigs.select(
+    )
+    # Same auto df-cap as the text band joins (queries/text.py
+    # _cap_sized): a degenerate signature bucket (near-identical or
+    # zero-entropy embeddings) past the cliff would expand k(k-1)/2
+    # pairs in one task; the count-window's exchange on `bucket` is the
+    # partitioning the self-join needs anyway.
+    from pyspark.sql import Window as _W
+
+    from .text import _cap_sized
+
+    wb = sigs.withColumn("k", F.count(F.lit(1)).over(_W.partitionBy("bucket")))
+    safe = _cap_sized(spark, wb, "k").drop("k")
+    right = safe.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("bucket").alias("bk")
     )
-    pairs = sigs.join(right, (sigs.bucket == right.bk) & (sigs.vec_id < right.vec_b))
+    pairs = safe.join(right, (safe.bucket == right.bk) & (safe.vec_id < right.vec_b))
     cos = cosine(to_double("embedding"), to_double("emb_b"))
     return pairs.where(cos >= 0.3).select(
         F.col("vec_id").alias("vec_a"), "vec_b", F.round(cos, 6).alias("cos_sim")
