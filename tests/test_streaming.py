@@ -483,6 +483,39 @@ def test_transform_with_state_runs_v2_engine(spark, sf_dir):
     assert len(tws_rows) > 10
 
 
+def test_tws_packed_matches_mapstate_operator(spark, sf_dir):
+    """The packed-ValueState posture (2 state round trips per key-batch)
+    must run on the v2 engine and produce the exact result of the
+    MapState/ListState operator — same stats, different state layout."""
+    from vault_8_hive_spark.catalog import normalize_events_ts
+    from vault_8_hive_spark.queries.streaming_batch import _events_split4
+    from vault_8_hive_spark.streaming.tws import (
+        transform_user_stats,
+        transform_user_stats_packed,
+    )
+
+    src = _events_split4(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return normalize_events_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    packed_df, engine = transform_user_stats_packed(
+        spark, stream(), allow_fallback=False
+    )
+    assert engine == "tws"
+    packed = {r.user_id: tuple(r) for r in packed_df.collect()}
+
+    map_df, engine2 = transform_user_stats(spark, stream(), allow_fallback=False)
+    assert engine2 == "tws"
+    assert packed == {r.user_id: tuple(r) for r in map_df.collect()}
+    assert len(packed) > 10
+
+
 def test_transform_with_state_fallback_engine(spark, sf_dir, monkeypatch):
     """When the TWS env is unavailable the operator must degrade to the
     v1 engine (same schema/result), not fail."""

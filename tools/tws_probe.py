@@ -28,6 +28,7 @@ from vault_8_hive_spark.streaming.tws import (  # noqa: E402
     _run_update_stream,
     _v1_stats,
     transform_user_stats,
+    transform_user_stats_packed,
 )
 
 
@@ -54,6 +55,14 @@ def main() -> None:
         assert engine == "tws"
 
         t0 = time.time()
+        dfp, engine = transform_user_stats_packed(
+            spark, stream(), allow_fallback=False
+        )
+        dfp.count()
+        results["packed"] = time.time() - t0
+        assert engine == "tws"
+
+        t0 = time.time()
         v1 = stream().mapInPandas(
             _pre_reduce, PARTIAL_SCHEMA
         ).groupBy("user_id").applyInPandasWithState(
@@ -76,6 +85,7 @@ def main() -> None:
     print(
         f"rows={n_rows} users={n_users} "
         f"tws={results['tws']:.2f}s ({n_rows/results['tws']:.0f} rows/s) "
+        f"packed={results['packed']:.2f}s ({n_rows/results['packed']:.0f} rows/s) "
         f"v1={results['v1']:.2f}s ({n_rows/results['v1']:.0f} rows/s) "
         f"batch={results['batch']:.2f}s"
     )

@@ -846,6 +846,10 @@ _composite(
          {"k1": "user_id",
           "s1": _cat("n_types", "top_type", "n_ids", "min_id", "max_id"),
           "n": "n_events", "d1": "total_value"}),
+        ("tws_packed", "stream_tws_packed",
+         {"k1": "user_id",
+          "s1": _cat("n_types", "top_type", "n_ids", "min_id", "max_id"),
+          "n": "n_events", "d1": "total_value"}),
         ("state_introspect", "stream_state_introspect",
          {"k1": "user_id", "n": "n_events",
           "d1": "CAST(total_cents AS DOUBLE)"}),
