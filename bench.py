@@ -154,6 +154,11 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(per),
         "cpus": cpus,
+        # Box-condition stamp: the r8 drift investigation (BASELINE §3h
+        # second-data-point note) showed the 32-thread engine's absolutes
+        # swing ±30-60% with host conditions DuckDB barely feels; the
+        # 1-min load average at start makes that attributable in-artifact.
+        "load_1m": round(os.getloadavg()[0], 2),
     }
     # Full detail object (per-query compile + ratios) as a sidecar next to
     # the repo root — self-contained even if the caller truncates stdout.

@@ -942,6 +942,10 @@ _composite(
           "d1": "CAST(pair_budget AS DOUBLE)"}),
         ("incremental", "text_incremental_neardup",
          {"a": "new_doc", "b": "old_doc", "d1": "jaccard"}),
+        ("keeper", "text_keeper_policy",
+         {"a": "dropped_doc", "b": "kept_by",
+          "s1": "CAST(q_keeper AS STRING)",
+          "i1": "CAST(q_dropped AS INT)", "d1": "jaccard"}),
     ],
     tags=("text", "dedup", "ngram", "simhash", "containment", "iterative",
           "edit-distance", "composite"),
@@ -958,6 +962,10 @@ _composite(
           "d1": "es_key"}),
         ("split", "text_train_test_split",
          {"s1": "split", "s2": "lang", "n1": "n_docs", "n2": "total_chars"}),
+        ("leakfree_split", "text_leakfree_split",
+         {"s1": "split", "n1": "n_docs", "n2": "n_clustered_docs",
+          "n3": "n_clusters", "n4": "total_chars",
+          "k1": "n_leaky_clusters"}),
         ("pack", "text_pack_sequences",
          {"k1": "range_id", "k2": "local_bin", "n1": "n_docs", "n2": "total_tokens",
           "n3": "first_doc", "n4": "last_doc"}),

@@ -218,6 +218,122 @@ QUERIES["text_dedup_clusters"] = _dc.replace(
 )
 
 
+@register(
+    "text_leakfree_split",
+    oracle=None,  # assigned below (needs text_minhash_lsh's oracle text)
+    tags=("text", "pipeline", "sampling", "dedup", "leakage", "iterative"),
+    rebuild_per_run=True,
+)
+def text_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-consistent train/valid/test split: every document is
+    bucketed by the deterministic md5 hash of its GROUP key — the
+    connected-component canonical id for clustered docs, its own doc_id
+    for singletons — so an entire near-duplicate group always lands in
+    ONE split. This closes the eval-contamination hole a per-doc split
+    leaves open (a training doc's near-duplicate in the test set leaks
+    the answer; text_train_test_split alone cannot prevent it, and
+    text_decontaminate can only detect it after the fact).
+
+    Output is the per-split summary plus a machine-checkable audit
+    column: n_leaky_clusters = clusters whose members span >1 split,
+    ZERO by construction — the property a data pipeline asserts before
+    shipping the split, carried in-band so any downstream consumer can
+    gate on it.
+
+    Scale: pair generation is the LSH band join; the component loop is
+    Pregel-shaped and diameter-bounded (shallow for dup graphs); the
+    split itself is a pure projection over coalesce(cluster_id, doc_id)
+    — no RNG, no sampling state, reproducible on any engine forever."""
+    from ..operators.components import connected_components
+    from .text import text_minhash_lsh
+
+    prep(spark)
+    pairs = text_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    gk = F.coalesce("cluster_id", "doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5(gk.cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+    assigned = (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            "cluster_id",
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    # One-row leak audit: clusters spanning >1 split (must be 0). A
+    # broadcast of a one-row aggregate, same posture as the df-cap audit.
+    leak = (
+        assigned.where(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("ns") > 1, F.lit(1))), F.lit(0))
+            .cast("long")
+            .alias("n_leaky_clusters")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("cluster_id").alias("n_clustered_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
+def _leakfree_oracle() -> str:
+    minhash = QUERIES["text_minhash_lsh"].oracle
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM (
+{minhash}
+) AS _mh),
+ee AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM ee),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT ee.s, reach.r FROM ee JOIN reach ON ee.d = reach.node
+),
+lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+a AS (
+  SELECT t.doc_id, t.n_chars, t.cluster_id,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split
+  FROM (SELECT d.doc_id, d.n_chars, l.cluster_id,
+               CAST(('0x' || substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b
+        FROM documents d LEFT JOIN lab l USING (doc_id)) t
+),
+leak AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 END), 0) AS BIGINT) AS n_leaky_clusters
+  FROM (SELECT cluster_id, COUNT(DISTINCT split) AS ns
+        FROM a WHERE cluster_id IS NOT NULL GROUP BY cluster_id) c
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(COUNT(cluster_id) AS BIGINT) AS n_clustered_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       (SELECT n_leaky_clusters FROM leak) AS n_leaky_clusters
+FROM a GROUP BY split
+"""
+
+
+QUERIES["text_leakfree_split"] = _dc.replace(
+    QUERIES["text_leakfree_split"], oracle=_leakfree_oracle()
+)
+
+
 # --- deterministic stratified sampling -------------------------------------
 
 

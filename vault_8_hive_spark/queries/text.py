@@ -318,6 +318,97 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_keeper_policy",
+    oracle=f"""
+WITH {_O_BANDS},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+               len(list_distinct(list_concat(sa.shingles, sb.shingles))), 9) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.2
+),
+sym AS (SELECT doc_a AS d, doc_b AS e, jaccard FROM pairs
+        UNION ALL
+        SELECT doc_b AS d, doc_a AS e, jaccard FROM pairs),
+q AS (SELECT doc_id, n_chars FROM documents),
+dom AS (SELECT s.d, s.e, s.jaccard, qd.n_chars AS q_d, qe.n_chars AS q_e
+        FROM sym s
+        JOIN q qd ON qd.doc_id = s.d
+        JOIN q qe ON qe.doc_id = s.e
+        WHERE qe.n_chars > qd.n_chars
+           OR (qe.n_chars = qd.n_chars AND s.e < s.d))
+SELECT d AS dropped_doc, q_d AS q_dropped, e AS kept_by, q_e AS q_keeper, jaccard
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY d
+                                   ORDER BY q_e DESC, e ASC) AS rn
+      FROM dom) r
+WHERE rn = 1
+""",
+    tags=("text", "dedup", "minhash", "lsh", "keeper-policy"),
+)
+def text_keeper_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based keeper selection over the verified near-dup pairs —
+    the policy layer a production dedup pipeline runs AFTER candidate
+    generation: instead of min(doc_id) (text_exact_dedup's keeper), keep
+    the HIGHEST-QUALITY member of each duplicate relationship and report
+    every dominated document with the partner that displaced it.
+
+    Policy: keep-longest (quality = n_chars, ties broken toward the
+    lower doc_id) — the common crude production default; any per-doc
+    scoring column slots into the same dominance join. A document is
+    dropped iff some verified near-duplicate strictly dominates it on
+    (quality, -doc_id); the reported keeper is its best such partner,
+    chosen deterministically by max_by over the same key. Pair-dominance
+    is deliberately LOCAL (no transitive closure): it needs one extra
+    join over the pair relation, not an iterative components pass —
+    at 100 TB the policy adds nothing to the dedup join's cost envelope.
+    For cluster-consistent keeper election see text_dedup_clusters /
+    er_pipeline (operators/components.py), which this complements.
+
+    Scale shape: reuses text_minhash_lsh's banded candidate plan
+    end-to-end (shared df-cap skew guard included); the dominance step
+    is a key-partitioned join against the (doc_id, n_chars) projection
+    and one max_by aggregate on the dominated key."""
+    prep(spark)
+    pairs = text_minhash_lsh(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("d"), F.col("doc_b").alias("e"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("d"), F.col("doc_a").alias("e"), "jaccard"
+        )
+    )
+    q = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    dom = (
+        sym.join(q.select(F.col("doc_id").alias("d"), F.col("n_chars").alias("q_d")), "d")
+        .join(q.select(F.col("doc_id").alias("e"), F.col("n_chars").alias("q_e")), "e")
+        .where(
+            (F.col("q_e") > F.col("q_d"))
+            | ((F.col("q_e") == F.col("q_d")) & (F.col("e") < F.col("d")))
+        )
+    )
+    best = F.max_by(
+        F.struct("e", "q_e", "jaccard"), F.struct(F.col("q_e"), (-F.col("e")).alias("ne"))
+    ).alias("best")
+    return (
+        dom.groupBy("d")
+        .agg(F.max("q_d").alias("q_dropped"), best)
+        .select(
+            F.col("d").alias("dropped_doc"),
+            "q_dropped",
+            F.col("best.e").alias("kept_by"),
+            F.col("best.q_e").alias("q_keeper"),
+            F.col("best.jaccard").alias("jaccard"),
+        )
+    )
+
+
+@register(
     "text_lsh_bucket_audit",
     oracle=f"""
 WITH {_O_BANDS},
