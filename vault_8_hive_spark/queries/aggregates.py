@@ -1137,9 +1137,15 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("item"))
         .agg(F.count(F.lit(1)).alias("exact_n"))
     )
+    # Distributed top-k: orderBy+limit (TakeOrderedAndProject) picks the
+    # same 5 rows as the old global row_number window without moving the
+    # whole per-item count relation into one task; the residual window
+    # only ranks the 5 survivors.
     we = Window.partitionBy(F.lit(0)).orderBy(F.col("exact_n").desc(), "item")
     exact5 = (
-        exact.withColumn("rnk", F.row_number().over(we)).where(F.col("rnk") <= 5)
+        exact.orderBy(F.col("exact_n").desc(), "item")
+        .limit(5)
+        .withColumn("rnk", F.row_number().over(we))
     )
     return (
         exact5.join(F.broadcast(approx), "rnk")
@@ -1627,15 +1633,19 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Deterministic: rank and top-k orders carry
     key tie-breaks, shares round to 1e-6."""
     prep(spark)
-    from pyspark.sql import Window
-
     per_k = (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy(F.lit(1)).orderBy("c", "user_id")
-    ranked = per_k.withColumn("rnk", F.row_number().over(w))
+    # Scalable global rank (operators/rank.py): the Gini rank-sum needs a
+    # rank for EVERY key, so this was a single-partition window over the
+    # whole distinct-key table — the range-partitioned two-pass spelling
+    # produces the identical rank ((c, user_id) is a total order) with
+    # each task ranking only its slice.
+    from ..operators.rank import global_row_number
+
+    ranked = global_row_number(per_k, ["c", "user_id"], out="rnk")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("nk"),
         F.sum("c").alias("total"),

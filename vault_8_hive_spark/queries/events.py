@@ -1811,12 +1811,17 @@ def events_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").alias("raw_c"),
         F.sum("wv").alias("dec_c"),
     )
+    # Distributed top-k: orderBy+limit (TakeOrderedAndProject) keeps the
+    # same 20 rows under the same total order without dragging the whole
+    # per-user aggregate into one window task; the residual window ranks
+    # only the 20 survivors.
     w = Window.partitionBy(F.col("dec_c") * 0).orderBy(
         F.desc("dec_c"), "user_id"
     )
     return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= 20)
+        agg.orderBy(F.desc("dec_c"), "user_id")
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
         .select(
             "rnk",
             "user_id",

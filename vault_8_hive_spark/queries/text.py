@@ -1989,50 +1989,79 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    sh = _shingled(table(spark, sf_dir, "documents"))
-    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
-    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
-    rk = dfreq.select(
-        "s",
-        F.row_number()
-        .over(Window.partitionBy(F.col("nd") * 0).orderBy("nd", "s"))
-        .alias("r"),
+    # r8 plan-shape notes: the r7 spelling materialized a GLOBAL dense
+    # rank r over the whole shingle vocabulary (row_number over a
+    # single-partition window — every distinct shingle sorted in ONE
+    # task) purely as a join-key proxy for the (nd, s) total order. The
+    # rank is a bijection of s, so (a) per-doc prefix positions ordered
+    # by r equal positions ordered by (nd, s) directly, and (b) the
+    # candidate equi-join on r equals the equi-join on s — the global
+    # sort buys nothing. Likewise n (the doc's distinct-shingle count)
+    # is size(shingles) off the already-distinct array — the second
+    # whole-partition window was a recount of what the array carries.
+    # Parallelism note (guide §2.5 "repartition immediately after the
+    # read"): the shingling projection is the most CPU-dense per-row
+    # work in the bench, and it is welded to the documents scan — whose
+    # task count is the FILE count (4 compacted chunks locally), not the
+    # core count. The explicit repartition by doc_id right after the
+    # scan detaches that compute from the file layout and spreads it
+    # over defaultParallelism tasks (cluster: total cores), and the
+    # single Exchange it adds carries raw text ONCE and is reused by
+    # all three consumers of sh (ReuseExchange — the r7 shape computed
+    # the shingle projection in two separate 4-task scan stages).
+    par = spark.sparkContext.defaultParallelism
+    sh = _shingled(
+        table(spark, sf_dir, "documents").repartition(par, "doc_id")
     )
-    wd = Window.partitionBy("doc_id").orderBy("r")
-    ranked = (
-        tok.join(rk, "s")
-        .select(
-            "doc_id",
-            "r",
-            F.row_number().over(wd).alias("pos"),
-            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
-        )
+    tok = sh.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
+    )
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    wd = Window.partitionBy("doc_id").orderBy("nd", "s")
+    ranked = tok.join(dfreq, "s").select(
+        "doc_id", "s", "n", F.row_number().over(wd).alias("pos")
     )
     pref = ranked.where(
         F.col("pos") <= F.col("n") - F.ceil(0.5 * F.col("n")) + 1
-    ).select("doc_id", "r")
+    ).select("doc_id", "s")
     cand = (
         pref.alias("a")
-        .join(pref.alias("b"), "r")
+        .join(pref.alias("b"), "s")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / F.size(F.array_union("sh_a", "sh_b"))
+    # Verify stage, r8: (1) |A∪B| is derived as n_a + n_b - |A∩B|
+    # (exact for the distinct shingle sets), so array_union — as
+    # expensive as the intersect — is never evaluated; (2) the Jaccard
+    # threshold becomes the integer predicate 3*ni >= n_a + n_b
+    # (ni/(na+nb-ni) >= 0.5 ⟺ 3ni >= na+nb, exact in int64), so the
+    # filter re-evaluates one intersect, not intersect+union; (3) both
+    # verify joins are widened to defaultParallelism — this stage
+    # carried ~13 s of array-compare CPU squeezed into the 8 low-latency
+    # shuffle partitions the bench session runs with.
+    x = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    ).repartition(par, "doc_a")
+    y = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    ).repartition(par, "doc_b")
+    ni = F.size(F.array_intersect("sh_a", "sh_b"))
+    nab = F.size("sh_a") + F.size("sh_b")
     return (
-        cand.join(x, "doc_a")
+        cand.repartition(par, "doc_a")
+        .join(x, "doc_a")
         .join(y, "doc_b")
-        .where(jac >= 0.5)
+        .where(3 * ni >= nab)
         .select(
             "doc_a",
             "doc_b",
-            inter.cast("bigint").alias("n_inter"),
-            F.round(jac, 9).alias("jaccard"),
+            ni.cast("bigint").alias("n_inter"),
+            F.round(
+                ni.cast("double") / (nab - ni).cast("double"), 9
+            ).alias("jaccard"),
         )
     )
 

@@ -1999,10 +1999,17 @@ def vec_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Distributed top-k (TakeOrderedAndProject) instead of a global
+    # row_number window: the window moved EVERY per-vector distance row
+    # into one task to rank them, then kept 10. orderBy+limit selects the
+    # same 10 rows under the same (dist2, vec_id) total order with each
+    # partition contributing only its local top-10; the residual window
+    # ranks just those 10 survivors.
     w = Window.orderBy("dist2", "vec_id")
     return (
-        d2.select("vec_id", "dist2", F.row_number().over(w).cast("int").alias("rn"))
-        .where(F.col("rn") <= 10)
+        d2.orderBy("dist2", "vec_id")
+        .limit(10)
+        .select("vec_id", "dist2", F.row_number().over(w).cast("int").alias("rn"))
         .orderBy("rn")
     )
 
