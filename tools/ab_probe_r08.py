@@ -238,10 +238,53 @@ def old_text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def old_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 spelling: each split branch re-scans documents at the file
+    count's parallelism and shingles its own slice."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("eval").alias("split"),
+        F.transform(
+            F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0), F.lower
+        ).alias("ws"),
+    )
+    sh = split.where(F.size("ws") >= 8).select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 7), "
+                "i -> named_struct("
+                "'h1', xxhash64(slice(ws, i, 8)), "
+                "'h2', xxhash64(9L, slice(ws, i, 8))))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "split", "g.h1", "g.h2").distinct()
+    ev = sh.where(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc"), "h1", "h2"
+    )
+    tr = sh.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "h1", "h2"
+    )
+    hits = ev.join(tr, ["h1", "h2"])
+    return hits.groupBy("eval_doc").agg(
+        F.countDistinct("h1", "h2").alias("n_shared_shingles"),
+        F.countDistinct("train_doc").alias("n_train_docs"),
+        F.min("train_doc").cast("bigint").alias("first_train_doc"),
+    )
+
+
 OLD = {
     "er_pipeline": old_er_pipeline,
     "graph_label_propagation": old_graph_label_propagation,
     "text_setsim_prefix_join": old_text_setsim_prefix_join,
+    "text_decontaminate": old_text_decontaminate,
 }
 
 

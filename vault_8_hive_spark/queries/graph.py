@@ -411,11 +411,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    # LAZY localCheckpoint: the shared edge relation materializes ONCE
+    # per execution (inside the timed action — no cross-run cache: a
+    # fresh build derives a fresh RDD, unlike persist(), whose
+    # CacheManager entry the r7 spelling re-served across bench runs)
+    # and every round reads the cached blocks, already partitioned by
+    # src for the per-round join. Without it the three unrolled rounds
+    # re-planned the whole scan+join+distinct subtree per round
+    # (ReuseExchange only deduplicated parts of it).
     edges_sl = (
         edges.unionByName(
             nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
         )
         .repartition("src")
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(_ITERS):
