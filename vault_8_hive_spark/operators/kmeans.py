@@ -71,18 +71,23 @@ def kmeans(
     for _ in range(iters):
         # One materialization per iteration, shared by the inertia action
         # and the centroid-update action (otherwise the assignment plan
-        # executes twice).
-        assigned = assign_clusters(df, vec_col, centroids).persist()
-        try:
-            inertia.append(assigned.agg(F.sum("dist2")).collect()[0][0])
-            new_rows = (
-                assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
-                .groupBy("cluster", "pos")
-                .agg(F.avg(F.col("val").cast("double")).alias("m"))
-                .collect()
-            )
-        finally:
-            assigned.unpersist()
+        # executes twice). Lazy localCheckpoint, not persist(): the old
+        # persist()+unpersist() pair had no cross-run CacheManager reuse
+        # (entries were removed each iteration), but the checkpoint is
+        # the uniform per-run-materialization posture of every iterative
+        # operator after the r9 persist sweep (see queries/graph.py
+        # graph_pagerank) — blocks are released by the ContextCleaner
+        # when the iterate's RDD goes out of scope.
+        assigned = assign_clusters(df, vec_col, centroids).localCheckpoint(
+            eager=False
+        )
+        inertia.append(assigned.agg(F.sum("dist2")).collect()[0][0])
+        new_rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
         by_cluster: dict[int, list[float]] = {}
         for r in new_rows:
             by_cluster.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["m"]

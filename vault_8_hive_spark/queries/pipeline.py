@@ -124,18 +124,14 @@ def text_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b", "bk"),
     )
     # Same auto df-cap as the minhash band joins (queries/text.py
-    # _cap_sized): a template-text band bucket past the cliff would
-    # expand k(k-1)/2 candidates in one task; the count-window exchanges
-    # on the join's own (b, bk) key.
-    from pyspark.sql import Window as _W
+    # _cap_banded): a template-text band bucket past the cliff would
+    # expand k(k-1)/2 candidates in one task; the helper's checkpoint
+    # is partitioned on the join's own (b, bk) key, and one capped side
+    # suffices (pair-set proof in _cap_banded).
+    from .text import _cap_banded
 
-    from .text import _cap_sized
-
-    wb = bands.withColumn(
-        "k", F.count(F.lit(1)).over(_W.partitionBy("b", "bk"))
-    )
-    safe = _cap_sized(spark, wb, "k").drop("k")
-    right = safe.select(
+    ex, safe = _cap_banded(spark, bands, "b", "bk")
+    right = ex.select(
         F.col("doc_id").alias("doc_b"), F.col("h1").alias("g1"),
         F.col("h2").alias("g2"), F.col("b").alias("b2"), F.col("bk").alias("bk2"),
     )

@@ -170,6 +170,63 @@ def _df_cap_mode(spark: SparkSession) -> tuple[str, int | None]:
     return ("static", int(v))
 
 
+def _cap_banded(
+    spark: SparkSession, bands: DataFrame, *key_cols: str
+) -> tuple[DataFrame, DataFrame]:
+    """Df-cap posture for an exploded band/bucket relation keyed by
+    `key_cols` (keys must be non-null — true for every call site: md5 /
+    hex-slice / sign-bit keys). Returns `(ex, safe)`: `ex` is the band
+    relation materialized ONCE per run (repartitioned by the bucket key
+    then LAZY-localCheckpointed), `safe` is `ex` with the rows of
+    over-cap groups dropped, under the same auto/static/off modes as
+    _cap_sized. Callers cap ONE side of their bucket join (`safe`) and
+    read the other side from `ex` raw — pair-set-equivalent to capping
+    both sides, because a pair needs its bucket key present on BOTH
+    sides and the group size is a property of the key:
+      pair emitted  <=>  key uncapped  <=>  mx <= CLIFF or k <= cap.
+
+    r9 shape (recovers the r8 minhash df-cap regression): the r8 guard
+    computed `count() over partitionBy(key)` — plan-shape-wise fine
+    (one shared exchange), but the audit/cap machinery kept splitting
+    into re-evaluations of the band relation under optimizer rewrites:
+    a stage probe showed the CPU-heavy minhash FOLD (the dominant cost,
+    ~7 of 8.6 s task time at sf0.1) running TWICE in the first r9
+    anti-join spelling because PushDownLeftSemiAntiJoin pushes the cap
+    join below any shared repartition and column pruning splits
+    differently-projected consumers. The lazy localCheckpoint is a hard
+    barrier no rule crosses: the fold runs exactly once into the
+    checkpoint blocks (partitioned by the bucket key, which the bucket
+    join needs anyway), and the count/audit branches are cheap
+    hash-aggs over block reads. The cap filter is a broadcast LEFT-ANTI
+    join against the (tiny, usually EMPTY) offending-key set — at scale
+    the per-key count relation is NOT broadcastable but `bad` is.
+    3-arm interleaved probe (tools/minhash_shape_probe_r09.py, sf0.1,
+    median of 5): win(r8)=1.517s anti=1.713s ckpt=1.374s, rows equal.
+    A fresh build derives a fresh RDD, so nothing is served across
+    bench runs (the label-prop honesty posture)."""
+    mode, cap = _df_cap_mode(spark)
+    nn = bands
+    for kc in key_cols:
+        nn = nn.where(F.col(kc).isNotNull())
+    ex = nn.repartition(*[F.col(kc) for kc in key_cols]).localCheckpoint(
+        eager=False
+    )
+    if mode == "off":
+        return ex, ex
+    kcnt = ex.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_df_k"))
+    if mode == "auto":
+        mx = kcnt.agg(F.max("_df_k").alias("_df_mx"))
+        bad = kcnt.crossJoin(F.broadcast(mx)).where(
+            (F.col("_df_mx") > F.lit(DF_CLIFF)) & (F.col("_df_k") > F.lit(cap))
+        )
+    else:  # static
+        bad = kcnt.where(F.col("_df_k") > F.lit(cap))
+    safe = ex.join(
+        F.broadcast(bad.select(*key_cols)), list(key_cols), "left_anti"
+    )
+    return ex, safe
+
+
 def _cap_sized(
     spark: SparkSession,
     rel: DataFrame,
@@ -288,17 +345,14 @@ def text_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par, "doc_id")
     )
     bands = _minhash_bands(sh)
-    # df-cap on bucket size (auto, see _cap_sized): the count-window's
-    # exchange on band_key is the SAME partitioning the self-join needs,
-    # so the audit adds no extra shuffle — a template-text bucket past
-    # DF_CLIFF would otherwise emit k(k-1)/2 candidates into one task.
-    from pyspark.sql import Window as _W
-
-    wb = bands.withColumn(
-        "k", F.count(F.lit(1)).over(_W.partitionBy("band_key"))
-    )
-    safe = _cap_sized(spark, wb, "k").drop("k")
-    b2 = safe.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk"))
+    # df-cap on bucket size (auto, see _cap_banded): the helper's
+    # checkpoint is partitioned on band_key — the SAME partitioning the
+    # self-join needs, so the audit adds no extra shuffle — and a
+    # template-text bucket past DF_CLIFF would otherwise emit k(k-1)/2
+    # candidates into one task. One capped side suffices (pair-set
+    # proof in _cap_banded); the b2 side reads the blocks raw.
+    ex, safe = _cap_banded(spark, bands, "band_key")
+    b2 = ex.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk"))
     cand = (
         safe.join(b2, (safe.band_key == b2.bk) & (safe.doc_id < b2.doc_b))
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
@@ -502,18 +556,15 @@ def text_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _minhash_bands(sh)
     # Same df-cap posture as text_minhash_lsh: bucket size is audited
     # over the FULL band relation (a boilerplate bucket is hot however
-    # the corpus is split), then the asymmetric new/old sides come from
-    # the capped rows.
-    from pyspark.sql import Window as _W
-
-    wb = bands.withColumn(
-        "k", F.count(F.lit(1)).over(_W.partitionBy("band_key"))
-    )
-    safe = _cap_sized(spark, wb, "k").drop("k")
+    # the corpus is split); capping the NEW side alone is
+    # pair-set-equivalent (see _cap_banded — a pair needs its key on
+    # both sides), and the checkpoint barrier keeps the %10 split
+    # filters from pushing below the shared materialization.
+    ex, safe = _cap_banded(spark, bands, "band_key")
     new_b = safe.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("new_doc"), "band_key"
     )
-    old_b = safe.where(F.col("doc_id") % 10 != 0).select(
+    old_b = ex.where(F.col("doc_id") % 10 != 0).select(
         F.col("doc_id").alias("old_doc"), F.col("band_key").alias("bk")
     )
     cand = (
@@ -2010,9 +2061,20 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all three consumers of sh (ReuseExchange — the r7 shape computed
     # the shingle projection in two separate 4-task scan stages).
     par = spark.sparkContext.defaultParallelism
+    # r9: LAZY localCheckpoint on the shingled relation. The r8 shape
+    # relied on all three consumers (tok, x, y) sharing the repartition
+    # exchange via ReusedExchange — but CollapseRepartition merges the
+    # x/y verify-side repartitions INTO the inner doc_id repartition,
+    # leaving three subtly different subtrees: the stage probe showed
+    # THREE scan+shingle evaluations, two of them welded to the 4-file
+    # scan (4-task stages of 7.9 s and 7.6 s task time — the exact
+    # straggler the r8 widening was meant to fix). The checkpoint is a
+    # hard barrier: the shingle projection runs ONCE at `par`-way
+    # parallelism into per-run blocks (fresh RDD per build — nothing
+    # crosses bench runs), and every consumer reads the blocks.
     sh = _shingled(
         table(spark, sf_dir, "documents").repartition(par, "doc_id")
-    )
+    ).localCheckpoint(eager=False)
     tok = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
     )
@@ -2023,11 +2085,36 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pref = ranked.where(
         F.col("pos") <= F.col("n") - F.ceil(0.5 * F.col("n")) + 1
-    ).select("doc_id", "s")
+    ).select("doc_id", "s", "pos", "n")
+    # r9 candidate pruning (PPJoin-class filters; prune-only-impossible,
+    # so the verified output is IDENTICAL — oracle hash-exact):
+    # (1) LENGTH filter: jac >= 0.5 forces max(n_a,n_b) <= 2*min — a
+    #     prefix collision between very differently-sized docs cannot
+    #     verify, so it never reaches the distinct/verify stages.
+    # (2) POSITION filter: both docs order shingles by the same global
+    #     (df, s) total order, so for a common token at positions
+    #     (pa, pb), common tokens <= it number at most min(pa, pb) and
+    #     common tokens > it at most min(n_a-pa, n_b-pb):
+    #     |A∩B| <= min(pa,pb) + min(n_a-pa, n_b-pb). If even that bound
+    #     misses 3i >= n_a+n_b the collision row is dropped. Soundness
+    #     of dropping PER ROW before the distinct: for a true pair the
+    #     bound holds for EVERY common token (it bounds the one true i
+    #     from above), so every collision row survives and the pair is
+    #     never lost. Both filters cut the verify stage's input — the
+    #     query's dominant cost (array_intersect over rehydrated
+    #     shingle arrays per candidate).
+    ubound = F.least(F.col("a.pos"), F.col("b.pos")) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "s")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") <= 2 * F.col("b.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n"))
+            & (3 * ubound >= F.col("a.n") + F.col("b.n"))
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -2042,9 +2129,12 @@ def text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify joins are widened to defaultParallelism — this stage
     # carried ~13 s of array-compare CPU squeezed into the 8 low-latency
     # shuffle partitions the bench session runs with.
+    # x reads the checkpoint blocks directly (already partitioned by
+    # doc_id = doc_a after the rename — no second shuffle of the
+    # arrays); y must re-key to doc_b for its join side.
     x = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    ).repartition(par, "doc_a")
+    )
     y = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     ).repartition(par, "doc_b")

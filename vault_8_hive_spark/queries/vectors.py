@@ -12,6 +12,7 @@ or sign test so last-ulp float drift can't flip a rank or an LSH bit.
 from __future__ import annotations
 
 import os
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -400,17 +401,15 @@ def vec_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", lsh_signature(to_double("embedding"), PLANES).alias("bucket")
     )
     # Same auto df-cap as the text band joins (queries/text.py
-    # _cap_sized): a degenerate signature bucket (near-identical or
+    # _cap_banded): a degenerate signature bucket (near-identical or
     # zero-entropy embeddings) past the cliff would expand k(k-1)/2
-    # pairs in one task; the count-window's exchange on `bucket` is the
-    # partitioning the self-join needs anyway.
-    from pyspark.sql import Window as _W
+    # pairs in one task; the helper's checkpoint is partitioned on
+    # "bucket" — the partitioning the self-join needs anyway — and one
+    # capped side suffices (pair-set proof in _cap_banded).
+    from .text import _cap_banded
 
-    from .text import _cap_sized
-
-    wb = sigs.withColumn("k", F.count(F.lit(1)).over(_W.partitionBy("bucket")))
-    safe = _cap_sized(spark, wb, "k").drop("k")
-    right = safe.select(
+    ex, safe = _cap_banded(spark, sigs, "bucket")
+    right = ex.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("bucket").alias("bk")
     )
     pairs = safe.join(right, (safe.bucket == right.bk) & (safe.vec_id < right.vec_b))
@@ -1232,7 +1231,11 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(_MMR_CAND)
-        .persist()
+        # lazy localCheckpoint, not persist(): the candidate top-20 is
+        # reused by every unrolled MMR round; persist()'s CacheManager
+        # entry would be re-served across fresh builds (see
+        # queries/graph.py graph_pagerank — the r9 persist sweep).
+        .localCheckpoint(eager=False)
     )
     a = cand.select(F.col("vec_id").alias("a"), F.col("embedding").alias("e_a"))
     b = cand.select(F.col("vec_id").alias("b"), F.col("embedding").alias("e_b"))
@@ -1244,7 +1247,8 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             F.round(cosine(to_double("e_a"), to_double("e_b")), 6).alias("sim"),
         )
-        .persist()
+        # lazy localCheckpoint, not persist(): see cand above.
+        .localCheckpoint(eager=False)
     )
     picked = (
         cand.orderBy(F.desc("rel"), "vec_id")
@@ -1694,6 +1698,22 @@ def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_ITERS = 8
 
 
+def _spark_round(x: float | None, scale: int) -> float | None:
+    """Replicate F.round(double_col, scale) driver-side, bit-for-bit:
+    Spark's Round on DoubleType goes through BigDecimal.valueOf(d)
+    (Double.toString = the shortest round-tripping decimal — exactly
+    what Python's repr(float) produces) then setScale(scale, HALF_UP).
+    Python's builtin round() is banker's (half-even) and would diverge
+    on exact .5 boundaries, so it is NOT used."""
+    if x is None:
+        return None
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _pca_oracle() -> str:
     iters = []
     prev = "v0"
@@ -1760,25 +1780,43 @@ ORDER BY rk
     oracle=_pca_oracle(),
     tags=("vectors", "pca", "linear-algebra", "iterative"),
     bench=True,
+    rebuild_per_run=True,  # fn() collects the Gram mid-build (see below)
 )
 def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus by distributed
-    power iteration: the 64x64 covariance Gram matrix is built as ONE
-    pass over the exploded (vector, dim) stream — centered on exact
-    integer mu6 grids so every Gram cell is an EXACT int64 — then 8
-    power iterations (matvec = 4096-row join + 64-row reduce, each
-    component rounded to 1e-9, graph_pagerank discipline) converge the
-    dominant eigenvector. Output: top-10 dims by |loading| plus the
-    Rayleigh-quotient eigenvalue in raw covariance units — the
-    dimensionality-reduction / dominant-direction probe an embedding
-    pipeline runs beside vec_embedding_drift (is one axis eating the
-    variance? did a fine-tune collapse the space?).
+    """Top principal component of the embedding corpus by power
+    iteration: the 64x64 covariance Gram matrix is built as ONE
+    distributed pass over the exploded (vector, dim) stream — centered
+    on exact integer mu6 grids so every Gram cell is an EXACT int64 —
+    then the 8 power iterations run DRIVER-SIDE on the collected d x d
+    matrix (each component rounded to 1e-9, graph_pagerank discipline).
+    Output: top-10 dims by |loading| plus the Rayleigh-quotient
+    eigenvalue in raw covariance units — the dimensionality-reduction /
+    dominant-direction probe an embedding pipeline runs beside
+    vec_embedding_drift (is one axis eating the variance? did a
+    fine-tune collapse the space?).
+
+    r9 shape change (same declared result, oracle hash-exact at all
+    SFs): the iterates are d-vectors, so iterating them as 4096-row
+    DataFrames bought no parallelism and paid 8 eager-localCheckpoint
+    jobs + 8 Catalyst compiles per run — and the Gram `persist()` that
+    fed them was re-served by CacheManager ACROSS fresh-build bench
+    runs (the r8 VERDICT's honesty bug: warmup's InMemoryRelation
+    matches every later run's canonical plan, so timed runs skipped the
+    only data-sized stage). Now the d x d Gram (a bounded 64x64 = 4096
+    cells regardless of corpus size) is collected once per run and the
+    matvecs are plain Python — the MLlib RowMatrix posture (distributed
+    Gramian, local eigensolve), and the kmeans/driver-contract class of
+    bounded collect (d^2 cells, never data rows). Nothing is cached
+    across runs; every run re-reads parquet. _spark_round replicates
+    F.round's BigDecimal HALF_UP semantics bit-for-bit, and the
+    sequential index-order sums sit inside the same 1e-9-rounding
+    drift bet the Spark<->DuckDB pair already made (~1e-14 relative
+    reduction-order drift, absorbed).
 
     Exactness: x6 and the per-dim mean are deterministic integer grids;
     Gram cells are exact int64 (|y| <= ~4e6, 5e3 vectors -> |G| <= 8e16
     < 2^63; int->double conversion is correctly rounded in both
-    engines); matvec reduction-order drift (~1e-14 relative) is
-    absorbed by the 1e-9 per-iteration rounding.
+    engines).
 
     Scale: the Gram build is the only data-sized stage, and it is
     JOIN-FREE: each vector row keeps its centered integer array and the
@@ -1787,9 +1825,9 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever cross the exchange. The first spelling self-joined the
     exploded stream on vec_id (d^2 rows per vector THROUGH A SHUFFLE
     JOIN); the 25x probe caught it stuck materializing 512M join rows
-    — the lesson is recorded here deliberately. Iterations run on
-    4096+64 rows. d too large for d^2 cells -> randomized sketched
-    PCA; noted, not needed at embedding dims.
+    — the lesson is recorded here deliberately. d too large for d^2
+    cells -> randomized sketched PCA; noted, not needed at embedding
+    dims.
     """
     prep(spark)
     emb = _finite(table(spark, sf_dir, "embeddings"))
@@ -1809,78 +1847,105 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean6"),
         F.count(F.lit(1)).alias("n"),
     )
-    muarr = mu.agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("d", "mean6"))),
-            lambda s: s["mean6"],
-        ).alias("muarr")
-    )
-    yrows = vecs.crossJoin(F.broadcast(muarr)).select(
-        F.zip_with("x6arr", "muarr", lambda x, m: x - m).alias("yrow")
-    )
-    exploded = yrows.select(
-        F.posexplode("yrow").alias("d0", "yd"), "yrow"
-    ).select((F.col("d0") + 1).alias("dd"), "yd", "yrow")
+    out_schema = "dim int, loading double, rk int, eigval_cov double"
+    # Job 1: the per-dim means (64 rows — was the broadcast subquery of
+    # the old Gram plan, plus a third full pass for nvec; now one pass
+    # serves both).
+    mu_rows = sorted(mu.collect(), key=lambda r: r["d"])
+    if not mu_rows:
+        # Empty-corpus guard (round-7 sweep discipline): the result is
+        # correctly empty through the same schema.
+        return spark.createDataFrame([], out_schema)
+    ds = [int(r["d"]) for r in mu_rows]
+    n_corpus = max(int(r["n"]) for r in mu_rows)
+    # Expression trees built as ONE SQL string each: the 64-sum Gram
+    # aggregate spelled as per-column F.sum(F.element_at(...)) Columns
+    # cost ~0.9 s of py4j round-trips PER BUILD (measured — more than
+    # the Gram job itself); a single parsed expression string is one
+    # round-trip for the identical plan.
     n_dims = 64
-    g_wide = exploded.groupBy("dd").agg(
-        *[
-            F.sum(F.element_at("yrow", e) * F.col("yd")).alias(f"g{e}")
+    mu_arr = "array(" + ",".join(f"{int(r['mean6'])}L" for r in mu_rows) + ")"
+    yrows = vecs.selectExpr(
+        f"zip_with(x6arr, {mu_arr}, (x, m) -> x - m) AS yrow"
+    )
+    exploded = yrows.selectExpr(
+        "posexplode(yrow) AS (d0, yd)", "yrow"
+    ).selectExpr("d0 + 1 AS dd", "yd", "yrow")
+    g_struct = (
+        "struct("
+        + ",".join(
+            f"sum(element_at(yrow, {e}) * yd) AS g{e}"
+            for e in range(1, n_dims + 1)
+        )
+        + ") AS gs"
+    )
+    g_wide = exploded.groupBy("dd").agg(F.expr(g_struct))
+    # Job 2: the Gram pass — d x d exact-int64 cells to the driver.
+    grows = {
+        int(r["dd"]): [
+            float(r["gs"][f"g{e}"]) if r["gs"][f"g{e}"] is not None else None
             for e in range(1, n_dims + 1)
         ]
-    )
-    g = (
-        g_wide.select(
-            "dd",
-            F.posexplode(
-                F.array(*[F.col(f"g{e}") for e in range(1, n_dims + 1)])
-            ).alias("e0", "gv_long"),
-        )
-        .select("dd", (F.col("e0") + 1).alias("ee"), F.col("gv_long").cast("double").alias("gv"))
-        .persist()
-    )
-    v = mu.select("d", F.lit(1.0).alias("val"))
-    u = None
+        for r in g_wide.collect()
+    }
+    # Driver-side power iteration (d x d matvec; sums run in ascending
+    # index order). NULL discipline mirrors the old DataFrame loop:
+    # SUM skips NULL terms and is NULL over an all-NULL group;
+    # try_divide(u, m) is NULL when m is 0 (rank-0 centered Gram, e.g.
+    # a single-vector slice — DuckDB's u/0 is the same quiet NULL).
+    val: dict[int, float | None] = {d: 1.0 for d in ds}
+    u: dict[int, float | None] = {}
     for _ in range(_PCA_ITERS):
-        u = (
-            g.join(v, F.col("ee") == F.col("d"))
-            .groupBy(F.col("dd").alias("ud"))
-            .agg(F.sum(F.col("gv") * F.col("val")).alias("u"))
-            # materialize each 64-row iterate: without the cut the 8
-            # stacked join/agg rounds blow up Catalyst's optimization
-            # time (the lineage posture pinned by
-            # test_local_checkpoint_truncates_lineage)
-            .localCheckpoint(eager=True)
-        )
-        m = u.agg(F.max(F.abs("u")).alias("m"))
-        # try_divide: a rank-0 centered Gram (single-vector slice) makes
-        # every iterate 0 so max|u| = 0; DuckDB's u/0 is a quiet NULL and
-        # try_divide is its Spark spelling (plain '/' ABORTS under ANSI).
-        # For any real corpus m > 0 and try_divide IS the division.
-        v = u.crossJoin(F.broadcast(m)).select(
-            F.col("ud").alias("d"),
-            F.round(F.try_divide(F.col("u"), F.col("m")), 9).alias("val"),
-        )
-    ray = (
-        u.join(v, F.col("ud") == F.col("d"))
-        .agg(F.sum(F.round(F.col("u") * F.col("val"), 0)).alias("num"))
-        .crossJoin(v.agg(F.sum(F.round(F.col("val") * F.col("val"), 9)).alias("den")))
+        u = {}
+        for dd in ds:
+            row = grows.get(dd)
+            s = None
+            if row is not None:
+                for ee in ds:
+                    ve = val.get(ee)
+                    gv = row[ee - 1]
+                    if ve is None or gv is None:
+                        continue
+                    t = gv * ve
+                    s = t if s is None else s + t
+            u[dd] = s
+        m = None
+        for dd in ds:
+            if u[dd] is not None and (m is None or abs(u[dd]) > m):
+                m = abs(u[dd])
+        if m is None or m == 0.0:
+            val = {d: None for d in ds}
+        else:
+            val = {
+                d: (_spark_round(u[d] / m, 9) if u[d] is not None else None)
+                for d in ds
+            }
+    num = None
+    den = None
+    for d in ds:
+        if u.get(d) is not None and val[d] is not None:
+            t = _spark_round(u[d] * val[d], 0)
+            num = t if num is None else num + t
+        if val[d] is not None:
+            t2 = _spark_round(val[d] * val[d], 9)
+            den = t2 if den is None else den + t2
+    if num is None or den is None or den == 0.0:
+        eig = None
+    else:
+        eig = _spark_round(num / den / n_corpus / 1e12, 4)
+    order = sorted(
+        ds,
+        key=lambda d: (
+            val[d] is None,
+            -abs(val[d]) if val[d] is not None else 0.0,
+            d,
+        ),
     )
-    nvec = mu.agg(F.max("n").alias("n"))
-    w = Window.orderBy(F.desc(F.abs("val")), "d")
-    return (
-        v.crossJoin(F.broadcast(ray))
-        .crossJoin(F.broadcast(nvec))
-        .select(
-            F.col("d").alias("dim"),
-            F.round("val", 6).alias("loading"),
-            F.row_number().over(w).cast("int").alias("rk"),
-            F.round(
-                F.try_divide(F.col("num"), F.col("den")) / F.col("n") / 1e12, 4
-            ).alias("eigval_cov"),
-        )
-        .where(F.col("rk") <= 10)
-        .orderBy("rk")
-    )
+    rows = [
+        (d, _spark_round(val[d], 6), rk, eig)
+        for rk, d in enumerate(order[:10], start=1)
+    ]
+    return spark.createDataFrame(rows, out_schema).orderBy("rk")
 
 
 _JL_K = 16  # projected dimensionality
