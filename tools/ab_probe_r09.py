@@ -270,8 +270,71 @@ def old_text_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def old_ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 spelling: per-distinct-residual counts through the
+    range-partitioned global_cumsum, no checkpoint."""
+    from vault_8_hive_spark.functions.exact import scaled_long
+    from vault_8_hive_spark.operators.rank import global_cumsum
+
+    prep(spark)
+    v = table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).select(
+        scaled_long("l_quantity").alias("x"),
+        scaled_long("l_extendedprice").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    s = v.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    b = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    fit = s.select(n.alias("n"), b.alias("b"), ((sy - b * sx) / n).alias("a"))
+    pred = F.col("a") + F.col("b") * F.col("x")
+    res = (
+        v.crossJoin(F.broadcast(fit))
+        .where(pred.isNotNull())
+        .select(
+            F.round(F.abs(F.col("y") - pred), 0).cast("long").alias("r"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    per_r = res.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
+    tot = per_r.agg(F.sum("c").alias("n")).select(
+        "n",
+        F.least(
+            F.ceil((F.col("n") + 1) * 0.9).cast("long"), F.col("n")
+        ).alias("k"),
+    )
+    cum = global_cumsum(per_r, ["r"], "c")
+    q = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= F.col("k"))
+        .orderBy("r")
+        .limit(1)
+    )
+    return q.select(
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("r").cast("double") / 100.0).alias("q_hat"),
+        F.round(F.col("cum").cast("double") / F.col("n"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
 OLD = {
     "text_minhash_lsh": old_text_minhash_lsh,
+    "ml_conformal_interval": old_ml_conformal_interval,
     "vec_cosine_neardup_pairs": old_vec_cosine_neardup_pairs,
     "text_incremental_neardup": old_text_incremental_neardup,
     "graph_label_propagation": old_graph_label_propagation,

@@ -1574,14 +1574,14 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and coverage is an integer ratio.
 
     Scale: one sufficient-statistics pass (scalar), one residual map
-    collapsed by ONE groupBy onto the integer residual domain, and the
-    order statistic + realized coverage read off a range-partitioned
-    cumulative count over the DISTINCT residual values
-    (operators/rank.py global_cumsum — the ml_eval_auc pattern). Two
-    fact passes total; nothing quadratic, nothing driver-side.
+    checkpointed as a narrow long column, and the order statistic +
+    realized coverage read off an exact two-level bucket selection over
+    the residual VALUE RANGE (a few thousand 4096-cent buckets, then
+    <= 4096 distinct values inside the target bucket — both bounded by
+    the domain, not the corpus). Two fact passes total; nothing
+    quadratic, nothing driver-side.
     """
     from ..functions.exact import scaled_long
-    from ..operators.rank import global_cumsum
 
     prep(spark)
     v = table(spark, sf_dir, "lineitem").where(
@@ -1610,36 +1610,67 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = (
         v.crossJoin(F.broadcast(fit))
         .where(pred.isNotNull())
-        .select(
-            F.round(F.abs(F.col("y") - pred), 0).cast("long").alias("r"),
-            "l_orderkey",
-            "l_linenumber",
-        )
+        .select(F.round(F.abs(F.col("y") - pred), 0).cast("long").alias("r"))
+        # LAZY localCheckpoint: the residual column (one long per fact
+        # row, narrow blocks at scan partitioning — no exchange) is
+        # materialized once per run and read by both selection passes
+        # below; a fresh build derives a fresh RDD (nothing crosses
+        # bench runs).
+        .localCheckpoint(eager=False)
     )
-    # k-th order statistic from PER-DISTINCT-RESIDUAL cumulative counts
-    # (the ml_eval_auc / agg_spearman_corr pattern): residuals are
-    # integer cents, so ONE groupBy(r) collapses the fact to its value
-    # domain, a range-partitioned cumsum over the distinct values
-    # locates q = the first r whose inclusive count reaches k, and the
-    # realized coverage IS that same row's cum/n — zero additional fact
-    # passes. This replaced the r6 histogram-bucket selection (stats
-    # pass + bucket counts + ranked slice + coverage pass = FOUR fact
-    # passes after the residual map; this shape has one). The picked
-    # VALUE is identical (the k-th smallest counting duplicates — a
-    # value pick needs no row tie-break), so the oracle keeps its
-    # literal full-rank spelling.
-    per_r = res.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
-    tot = per_r.agg(
-        F.sum("c").alias("n"),
-    ).select(
+    # k-th order statistic by EXACT bucket selection (r9). The r7/r8
+    # shape ranged-cumsum'd the per-distinct-residual counts
+    # (operators/rank.py global_cumsum) on the theory that groupBy(r)
+    # collapses the fact to its value domain — but the residual domain
+    # here is nearly as large as the fact table (stage probe: ~4 MB of
+    # distinct-r rows reshuffled 3x by the range sampler + range
+    # exchange + offsets, ~4.4 s task time, MORE than both fact
+    # passes). What IS bounded is the residual's VALUE RANGE: integer
+    # cents, so 4096-cent buckets (shiftright 12) give a few thousand
+    # bucket rows regardless of corpus size. Selection: (1) bucket
+    # counts (map-side partial agg collapses hard), cumsum over the
+    # REDUCED bucket table (single-partition window over thousands of
+    # rows — the rank.py module policy: fine after reduction, never on
+    # facts); (2) the target bucket's rows re-read from the checkpoint
+    # blocks (<= 4096 distinct r by construction), in-bucket cumsum on
+    # top of the bucket base locates q = the first r whose inclusive
+    # count reaches k, and coverage IS that row's (base+cum)/n — the
+    # same inclusive-count semantics as the old global_cumsum pick,
+    # value-identical for any k.
+    bkt = res.groupBy(F.shiftright("r", 12).alias("bk")).agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bkt.select("bk", "bc", F.sum("bc").over(wb).alias("bcum"))
+    tot = bkt.agg(F.sum("bc").alias("n")).select(
         "n",
         F.least(
             F.ceil((F.col("n") + 1) * 0.9).cast("long"), F.col("n")
         ).alias("k"),
     )
-    cum = global_cumsum(per_r, ["r"], "c")
+    target = (
+        bcum.crossJoin(F.broadcast(tot))
+        .where(F.col("bcum") >= F.col("k"))
+        .orderBy("bk")
+        .limit(1)
+        .select(
+            F.col("bk").alias("tbk"),
+            (F.col("bcum") - F.col("bc")).alias("base"),
+            "n",
+            "k",
+        )
+    )
+    inb = (
+        res.crossJoin(F.broadcast(target))
+        .where(F.shiftright("r", 12) == F.col("tbk"))
+        .groupBy("r", "base", "n", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wq = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
     q = (
-        cum.crossJoin(F.broadcast(tot))
+        inb.select(
+            "r", "n", "k", (F.col("base") + F.sum("c").over(wq)).alias("cum")
+        )
         .where(F.col("cum") >= F.col("k"))
         .orderBy("r")
         .limit(1)
